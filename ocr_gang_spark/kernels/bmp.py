@@ -1,0 +1,66 @@
+"""Pure-NumPy 24-bit BMP encoder/decoder.
+
+The reference loads images through SDL_image with format autodetect
+(``load_image``, reference source/sdl/our_sdl.c:20-31); its committed
+sample pages include an uncompressed 24bpp BMP (img/image.bmp).  This
+container has no image codec libraries, so media blobs in this engine
+are uncompressed 24-bit BMPs, encoded/decoded with NumPy only.  The
+decoder also accepts 32bpp BI_RGB for robustness.
+
+BMP layout (Windows BITMAPINFOHEADER, BI_RGB):
+  bytes 0-13   BITMAPFILEHEADER: 'BM', file size, reserved, pixel offset
+  bytes 14-53  BITMAPINFOHEADER: header size 40, width, height (positive
+               => bottom-up rows), planes=1, bpp, compression=0, ...
+  pixel data   rows bottom-up, pixels BGR, each row padded to 4 bytes
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_FILE_HEADER = struct.Struct("<2sIHHI")
+_INFO_HEADER = struct.Struct("<IiiHHIIiiII")
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24bpp BMP."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    h, w, _ = rgb.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+
+    # BGR, bottom-up, padded rows — build with one vectorized copy.
+    out = np.zeros((h, stride), dtype=np.uint8)
+    out[:, :row_bytes] = rgb[::-1, :, ::-1].reshape(h, row_bytes)
+
+    pixel_offset = _FILE_HEADER.size + _INFO_HEADER.size
+    file_size = pixel_offset + h * stride
+    header = _FILE_HEADER.pack(b"BM", file_size, 0, 0, pixel_offset)
+    info = _INFO_HEADER.pack(40, w, h, 1, 24, 0, h * stride, 2835, 2835, 0, 0)
+    return header + info + out.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32bpp BMP into an (h, w, 3) uint8 RGB array."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    _, _, _, _, pixel_offset = _FILE_HEADER.unpack_from(data, 0)
+    (hdr_size, w, h, _planes, bpp, compression, *_rest) = _INFO_HEADER.unpack_from(
+        data, 14
+    )
+    if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (hdr={hdr_size} bpp={bpp} comp={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3
+    raw = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=pixel_offset)
+    rows = raw.reshape(h, stride)[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    rgb = rows[:, :, 2::-1]  # BGR(A) -> RGB
+    if bottom_up:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)

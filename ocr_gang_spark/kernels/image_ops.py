@@ -1,0 +1,248 @@
+"""Oracle-exact image kernels (binarize + projection-profile segmentation).
+
+Each function reproduces a reference C routine to the integer-division
+level; file:line citations point into /root/reference (read-only study
+copy of theolebever/OCR-GANG).  All arrays are NumPy; nothing here
+touches Spark — the Spark pipeline calls these inside Arrow-batched
+UDFs, and the unit tests pin them with hand-enumerable micro-cases.
+
+Reference pixel encoding: the C code works on an SDL surface mutated in
+place — binarized pixels are 0 (ink) or 255 (background), all-white
+rows/columns are repainted (128,0,0) as in-band "separator" markers and
+inserted spaces are painted (128,128,0).  Here the same information is
+carried out-of-band as boolean marker masks, which is semantically
+identical because every reference scan distinguishes only
+red==0 / red==255 / red==128 at the probed pixel.
+
+BW_THRESHOLD = 180 (reference source/common.h:24)
+IMAGE_SIZE   = 28  (reference source/common.h:25)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+BW_THRESHOLD = 180
+IMAGE_SIZE = 28
+INITIAL_CHAR_SIZE = 20  # seed of the running-average fold, segmentation.c:69
+
+
+def binarize(rgb: np.ndarray) -> np.ndarray:
+    """K1 — grayscale + fixed-threshold binarization.
+
+    Reference ``black_and_white`` (source/process/process.c:9-28):
+    ``average = (r + g + b) / 3`` with C **integer division** (the
+    Uint8 operands promote to int; the truncating quotient is then
+    stored in a float), pixel -> 255 if ``average >= 180`` else 0.
+
+    Input (h, w, 3) uint8 RGB; output (h, w) uint8 in {0, 255}.
+    """
+    gray = (
+        rgb[:, :, 0].astype(np.int32)
+        + rgb[:, :, 1].astype(np.int32)
+        + rgb[:, :, 2].astype(np.int32)
+    ) // 3
+    return np.where(gray >= BW_THRESHOLD, 255, 0).astype(np.uint8)
+
+
+def row_marker_mask(bw: np.ndarray) -> np.ndarray:
+    """G1 — mark all-white rows (line separators).
+
+    Reference ``DrawRedLines`` (source/segmentation/segmentation.c:9-33):
+    a row is repainted as a separator iff **no** pixel in it has red==0.
+    After binarization pixels are {0, 255}, so marker rows are exactly
+    the rows containing no ink.  Returns bool (h,) — True = separator.
+    """
+    return ~np.any(bw == 0, axis=1)
+
+
+def col_marker_mask(bloc: np.ndarray) -> np.ndarray:
+    """G4 — mark all-white columns within a line bloc.
+
+    Reference ``DrawLinesUp`` (segmentation.c:188-211), the transpose of
+    G1.  Returns bool (w,) — True = separator column.
+    """
+    return ~np.any(bloc == 0, axis=0)
+
+
+def runs_of_nonmarker(marker: np.ndarray) -> List[Tuple[int, int]]:
+    """G2 — maximal runs of non-marker positions, as [start, end) pairs.
+
+    Reference ``CountBlocs`` (segmentation.c:35-63) scans column x=0
+    top-down: a run starts at a pixel with red==0 or 255 (non-marker)
+    and ends at the first red==128 position or the image edge (the C
+    loop reads one pixel past the end there — benign; semantics are
+    "run ends at the edge").  ``DivideIntoBlocs`` (segmentation.c:108-131)
+    extracts exactly these [y_start, y) extents.
+    """
+    m = np.asarray(marker, dtype=bool)
+    if m.size == 0:
+        return []
+    nonm = ~m
+    diff = np.diff(nonm.astype(np.int8))
+    starts = list(np.flatnonzero(diff == 1) + 1)
+    ends = list(np.flatnonzero(diff == -1) + 1)
+    if nonm[0]:
+        starts.insert(0, 0)
+    if nonm[-1]:
+        ends.append(m.size)
+    return list(zip(starts, ends))
+
+
+def size_of_char(col_marker: np.ndarray) -> int:
+    """G5 — order-dependent exponential-decay mean char width.
+
+    Reference ``SizeOfChar`` (segmentation.c:65-95): fold over the char
+    runs of the bloc, ``charSize = (charSize + run_width) / 2`` with C
+    integer division (both operands non-negative => floor), seeded at 20.
+    """
+    char_size = INITIAL_CHAR_SIZE
+    for s, e in runs_of_nonmarker(col_marker):
+        char_size = (char_size + (e - s)) // 2
+    return char_size
+
+
+def char_items(col_marker: np.ndarray) -> List[Tuple[str, int, int]]:
+    """G6+G7 — ordered char/space items of one line bloc.
+
+    Faithful two-phase simulation of the reference:
+
+    Phase 1, ``CountChars`` (segmentation.c:213-259): scan columns with a
+    gap counter that (a) increments at the top of every iteration,
+    (b) resets to 0 at each char-run start (which also re-arms the
+    one-space-per-gap latch), and (c) when the counter is **exactly
+    equal** to ``spaceSize = (SizeOfChar/4)*3`` (integer divisions) after
+    at least one char run, paints the current column yellow and counts a
+    space.  Consequences pinned by tests: a gap of G white columns
+    between runs inserts a space iff G >= spaceSize + 1; the gap before
+    the first run never inserts one; a trailing gap can.
+
+    Phase 2, extraction inside ``DivideIntoBlocs`` (segmentation.c:139-180):
+    re-scan the bloc; yellow column -> space item, non-marker run ->
+    glyph item [start, end); the separator column that terminated a run
+    is skipped without inspection.  If phase 1 counted more items than
+    phase 2 emits (possible only in the degenerate spaceSize==0 edge),
+    the reference leaves the tail slots NULL (calloc) which downstream
+    reads as spaces — reproduced here by padding.
+
+    Returns a list of ("glyph", start, end) / ("space", col, col) items
+    in document order.
+    """
+    m = np.asarray(col_marker, dtype=bool)
+    w = m.size
+    space_size = (size_of_char(m) // 4) * 3
+
+    # --- phase 1: count + yellow-paint simulation ---
+    yellow: set[int] = set()
+    count = 0
+    cur = 0
+    insertspace = True
+    i = 0
+    while i < w:
+        cur += 1
+        if not m[i]:
+            insertspace = True
+            cur = 0
+            e = i
+            while True:
+                e += 1
+                if e >= w or m[e]:
+                    break
+            count += 1
+            i = e
+        if insertspace and count != 0 and cur == space_size:
+            insertspace = False
+            if i < w:  # the C code would paint (and count) even at i==w; see pad below
+                yellow.add(i)
+            count += 1
+        i += 1
+
+    # --- phase 2: extraction scan ---
+    items: List[Tuple[str, int, int]] = []
+    x = 0
+    while x < w and len(items) < count:
+        if x in yellow:
+            items.append(("space", x, x))
+            x += 1
+            continue
+        if not m[x]:
+            s = x
+            while x < w and not m[x]:
+                x += 1
+            items.append(("glyph", s, x))
+            x += 1  # skip the terminating separator column (never inspected)
+            continue
+        x += 1
+    while len(items) < count:  # calloc'd NULL tail slots == spaces
+        items.append(("space", -1, -1))
+    return items
+
+
+def resize1(mat: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """K3 — nearest-neighbor resample with floor source indexing.
+
+    Reference ``Resize1`` (segmentation.c:261-278):
+    ``res[y*fx+x] = mat[(y*sy/fy)*sx + (x*sx/fx)]`` — C integer division.
+    """
+    sy, sx = mat.shape
+    idx_y = np.arange(fy) * sy // fy
+    idx_x = np.arange(fx) * sx // fx
+    return mat[np.ix_(idx_y, idx_x)]
+
+
+def glyph_to_matrix(crop: np.ndarray) -> Optional[np.ndarray]:
+    """K4+K3 — tight bbox, square pad, resample to 28x28 binary {0,1}.
+
+    Reference ``ImageToMatrix`` (segmentation.c:281-371): ink = pixels
+    with red < 180; no ink -> NULL (space).  Square canvas
+    ``size = max(bw, bh)`` with integer-division offsets
+    ``size/2 - bw/2`` / ``size/2 - bh/2``, then ``Resize1`` to 28x28.
+
+    ``crop`` is the glyph crop (full bloc height x run width, values
+    {0, 255}).  The reference first pastes the crop centered on a white
+    square surface (``DivideIntoBlocs`` segmentation.c:165-179) and then
+    re-crops to the tight ink bbox — the paste is lossless (canvas >=
+    crop, offsets >= 0), so the tight-bbox matrix computed directly from
+    the crop is identical; tests pin this equivalence.
+    """
+    ink = crop < BW_THRESHOLD
+    ys, xs = np.nonzero(ink)
+    if ys.size == 0:
+        return None
+    min_y, max_y = int(ys.min()), int(ys.max())
+    min_x, max_x = int(xs.min()), int(xs.max())
+    bw = max_x - min_x + 1
+    bh = max_y - min_y + 1
+    size = bw if bw > bh else bh
+    off_x = size // 2 - bw // 2
+    off_y = size // 2 - bh // 2
+    padded = np.zeros((size, size), dtype=np.int64)
+    padded[off_y : off_y + bh, off_x : off_x + bw] = ink[
+        min_y : max_y + 1, min_x : max_x + 1
+    ]
+    return resize1(padded, IMAGE_SIZE, IMAGE_SIZE)
+
+
+def segment_page(bw: np.ndarray) -> List[List[Optional[np.ndarray]]]:
+    """Full segmentation of a binarized page -> per-line glyph matrices.
+
+    Composition of G1-G8 exactly as ``PerformOCR`` runs them
+    (reference source/ocr/ocr.c:144-169): row markers -> line runs ->
+    per-line column markers -> char/space items -> 28x28 matrices
+    (None = space).  Returns a list of lines, each a list of
+    Optional[(28,28) int matrix].
+    """
+    lines: List[List[Optional[np.ndarray]]] = []
+    for y0, y1 in runs_of_nonmarker(row_marker_mask(bw)):
+        bloc = bw[y0:y1, :]
+        m = col_marker_mask(bloc)
+        line: List[Optional[np.ndarray]] = []
+        for kind, s, e in char_items(m):
+            if kind == "space":
+                line.append(None)
+            else:
+                line.append(glyph_to_matrix(bloc[:, s:e]))
+        lines.append(line)
+    return lines

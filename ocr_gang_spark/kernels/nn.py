@@ -1,0 +1,225 @@
+"""Glyph classifier: Conv3x3(8)->MaxPool2x2->flatten->MLP(1352-64-52).
+
+Batched float64 NumPy implementation of the reference inference path
+(N1-N8 in SURVEY.md §2.4), plus the reference's versioned ASCII weight
+file format.  File:line citations point into /root/reference.
+
+Shapes (reference source/network/cnn.h:8-19, network.h:68):
+  input   (B, 28, 28) float64 in {0.0, 1.0}
+  conv    valid padding 28->26, 8 filters 3x3, hard ReLU (cnn.c:62 —
+          note: *not* the leaky ReLU the MLP hidden layer uses)
+  pool    2x2 stride 2 -> (B, 8, 13, 13)
+  flatten filter-major (f, y, x) C-contiguous -> (B, 1352) (cnn.c:90-98)
+  hidden  leaky ReLU slope 0.01 (tools.c:154-158), 64 units
+  output  52 logits; softmax (max-subtracted, tools.c:165-185); argmax
+          with first-index tie-break (IndexAnswer tools.c:343-355);
+          0-25 -> 'A'-'Z', 26-51 -> 'a'-'z' (RetrieveChar tools.c:357-364)
+"""
+
+from __future__ import annotations
+
+import string
+from dataclasses import dataclass, field
+
+import numpy as np
+from numpy.lib.stride_tricks import sliding_window_view
+
+NUM_FILTERS = 8
+CONV_SIZE = 3
+INPUT_W = 28
+POOL_H = 13
+POOL_W = 13
+FLATTEN_SIZE = NUM_FILTERS * POOL_H * POOL_W  # 1352
+HIDDEN = 64
+OUTPUTS = 52
+
+CLASS_CHARS = np.array(list(string.ascii_uppercase + string.ascii_lowercase))
+
+
+@dataclass
+class OcrWeights:
+    """All inference parameters (Adam state kept only for file round-trip)."""
+
+    filters: np.ndarray  # (8, 3, 3)
+    conv_biases: np.ndarray  # (8,)
+    hidden_w: np.ndarray  # (1352, 64)  row i = weights out of input i
+    hidden_b: np.ndarray  # (64,)
+    output_w: np.ndarray  # (64, 52)    row h = weights out of hidden h
+    output_b: np.ndarray  # (52,)
+    mlp_adam: dict = field(default_factory=dict)
+    cnn_adam: dict = field(default_factory=dict)
+
+
+def cnn_forward(images: np.ndarray, filters: np.ndarray, biases: np.ndarray) -> np.ndarray:
+    """N1-N4 — batched conv+ReLU+maxpool+flatten.
+
+    Same math as the reference ``cnn_forward_infer`` (cnn.c:118-141; the
+    training-path ``cnn_forward`` cnn.c:45-99 computes identical values).
+    """
+    imgs = np.ascontiguousarray(images, dtype=np.float64).reshape(-1, INPUT_W, INPUT_W)
+    win = sliding_window_view(imgs, (CONV_SIZE, CONV_SIZE), axis=(1, 2))  # (B,26,26,3,3)
+    conv = np.einsum("byxij,fij->bfyx", win, filters, optimize=True)
+    conv += biases[None, :, None, None]
+    np.maximum(conv, 0.0, out=conv)  # hard ReLU (cnn.c:62)
+    b = conv.shape[0]
+    pool = conv.reshape(b, NUM_FILTERS, POOL_H, 2, POOL_W, 2).max(axis=(3, 5))
+    return pool.reshape(b, FLATTEN_SIZE)  # (f, y, x) C-order == reference flatten
+
+
+def mlp_forward(flat: np.ndarray, w: OcrWeights) -> np.ndarray:
+    """N5 — hidden leaky-ReLU(0.01) + output logits (dropout off at inference).
+
+    Reference ``forward_pass`` (network.c:204-265) with
+    ``set_training_mode(net, 0)`` as in PerformOCR (ocr.c:132).  The
+    reference's skip-zero-input loop is a pure optimization of the same
+    matmul.  Softmax (applied by the reference) is argmax-invariant and
+    exposed separately via :func:`softmax`.
+    """
+    hidden = flat @ w.hidden_w + w.hidden_b
+    hidden = np.where(hidden > 0.0, hidden, 0.01 * hidden)  # leaky ReLU tools.c:154-158
+    return hidden @ w.output_w + w.output_b
+
+
+def softmax(logits: np.ndarray) -> np.ndarray:
+    """Max-subtracted softmax (reference tools.c:165-185), batched."""
+    z = logits - logits.max(axis=-1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def classify(matrices: np.ndarray, w: OcrWeights) -> np.ndarray:
+    """N7+N6 — batched glyph matrices -> characters.
+
+    (B, 28, 28) or (B, 784) {0,1} -> (B,) unicode chars.  np.argmax
+    keeps the first maximum, matching IndexAnswer's strict-> scan.
+    """
+    flat = cnn_forward(matrices, w.filters, w.conv_biases)
+    logits = mlp_forward(flat, w)
+    return CLASS_CHARS[np.argmax(logits, axis=1)]
+
+
+# ---------------------------------------------------------------------------
+# Weight-file IO — reference versioned ASCII format
+# (save_network/load_network tools.c:252-329, save_cnn/load_cnn tools.c:604-667)
+# ---------------------------------------------------------------------------
+
+NET_MAGIC, NET_VERSION = "OCRNET", 2
+CNN_MAGIC, CNN_VERSION = "OCRCNN", 2
+
+
+def _fmt(arr: np.ndarray) -> str:
+    return "\n".join(f"{v:.17g}" for v in np.asarray(arr, dtype=np.float64).ravel())
+
+
+def save_weights(w: OcrWeights, mlp_path: str, cnn_path: str) -> None:
+    """Serialize in the reference text format ('%.17g' one value per line)."""
+    I, H, O = FLATTEN_SIZE, HIDDEN, OUTPUTS
+    ma = w.mlp_adam
+    zeros = lambda n: np.zeros(n)  # noqa: E731
+    parts = [
+        f"{NET_MAGIC} {NET_VERSION} {I} {H} {O}",
+        f"{ma.get('t', 0)} {ma.get('b1t', 1.0):.17g} {ma.get('b2t', 1.0):.17g}",
+        _fmt(w.hidden_b),
+        _fmt(w.hidden_w),
+        _fmt(w.output_b),
+        _fmt(w.output_w),
+        _fmt(ma.get("m_hb", zeros(H))),
+        _fmt(ma.get("v_hb", zeros(H))),
+        _fmt(ma.get("m_hw", zeros(I * H))),
+        _fmt(ma.get("v_hw", zeros(I * H))),
+        _fmt(ma.get("m_ob", zeros(O))),
+        _fmt(ma.get("v_ob", zeros(O))),
+        _fmt(ma.get("m_ow", zeros(H * O))),
+        _fmt(ma.get("v_ow", zeros(H * O))),
+    ]
+    with open(mlp_path, "w") as f:
+        f.write("\n".join(parts) + "\n")
+
+    ca = w.cnn_adam
+    kc = NUM_FILTERS * CONV_SIZE * CONV_SIZE
+    parts = [
+        f"{CNN_MAGIC} {CNN_VERSION} {NUM_FILTERS} {CONV_SIZE}",
+        f"{ca.get('t', 0)} {ca.get('b1t', 1.0):.17g} {ca.get('b2t', 1.0):.17g}",
+        _fmt(w.conv_biases),
+        _fmt(w.filters),
+        _fmt(ca.get("m_b", zeros(NUM_FILTERS))),
+        _fmt(ca.get("v_b", zeros(NUM_FILTERS))),
+        _fmt(ca.get("m_f", zeros(kc))),
+        _fmt(ca.get("v_f", zeros(kc))),
+    ]
+    with open(cnn_path, "w") as f:
+        f.write("\n".join(parts) + "\n")
+
+
+def load_weights(mlp_path: str, cnn_path: str) -> OcrWeights:
+    """Parse the reference text format with full magic/dimension validation."""
+    with open(mlp_path) as f:
+        toks = f.read().split()
+    if toks[0] != NET_MAGIC or int(toks[1]) != NET_VERSION:
+        raise ValueError(f"bad MLP weight file magic/version: {toks[:2]}")
+    I, H, O = int(toks[2]), int(toks[3]), int(toks[4])
+    if (I, H, O) != (FLATTEN_SIZE, HIDDEN, OUTPUTS):
+        raise ValueError(f"incompatible MLP dims {(I, H, O)}")
+    t, b1t, b2t = int(toks[5]), float(toks[6]), float(toks[7])
+    vals = np.array(toks[8:], dtype=np.float64)
+    # weights+biases plus Adam m and v for each => 3x
+    need = 3 * (H + I * H + O + H * O)
+    if vals.size != need:
+        raise ValueError(f"MLP weight file truncated: {vals.size} != {need}")
+    pos = 0
+
+    def take(n: int) -> np.ndarray:
+        nonlocal pos
+        out = vals[pos : pos + n]
+        pos += n
+        return out
+
+    hidden_b = take(H)
+    hidden_w = take(I * H).reshape(I, H)
+    output_b = take(O)
+    output_w = take(H * O).reshape(H, O)
+    mlp_adam = {
+        "t": t, "b1t": b1t, "b2t": b2t,
+        "m_hb": take(H), "v_hb": take(H),
+        "m_hw": take(I * H), "v_hw": take(I * H),
+        "m_ob": take(O), "v_ob": take(O),
+        "m_ow": take(H * O), "v_ow": take(H * O),
+    }
+
+    with open(cnn_path) as f:
+        toks = f.read().split()
+    if toks[0] != CNN_MAGIC or int(toks[1]) != CNN_VERSION:
+        raise ValueError(f"bad CNN weight file magic/version: {toks[:2]}")
+    nf, ks = int(toks[2]), int(toks[3])
+    if (nf, ks) != (NUM_FILTERS, CONV_SIZE):
+        raise ValueError(f"incompatible CNN dims {(nf, ks)}")
+    t, b1t, b2t = int(toks[4]), float(toks[5]), float(toks[6])
+    vals = np.array(toks[7:], dtype=np.float64)
+    kc = NUM_FILTERS * CONV_SIZE * CONV_SIZE
+    # biases + filters + m/v biases + m/v filters
+    need = NUM_FILTERS + kc + 2 * NUM_FILTERS + 2 * kc
+    if vals.size != need:
+        raise ValueError(f"CNN weight file truncated: {vals.size} != {need}")
+    pos = 0
+    conv_biases = take_arr(vals, pos, NUM_FILTERS); pos += NUM_FILTERS
+    filters = take_arr(vals, pos, kc).reshape(NUM_FILTERS, CONV_SIZE, CONV_SIZE); pos += kc
+    cnn_adam = {"t": t, "b1t": b1t, "b2t": b2t}
+    cnn_adam["m_b"] = take_arr(vals, pos, NUM_FILTERS); pos += NUM_FILTERS
+    cnn_adam["v_b"] = take_arr(vals, pos, NUM_FILTERS); pos += NUM_FILTERS
+    cnn_adam["m_f"] = take_arr(vals, pos, kc); pos += kc
+    cnn_adam["v_f"] = take_arr(vals, pos, kc); pos += kc
+
+    return OcrWeights(
+        filters=filters,
+        conv_biases=conv_biases,
+        hidden_w=hidden_w,
+        hidden_b=hidden_b,
+        output_w=output_w,
+        output_b=output_b,
+        mlp_adam=mlp_adam,
+        cnn_adam=cnn_adam,
+    )
+
+
+def take_arr(vals: np.ndarray, pos: int, n: int) -> np.ndarray:
+    return vals[pos : pos + n]
