@@ -1,0 +1,170 @@
+"""The Spark extraction pipeline: documents + media -> extracted spans.
+
+Relational skeleton (all stock DataFrame ops, Catalyst-optimized)
+routes spans by kind and owns ordering/scale; pixels never leave the
+Arrow-batched kernels (SURVEY.md §7.0 "one fused kernel").
+
+Dataflow — the Spark-first re-expression of PerformOCR
+(reference source/ocr/ocr.c:112-175) over a whole corpus:
+
+  documents(doc_id, spans)                        -- Iceberg/parquet scan
+    -> posexplode-style span explode              -- 1 row per span
+    -> kind='text'  : strip_html pandas UDF       -- our pinned spec
+       kind='media' : join media blobs on media_ref (shuffle join — blobs
+                      must NOT be broadcast at scale), repartition by
+                      (media_ref) to spread media-heavy documents, then
+                      mapInPandas fused OCR kernel (decode -> binarize ->
+                      segment -> batched CNN+MLP classify -> assemble)
+    -> union -> groupBy(doc_id) ordered reassembly (array_sort on offset)
+
+Skew note (north_rule): the explode IS the primary skew treatment — a
+document with 200 media spans becomes 200 independent rows hashed
+across the cluster by media_ref; the reassembly shuffle only moves
+small extracted strings.  AQE skew-join handles residual blob-size skew.
+
+Weights ship once per executor via SparkContext.broadcast (S4-S6:
+driver-side parse of the reference-format fixture files).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kernels.bmp import decode_bmp
+from .kernels.html_strip import strip_html
+from .kernels.nn import OcrWeights, load_weights
+from .kernels.ocr import ocr_pages_to_text
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_MLP = os.path.join(_REPO_ROOT, "fixtures", "ocrwb.txt")
+DEFAULT_CNN = os.path.join(_REPO_ROOT, "fixtures", "cnnwb.txt")
+
+OUT_SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
+
+
+def default_weights() -> OcrWeights:
+    return load_weights(DEFAULT_MLP, DEFAULT_CNN)
+
+
+def broadcast_weights(spark: SparkSession, weights: OcrWeights | None = None):
+    return spark.sparkContext.broadcast(weights or default_weights())
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """documents -> one row per span (doc_id, kind, text, media_ref, offset)."""
+    return docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+
+
+def extract_text_spans(spans: DataFrame) -> DataFrame:
+    """kind='text' branch: HTML boilerplate strip (Arrow-batched)."""
+
+    @F.pandas_udf("string")
+    def strip_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([strip_html(t) for t in texts], dtype=object)
+
+    return (
+        spans.where(F.col("kind") == "text")
+        .select(
+            "doc_id",
+            F.lit("text").alias("kind"),
+            strip_udf("text").alias("text"),
+            "media_ref",
+            "offset",
+        )
+    )
+
+
+def extract_media_spans(spans: DataFrame, media: DataFrame, weights_bc) -> DataFrame:
+    """kind='media' branch: resolve blobs, OCR them in Arrow batches.
+
+    The blob join stays a shuffle join on purpose: at 10^12-doc scale the
+    media side is petabytes — broadcasting blobs is never correct.  The
+    repartition by media_ref spreads a media-heavy document's spans
+    across the cluster (explicit skew handling per north_rule).
+    """
+    media_spans = (
+        spans.where(F.col("kind") == "media")
+        .select("doc_id", "media_ref", "offset")
+        .join(media, "media_ref", "left")
+        .repartition(F.col("media_ref"))
+    )
+
+    def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = weights_bc.value
+        for pdf in batches:
+            blobs = pdf["bytes"]
+            idx = [i for i, b in enumerate(blobs) if b is not None]
+            pages = [decode_bmp(bytes(blobs.iloc[i])) for i in idx]
+            texts = ocr_pages_to_text(pages, w) if pages else []
+            out = [None] * len(pdf)
+            for i, t in zip(idx, texts):
+                out[i] = t
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": "media",
+                    "text": pd.Series(out, dtype=object),
+                    "media_ref": pdf["media_ref"],
+                    "offset": pdf["offset"],
+                }
+            )
+
+    out_schema = "doc_id string, kind string, text string, media_ref string, offset int"
+    return media_spans.mapInPandas(ocr_batches, schema=out_schema)
+
+
+def reassemble(extracted: DataFrame) -> DataFrame:
+    """Ordered span reassembly per document (N8's relational analog).
+
+    array_sort on struct(offset first) gives document order (offsets are
+    unique per doc); the final transform restores the input_hint field
+    order (kind, text, media_ref, offset).
+    """
+    sorted_spans = F.array_sort(
+        F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+    )
+    reordered = F.transform(
+        sorted_spans,
+        lambda s: F.struct(
+            s.kind.alias("kind"),
+            s.text.alias("text"),
+            s.media_ref.alias("media_ref"),
+            s.offset.alias("offset"),
+        ),
+    )
+    return extracted.groupBy("doc_id").agg(reordered.alias("spans"))
+
+
+def extract_documents(
+    docs: DataFrame,
+    media: DataFrame,
+    weights_bc=None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Full pipeline: documents + media -> documents with extracted spans."""
+    if weights_bc is None:
+        spark = spark or docs.sparkSession
+        weights_bc = broadcast_weights(spark)
+    spans = explode_spans(docs)
+    text_out = extract_text_spans(spans)
+    media_out = extract_media_spans(spans, media, weights_bc)
+    return reassemble(text_out.unionByName(media_out))
+
+
+def extraction_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-run metrics (lineage side table content): span counts by kind."""
+    return (
+        extracted.select(F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("kind"))
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.length("s.text")).alias("n_chars"),
+        )
+    )

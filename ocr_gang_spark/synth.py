@@ -1,0 +1,196 @@
+"""Deterministic synthetic corpus of interleaved text+media documents.
+
+Generation happens ON THE EXECUTORS (mapInPandas over spark.range), so
+the same code synthesizes 10^3 docs for tests and 10^9+ docs on a real
+cluster without a driver bottleneck; everything derives from
+sha256(seed, doc_id), no external data (driver instruction: synthesize
+the input table deterministically at small scale).
+
+Shapes follow BASELINE.json input_hint / FIXTURES.md §1-2:
+  documents(doc_id string, spans array<struct<kind, text, media_ref, offset>>)
+  media(media_ref string, bytes binary)  -- 24bpp BMP pages
+
+A skewed tier (~``skew_frac`` of docs carrying ``heavy_spans`` media
+spans) exercises the pipeline's skew handling.  Media blob content is a
+pure function of media_ref (atlas.page_for_ref), so the media table can
+be regenerated independently of the documents table and the expected
+OCR text of every blob is known by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .atlas import page_for_ref, random_text
+from .kernels.bmp import encode_bmp
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+    ]
+)
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+    ]
+)
+
+_HTML_TEMPLATES = [
+    "<head><title>{w0}</title></head><div>{body}</div><!-- {w1} -->",
+    "<script>var a='{w0}';</script><p>{body}</p><p>{w1} &amp; {w2}</p>",
+    "<style>.x{{color:red}}</style><h1>{w0}</h1><div>{body}</div>",
+    "<article>{body}<br>{w1} &lt;{w2}&gt;</article>",
+    "<ul><li>{w0}</li><li>{body}</li></ul><template>skip {w1}</template>",
+]
+
+
+def _rng(*key) -> np.random.Generator:
+    digest = hashlib.sha256(":".join(str(k) for k in key).encode()).digest()
+    return np.random.default_rng(int.from_bytes(digest[:8], "little"))
+
+
+def media_ref_for(seed: int, doc_id: str, span_idx: int) -> str:
+    return f"m{seed}-{doc_id}-{span_idx}"
+
+
+def synth_doc_spans(seed: int, doc_id: str, skew_frac: float = 0.01,
+                    media_prob: float = 0.4, max_spans: int = 8,
+                    heavy_spans: tuple = (50, 200)) -> List[dict]:
+    """Pure function: the span list of one document."""
+    rng = _rng("doc", seed, doc_id)
+    if rng.random() < skew_frac:
+        n_spans = int(rng.integers(heavy_spans[0], heavy_spans[1] + 1))
+        kinds = ["media"] * n_spans  # media-heavy skew tier
+    else:
+        n_spans = int(rng.integers(1, max_spans + 1))
+        kinds = ["media" if rng.random() < media_prob else "text" for _ in range(n_spans)]
+    spans = []
+    for i, kind in enumerate(kinds):
+        if kind == "text":
+            trng = _rng("t", seed, doc_id, i)
+            tpl = _HTML_TEMPLATES[int(trng.integers(0, len(_HTML_TEMPLATES)))]
+            words = [random_text(f"w:{seed}:{doc_id}:{i}:{j}", 1, 1, 6) for j in range(3)]
+            body = " ".join(
+                random_text(f"b:{seed}:{doc_id}:{i}:{j}", 1, 2, 7) for j in range(2)
+            )
+            spans.append(
+                {"kind": "text",
+                 "text": tpl.format(w0=words[0], w1=words[1], w2=words[2], body=body),
+                 "media_ref": None, "offset": i}
+            )
+        else:
+            spans.append(
+                {"kind": "media", "text": None,
+                 "media_ref": media_ref_for(seed, doc_id, i), "offset": i}
+            )
+    return spans
+
+
+def synth_documents(spark: SparkSession, n_docs: int, seed: int = 42,
+                    skew_frac: float = 0.01, media_prob: float = 0.4,
+                    max_spans: int = 8, partitions: int | None = None) -> DataFrame:
+    """documents(doc_id, spans) generated on the executors."""
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids = [f"doc-{int(i):08d}" for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "spans": [
+                        synth_doc_spans(seed, d, skew_frac, media_prob, max_spans)
+                        for d in doc_ids
+                    ],
+                }
+            )
+
+    return (
+        spark.range(0, n_docs, numPartitions=partitions)
+        .mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
+    )
+
+
+def synth_media(spark: SparkSession, docs: DataFrame, partitions: int | None = None) -> DataFrame:
+    """media(media_ref, bytes) for every media span of ``docs``.
+
+    Blob bytes are a pure function of media_ref, rendered on the
+    executors.  Repartitioned by media_ref so render work spreads evenly
+    even when one document carries hundreds of media spans.
+    """
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism)
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .repartition(partitions, "media_ref")
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [encode_bmp(page_for_ref(r)[1]) for r in pdf["media_ref"]]
+            yield pd.DataFrame({"media_ref": pdf["media_ref"], "bytes": blobs})
+
+    return refs.mapInPandas(render, schema=MEDIA_SCHEMA)
+
+
+def spans_from_testdata(spark: SparkSession, sf_dir: str, seed: int = 42,
+                        media_per_doc: int = 2) -> DataFrame:
+    """Derive a spans-shaped documents table from the driver-generated
+    ``documents.parquet`` (TESTDATA.md): span 0 wraps the row's text in a
+    deterministic HTML template; ``1 + doc_id % media_per_doc`` media
+    spans follow.  Deterministic given sf_dir — used by entry() and the
+    extraction queries so the flagship runs over the sanctioned testdata.
+    """
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tpl = (
+        "<head><title>t</title></head><div>%s</div>"
+        "<script>var x=1;</script><p>tail &amp; done</p>"
+    )
+    # two-step select: reusing the name doc_id for a differently-typed
+    # column in the same projection trips Spark's self-alias resolution
+    base = raw.select(
+        F.format_string("doc-%08d", F.col("doc_id").cast("long")).alias("doc_id"),
+        (F.col("doc_id").cast("long") % media_per_doc + 1).cast("int").alias("n_media"),
+        "text",
+    )
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.format_string(tpl, F.col("text")).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    media_spans = F.transform(
+        F.sequence(F.lit(1), F.col("n_media")),
+        lambda i: F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.format_string(f"m{seed}-%s-%s", F.col("doc_id"), i.cast("string")).alias(
+                "media_ref"
+            ),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.concat(F.array(text_span), media_spans).alias("spans"),
+    )

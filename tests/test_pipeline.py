@@ -1,0 +1,111 @@
+"""Spark pipeline == NumPy oracle, doc by doc (the BASELINE.json
+span-sequence invariant: equality on (kind, text, media_ref, order))."""
+
+import pytest
+
+from ocr_gang_spark.atlas import page_for_ref
+from ocr_gang_spark.kernels.html_strip import strip_html
+from ocr_gang_spark.pipeline import (
+    broadcast_weights,
+    explode_spans,
+    extract_documents,
+    extraction_metrics,
+)
+from ocr_gang_spark.synth import (
+    synth_doc_spans,
+    synth_documents,
+    synth_media,
+    spans_from_testdata,
+)
+
+SEED = 77
+N_DOCS = 30
+
+
+def oracle_extract(seed: int, doc_id: str, **synth_kw) -> list:
+    """Driver-side oracle: expected extracted span sequence of one doc."""
+    out = []
+    for s in synth_doc_spans(seed, doc_id, **synth_kw):
+        if s["kind"] == "text":
+            text = strip_html(s["text"])
+        else:
+            text = page_for_ref(s["media_ref"])[0]
+        out.append((s["kind"], text, s["media_ref"], s["offset"]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    docs = synth_documents(spark, N_DOCS, seed=SEED, skew_frac=0.1)
+    media = synth_media(spark, docs)
+    return {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in extract_documents(docs, media).collect()
+    }
+
+
+def test_every_doc_matches_oracle(extracted):
+    assert len(extracted) == N_DOCS
+    for i in range(N_DOCS):
+        doc_id = f"doc-{i:08d}"
+        expected = oracle_extract(SEED, doc_id, skew_frac=0.1)
+        assert extracted[doc_id] == expected, f"span mismatch for {doc_id}"
+
+
+def test_offsets_strictly_ordered(extracted):
+    for doc_id, spans in extracted.items():
+        offsets = [s[3] for s in spans]
+        assert offsets == sorted(offsets) and len(set(offsets)) == len(offsets)
+
+
+def test_skewed_docs_present(extracted):
+    # skew_frac=0.1 over 30 docs should have produced at least one
+    # media-heavy doc (>= 50 spans) — the tier the salting design targets
+    assert any(len(s) >= 50 for s in extracted.values())
+
+
+def test_missing_media_ref_yields_null_text(spark):
+    docs = synth_documents(spark, 5, seed=3, skew_frac=0.0, media_prob=1.0)
+    empty_media = spark.createDataFrame([], "media_ref string, bytes binary")
+    rows = extract_documents(docs, empty_media).collect()
+    assert rows
+    for r in rows:
+        assert all(s.text is None for s in r.spans if s.kind == "media")
+
+
+def test_metrics_match_span_counts(spark, extracted):
+    docs = synth_documents(spark, N_DOCS, seed=SEED, skew_frac=0.1)
+    media = synth_media(spark, docs)
+    m = {r.kind: r.n_spans for r in extraction_metrics(
+        extract_documents(docs, media)).collect()}
+    expected_total = sum(len(s) for s in extracted.values())
+    assert sum(m.values()) == expected_total
+
+
+def test_explode_preserves_all_spans(spark):
+    docs = synth_documents(spark, 10, seed=5)
+    n_spans = explode_spans(docs).count()
+    expected = sum(len(synth_doc_spans(5, f"doc-{i:08d}")) for i in range(10))
+    assert n_spans == expected
+
+
+def test_spans_from_testdata_deterministic(spark):
+    sf = "/root/testdata/sf0.001"
+    a = spans_from_testdata(spark, sf).orderBy("doc_id").limit(3).collect()
+    b = spans_from_testdata(spark, sf).orderBy("doc_id").limit(3).collect()
+    assert a == b
+    for r in a:
+        kinds = [s.kind for s in r.spans]
+        assert kinds[0] == "text" and all(k == "media" for k in kinds[1:])
+
+
+def test_extraction_over_testdata_runs(spark):
+    docs = spans_from_testdata(spark, "/root/testdata/sf0.001").limit(8)
+    media = synth_media(spark, docs)
+    out = extract_documents(docs, media, broadcast_weights(spark))
+    rows = out.collect()
+    assert len(rows) == 8
+    for r in rows:
+        text0 = r.spans[0].text
+        assert text0 is not None and "<" not in text0  # boilerplate stripped
+        assert all(s.text for s in r.spans if s.kind == "media")
