@@ -1,0 +1,372 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry re-expresses one operator family from SURVEY.md §2 (or a
+training-data-pipeline operator the 100TB engine needs: dedup,
+similarity search, text analysis) as a Spark DataFrame/SQL query over
+the driver-generated testdata parquet, paired with ANSI-ish SQL that
+DuckDB runs on the same tables for value-level verification.
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+* money/qty aggregates go through exact DECIMAL sums, then one exact
+  cast to DOUBLE (magnitudes < 2^53 so the conversion is lossless);
+  averages divide two exact values with IEEE division — bit-identical
+  in both engines;
+* token hashes use md5 (identical everywhere) reduced to a BIGINT via
+  hex prefix — Spark `conv(substring(md5(t),1,8),16,10)`, DuckDB
+  `('0x'||substr(md5(t),1,8))::BIGINT`;
+* floating-point folds (dot products) are emitted as explicit
+  left-to-right 64-term expression chains in BOTH engines, which makes
+  the doubles bit-identical, no rounding tricks needed;
+* every top-k has a total tie-break order.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# registry: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {}
+
+
+def register(name: str, sql: Optional[str]):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> list:
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+def views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql use)."""
+    for n in TABLES:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+def spark_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scans, filters, aggregations, joins, windows, set ops)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: the reference's only aggregations are projection
+    profiles + counts (SURVEY §2.7); this is the canonical groupBy/agg
+    with partial (map-side) aggregation and decimal-exact sums."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double").alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + top-k with total tie-break; customer side broadcast."""
+    cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double").alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: small dims (nation/region/customer) broadcast explicitly."""
+    li, orders, cust, nation, region = load(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.where(F.col("r_name").isin("ASIA", "EUROPE"))),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double").alias("revenue")
+        )
+    )
+
+
+@register(
+    "pivot_status_matrix",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = load(spark, sf_dir, "lineitem")
+    dec = F.col("l_quantity").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", dec).otherwise(zero))
+        .cast("double").alias("qty_o"),
+        F.sum(F.when(F.col("l_linestatus") == "F", dec).otherwise(zero))
+        .cast("double").alias("qty_f"),
+    )
+
+
+@register(
+    "rollup_region_nation",
+    """
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers
+    FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region = load(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "anti_join_resume",
+    """
+    SELECT o.o_orderstatus, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpoint-resume primitive: left_anti against 'done' keys
+    (SURVEY §2.7 set ops)."""
+    orders, cust = load(spark, sf_dir, "orders", "customer")
+    done = cust.where(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        orders.join(done, orders.o_custkey == done.c_custkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "union_distinct_nations",
+    """
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) t
+    """,
+)
+def union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = load(spark, sf_dir, "customer", "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supp.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag/window — the relational analog of the
+    reference's run-length bloc detection (G2, SURVEY §2.3)."""
+    (events,) = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap > 1800, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "topk_docs_per_lang",
+    """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) t WHERE rn <= 3
+    """,
+)
+def topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "running_user_value",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value
+    FROM events
+    """,
+)
+def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered running aggregate — the reference's order-dependent fold
+    (G5 SizeOfChar) is exactly this shape (SURVEY §2.3)."""
+    (events,) = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+        .alias("running_value"),
+    )
+
+
+@register(
+    "string_label_extract",
+    """
+    SELECT doc_id,
+           regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
+           upper(lang) AS lang_uc,
+           concat_ws('/', lang, source) AS path
+    FROM documents
+    """,
+)
+def string_label_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 analog: label extraction from a path-like column + case coercion."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("source", "src([0-9]+)", 1).alias("src_num"),
+        F.upper("lang").alias("lang_uc"),
+        F.concat_ws("/", "lang", "source").alias("path"),
+    )
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
