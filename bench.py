@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Queries are materialized with a noop-format write (full execution, no
+driver collect).  The flagship extraction also reports docs/sec — the
+BASELINE.json metric.  Session startup and input synthesis are excluded
+from per-query timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
+from ocr_gang_spark.contract import queries as contract_queries  # noqa: E402
+from ocr_gang_spark.pipeline import broadcast_weights, extract_documents  # noqa: E402
+from ocr_gang_spark.session import get_spark  # noqa: E402
+from ocr_gang_spark.synth import synth_documents, synth_media  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "sessionize_events",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash_signatures",
+    "jaccard_candidate_pairs",
+    "embedding_topk_cosine",
+    "token_stats",
+    "ocr_extract_spans",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench", cpus=cpus)
+    spark.range(1000).count()  # JVM warm-up
+
+    qs = contract_queries()
+    timings: dict[str, float] = {}
+
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship synthetic-corpus extraction (docs/sec — the BASELINE metric).
+    # input synthesis is excluded: generate + persist to parquet first.
+    bc = broadcast_weights(spark)
+    tmp = f"/tmp/ocr_gang_bench_{os.getpid()}"
+    docs = synth_documents(spark, n_synth, seed=42, skew_frac=0.01)
+    media = synth_media(spark, docs)
+    docs.write.mode("overwrite").parquet(f"{tmp}/docs")
+    media.write.mode("overwrite").parquet(f"{tmp}/media")
+    docs_p = spark.read.parquet(f"{tmp}/docs")
+    media_p = spark.read.parquet(f"{tmp}/media")
+
+    t0 = time.time()
+    materialize(extract_documents(docs_p, media_p, bc))
+    dt = time.time() - t0
+    timings["extract_synth"] = round(dt, 3)
+    docs_per_sec = round(n_synth / dt, 2)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "synth_docs": n_synth,
+                "extract_docs_per_sec": docs_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""spark-submit entry point: resumable extraction job.
+
+Deploy (north_rule: spark-submit --py-files on a multi-executor cluster):
+
+    scripts/submit.sh --mode synth --n-docs 5000 \
+        --output /tmp/out --checkpoint /tmp/cp --n-parts 64
+
+Modes:
+  synth     generate the corpus on the executors (deterministic, --seed)
+  testdata  derive spans from $SF_DIR/documents.parquet (--sf-dir)
+  parquet   read pre-generated --input-docs/--input-media parquet
+
+Prints one JSON line with wall time + docs/sec (the BASELINE metric)
+and the per-partition lineage rows appended to the checkpoint table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
+# when run directly (not via spark-submit --py-files), use the repo checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def build_session(cpus: int | None) -> SparkSession:
+    """Under spark-submit the master/conf come from the CLI; standalone we
+    fall back to the tuned local builder."""
+    if os.environ.get("SPARK_SUBMIT_RUNNING") or "spark.master" in os.environ:
+        return SparkSession.builder.getOrCreate()
+    from ocr_gang_spark.session import get_spark
+
+    return get_spark("extract_job", cpus=cpus)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", choices=["synth", "testdata", "parquet"], default="synth")
+    p.add_argument("--n-docs", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--skew-frac", type=float, default=0.01)
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--input-docs")
+    p.add_argument("--input-media")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--n-parts", type=int, default=64)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--weights-mlp", default=None)
+    p.add_argument("--weights-cnn", default=None)
+    args = p.parse_args()
+
+    spark = build_session(args.cpus)
+
+    from ocr_gang_spark.checkpoint import run_extraction
+    from ocr_gang_spark.kernels.nn import load_weights
+    from ocr_gang_spark.pipeline import DEFAULT_CNN, DEFAULT_MLP
+    from ocr_gang_spark.synth import spans_from_testdata, synth_documents, synth_media
+
+    weights = load_weights(
+        args.weights_mlp or DEFAULT_MLP, args.weights_cnn or DEFAULT_CNN
+    )
+    weights_bc = spark.sparkContext.broadcast(weights)
+
+    if args.mode == "synth":
+        docs = synth_documents(spark, args.n_docs, seed=args.seed, skew_frac=args.skew_frac)
+        media = synth_media(spark, docs)
+    elif args.mode == "testdata":
+        docs = spans_from_testdata(spark, args.sf_dir, seed=args.seed)
+        media = synth_media(spark, docs)
+    else:
+        docs = spark.read.parquet(args.input_docs)
+        media = spark.read.parquet(args.input_media)
+
+    t0 = time.time()
+    result = run_extraction(
+        spark, docs, media, args.output, args.checkpoint,
+        n_parts=args.n_parts, run_id=args.run_id, weights_bc=weights_bc,
+    )
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "run_id": result.run_id,
+                "mode": args.mode,
+                "n_parts_processed": result.n_parts_processed,
+                "n_docs": result.n_docs,
+                "wall_sec": round(wall, 3),
+                "docs_per_sec": round(result.n_docs / wall, 2) if wall > 0 else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,12 +39,11 @@ def binarize(rgb: np.ndarray) -> np.ndarray:
 
     Input (h, w, 3) uint8 RGB; output (h, w) uint8 in {0, 255}.
     """
-    gray = (
-        rgb[:, :, 0].astype(np.int32)
-        + rgb[:, :, 1].astype(np.int32)
-        + rgb[:, :, 2].astype(np.int32)
-    ) // 3
-    return np.where(gray >= BW_THRESHOLD, 255, 0).astype(np.uint8)
+    # exact rewrite of the C semantics with minimal memory traffic:
+    # (r+g+b)/3 >= 180 (truncating int division, non-negative operands)
+    # <=> r+g+b >= 540; the channel sum fits uint16 (max 765)
+    s = rgb.sum(axis=2, dtype=np.uint16)
+    return np.where(s >= 3 * BW_THRESHOLD, np.uint8(255), np.uint8(0))
 
 
 def row_marker_mask(bw: np.ndarray) -> np.ndarray:
