@@ -80,14 +80,41 @@ def class_matrices() -> np.ndarray:
     ).astype(np.float64)
 
 
+def noisy_class_matrices(
+    n_per_class: int, seed: int, rate_lo: float = 0.02, rate_hi: float = 0.12
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Augmented training/validation data: per class, ``n_per_class``
+    noisy instances (interior flips at a seeded rate in [lo, hi]),
+    normalized exactly as the pipeline normalizes glyph crops.  Mirrors
+    the reference's flip-noise augmentation (augmentation.c:100-106).
+    Returns (X (N,28,28) float64, y (N,) int labels)."""
+    a = atlas()
+    rng = np.random.default_rng(seed)
+    xs, ys = [], []
+    for cls, ch in enumerate(ALPHABET):
+        base = a[ch]
+        for _ in range(n_per_class):
+            rate = rng.uniform(rate_lo, rate_hi)
+            mask = base.copy()
+            mask[1:-1, 1:-1] ^= rng.random((GLYPH_H - 2, GLYPH_W - 2)) < rate
+            crop = np.where(mask, 0, 255).astype(np.uint8)
+            xs.append(glyph_to_matrix(crop))
+            ys.append(cls)
+    return np.stack(xs).astype(np.float64), np.array(ys)
+
+
 def _rng_for(key: str) -> np.random.Generator:
     digest = hashlib.sha256(key.encode()).digest()
     return np.random.default_rng(int.from_bytes(digest[:8], "little"))
 
 
+NOISE_RATE = 0.06  # fraction of interior glyph cells flipped per instance
+
+
 def render_page(
     text: str,
     key: str = "",
+    noise: bool = True,
 ) -> Tuple[np.ndarray, str]:
     """Render ``text`` (lines of 'A-Za-z' words, single spaces, nonempty
     lines) as an (h, w, 3) uint8 RGB page, returning (page, expected).
@@ -103,6 +130,15 @@ def render_page(
 
     ``key`` seeds cosmetic variation (margins, gaps, ink/bg gray levels)
     that never affects the recognized text.
+
+    ``noise`` flips a seeded ~6% of each glyph instance's *interior*
+    cells (mirroring the reference's flip-noise training augmentation,
+    augmentation.c:100-106).  The border ring is never touched, so
+    segmentation geometry is unchanged; the fixture weights are trained
+    with matching augmentation, so recognition still yields ``expected``
+    exactly (pinned by fuzz tests).  Noise makes every glyph instance's
+    28x28 matrix unique — the realistic-corpus regime where per-glyph NN
+    cost cannot be memoized away.
     """
     rng = _rng_for("page:" + key)
     left = int(rng.integers(1, 9))
@@ -141,8 +177,13 @@ def render_page(
                 if ci:
                     x += char_gap
                 mask = a[ch]
+                if noise:
+                    mask = mask.copy()
+                    flips = rng.random((GLYPH_H - 2, GLYPH_W - 2)) < NOISE_RATE
+                    mask[1:-1, 1:-1] ^= flips
                 block = page[y : y + GLYPH_H, x : x + GLYPH_W]
                 block[mask] = ink
+                block[~mask] = bg
                 x += GLYPH_W
         # Trailing-gap space rule: the last glyph run ends at column x
         # (exclusive); w - x trailing white columns insert one space iff

@@ -94,7 +94,12 @@ def run_extraction(
     out = with_part_id(extracted, n_parts)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out.write.mode("overwrite").partitionBy("part_id").parquet(output_dir)
+    # co-locate each part before the partitioned write: otherwise every
+    # write task emits a file into every part_id dir (tasks x parts small
+    # files — a real cost on object stores and this box alike)
+    out.repartition("part_id").write.mode("overwrite").partitionBy("part_id").parquet(
+        output_dir
+    )
 
     # lineage metrics from the *written* files (validates the write too)
     written = spark.read.parquet(output_dir).where(F.col("part_id").isin(todo_parts))

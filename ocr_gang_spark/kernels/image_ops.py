@@ -224,7 +224,9 @@ def glyph_to_matrix(crop: np.ndarray) -> Optional[np.ndarray]:
     return resize1(padded, IMAGE_SIZE, IMAGE_SIZE)
 
 
-def segment_page(bw: np.ndarray) -> List[List[Optional[np.ndarray]]]:
+def segment_page(
+    bw: np.ndarray, matrix_cache: Optional[dict] = None
+) -> List[List[Optional[np.ndarray]]]:
     """Full segmentation of a binarized page -> per-line glyph matrices.
 
     Composition of G1-G8 exactly as ``PerformOCR`` runs them
@@ -232,6 +234,10 @@ def segment_page(bw: np.ndarray) -> List[List[Optional[np.ndarray]]]:
     per-line column markers -> char/space items -> 28x28 matrices
     (None = space).  Returns a list of lines, each a list of
     Optional[(28,28) int matrix].
+
+    ``matrix_cache`` optionally memoizes glyph_to_matrix by crop content
+    (kernel is pure, so this is semantically transparent); the caller
+    owns eviction.
     """
     lines: List[List[Optional[np.ndarray]]] = []
     for y0, y1 in runs_of_nonmarker(row_marker_mask(bw)):
@@ -241,7 +247,17 @@ def segment_page(bw: np.ndarray) -> List[List[Optional[np.ndarray]]]:
         for kind, s, e in char_items(m):
             if kind == "space":
                 line.append(None)
+                continue
+            crop = bloc[:, s:e]
+            if matrix_cache is None:
+                line.append(glyph_to_matrix(crop))
+                continue
+            key = (crop.shape, crop.tobytes())
+            if key in matrix_cache:
+                line.append(matrix_cache[key])
             else:
-                line.append(glyph_to_matrix(bloc[:, s:e]))
+                mat = glyph_to_matrix(crop)
+                matrix_cache[key] = mat
+                line.append(mat)
         lines.append(line)
     return lines

@@ -12,6 +12,7 @@ single '\\n' (none after the last line).  Zero lines -> empty string.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Iterable, List
 
 import numpy as np
@@ -19,6 +20,25 @@ import numpy as np
 from .bmp import decode_bmp
 from .image_ops import binarize, segment_page
 from .nn import OcrWeights, classify
+
+# Content-addressed memoization (semantically transparent: identical
+# input bytes -> identical output by purity of the kernels).  Real
+# corpora repeat glyph shapes heavily, so the executor-local LRU turns
+# the per-glyph NN cost into a dict lookup for repeats; each Spark
+# python worker is single-threaded, so no locking is needed.
+_CLS_CACHE_MAX = 65536
+_MAT_CACHE_MAX = 16384
+_MAT_CACHE: OrderedDict = OrderedDict()  # (crop shape, bytes) -> matrix|None
+
+
+def _cls_cache(weights: OcrWeights) -> OrderedDict:
+    # cache rides on the weights object (one broadcast value per worker),
+    # so different weights can never cross-contaminate
+    cache = getattr(weights, "_cls_cache", None)
+    if cache is None:
+        cache = OrderedDict()
+        object.__setattr__(weights, "_cls_cache", cache)
+    return cache
 
 
 def extract_text(rgb: np.ndarray, weights: OcrWeights) -> str:
@@ -31,38 +51,62 @@ def extract_text_from_bmp(data: bytes, weights: OcrWeights) -> str:
 
 
 def ocr_pages_to_text(pages: Iterable[np.ndarray], weights: OcrWeights) -> List[str]:
-    """Batched OCR: segmentation per page, classification batched across
-    every glyph of every page in the batch (one conv + two matmuls total).
+    """Batched OCR: segmentation per page; classification deduplicated by
+    matrix content and batched across every novel glyph of the batch
+    (one chunked conv + two matmuls total).
 
-    Per-page segmentation is cheap vectorized NumPy; batching the NN
-    across pages is what keeps the Python-side work per glyph ~zero.
+    Per-page segmentation is cheap vectorized NumPy; dedup + batching
+    keeps the Python-side and NN work per glyph ~zero for repeats.
     """
-    layouts = []  # per page: list of lines, each list of slot indices or None
-    glyphs: List[np.ndarray] = []
+    cache = _cls_cache(weights)
+    layouts = []  # per page: list of lines, each list of (char|None|int key-slot)
+    novel: List[np.ndarray] = []
+    novel_keys: List[bytes] = []
+    pending: dict[bytes, int] = {}
+
+    while len(_MAT_CACHE) > _MAT_CACHE_MAX:
+        _MAT_CACHE.popitem(last=False)
     for rgb in pages:
         bw = binarize(rgb)
-        lines = segment_page(bw)
         layout = []
-        for line in lines:
+        for line in segment_page(bw, matrix_cache=_MAT_CACHE):
             slots = []
             for mat in line:
                 if mat is None:
                     slots.append(None)
-                else:
-                    slots.append(len(glyphs))
-                    glyphs.append(mat)
+                    continue
+                key = mat.tobytes()
+                hit = cache.get(key)
+                if hit is not None:
+                    cache.move_to_end(key)
+                    slots.append(hit)
+                    continue
+                idx = pending.get(key)
+                if idx is None:
+                    idx = len(novel)
+                    pending[key] = idx
+                    novel.append(mat)
+                    novel_keys.append(key)
+                slots.append(idx)
             layout.append(slots)
         layouts.append(layout)
 
-    if glyphs:
-        chars = classify(np.stack(glyphs).astype(np.float64), weights)
+    if novel:
+        chars = classify(np.stack(novel).astype(np.float64), weights)
+        for key, ch in zip(novel_keys, chars):
+            cache[key] = str(ch)
+        while len(cache) > _CLS_CACHE_MAX:
+            cache.popitem(last=False)
     else:
         chars = np.empty(0, dtype="<U1")
 
     out = []
     for layout in layouts:
         text_lines = [
-            "".join(" " if s is None else str(chars[s]) for s in slots)
+            "".join(
+                " " if s is None else (s if isinstance(s, str) else str(chars[s]))
+                for s in slots
+            )
             for slots in layout
         ]
         out.append("\n".join(text_lines))

@@ -11,9 +11,10 @@ He-initialized CNN when no weight file loads, ocr.c:120-123):
   random conv features, never trained.
 * MLP: trained with full-batch Adam (beta1=.9, beta2=.999, eps=1e-8 —
   reference common.h:13-15) + softmax cross-entropy on the 52 canonical
-  atlas matrices until it classifies all of them (these are the only
-  glyph inputs the renderer can ever produce, so train accuracy 1.0 is
-  inference accuracy 1.0).
+  atlas matrices PLUS flip-noise augmented instances (the reference's
+  own augmentation strategy, augmentation.c:100-106; the renderer's
+  noise rate 0.06 sits inside the trained range 0.02-0.12), until both
+  the train set and a held-out noisy validation set classify 100%.
 
 Training is an offline fixture-generating step (scripts/make_fixtures.py),
 not part of the Spark pipeline — per-sample SGD is inherently serial
@@ -24,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..atlas import class_matrices
+from ..atlas import class_matrices, noisy_class_matrices
 from .nn import (
     FLATTEN_SIZE,
     HIDDEN,
@@ -49,14 +50,20 @@ def train_fixture_weights(
     lr: float = 0.005,
     max_iters: int = 4000,
     target_loss: float = 0.02,
+    n_aug: int = 48,
 ) -> OcrWeights:
     rng = np.random.default_rng(seed)
 
     filters = _he_uniform(rng, CONV_SIZE * CONV_SIZE, (NUM_FILTERS, CONV_SIZE, CONV_SIZE))
     conv_biases = np.zeros(NUM_FILTERS)
 
-    x = cnn_forward(class_matrices(), filters, conv_biases)  # (52, 1352)
-    y = np.arange(OUTPUTS)
+    aug_x, aug_y = noisy_class_matrices(n_aug, seed=seed + 1)
+    mats = np.concatenate([class_matrices(), aug_x])
+    y = np.concatenate([np.arange(OUTPUTS), aug_y])
+    x = cnn_forward(mats, filters, conv_biases)  # (N, 1352)
+
+    val_x, val_y = noisy_class_matrices(16, seed=seed + 2)
+    xv = cnn_forward(val_x, filters, conv_biases)
 
     w1 = _he_uniform(rng, FLATTEN_SIZE, (FLATTEN_SIZE, HIDDEN))
     b1 = np.zeros(HIDDEN)
@@ -80,7 +87,11 @@ def train_fixture_weights(
         loss = -np.mean(np.log(probs[np.arange(n), y] + 1e-12))
         acc = float(np.mean(np.argmax(logits, axis=1) == y))
         if acc == 1.0 and loss < target_loss:
-            break
+            hv = xv @ w1 + b1
+            hv = np.where(hv > 0, hv, 0.01 * hv)
+            val_acc = float(np.mean(np.argmax(hv @ w2 + b2, axis=1) == val_y))
+            if val_acc == 1.0:
+                break
 
         dlogits = (probs - onehot) / n  # combined softmax+CE grad (network.c:284-285)
         dw2 = hid.T @ dlogits

@@ -37,9 +37,11 @@ spark.stop()
     subprocess.run([sys.executable, "-c", code], check=True, cwd=ROOT, env=env)
 
 
-def run_level(cpus: int, base: str, n_parts: int) -> dict:
-    out = f"{base}/out{cpus}"
-    cp = f"{base}/cp{cpus}"
+def run_level(cpus: int, base: str, n_parts: int, rep: int = 0) -> dict:
+    # fresh output/checkpoint dirs per repeat — reusing a checkpoint dir
+    # would make the second run a resume no-op
+    out = f"{base}/out{cpus}_{rep}"
+    cp = f"{base}/cp{cpus}_{rep}"
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -86,7 +88,7 @@ def main() -> None:
         runs = []
         for i in range(args.repeats):
             print(f"running local[{cpus}] (run {i + 1}/{args.repeats}) ...", flush=True)
-            r = run_level(cpus, args.base, args.n_parts)
+            r = run_level(cpus, args.base, args.n_parts, rep=i)
             print(json.dumps(r), flush=True)
             runs.append(r)
         runs.sort(key=lambda r: r["docs_per_sec"])

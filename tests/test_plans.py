@@ -1,0 +1,76 @@
+"""Physical-plan guards: the optimizations the 100TB design depends on
+must be visible in the plan, or a refactor silently regresses them.
+
+Checks .explain(formatted/simple) output for: parquet filter pushdown +
+column pruning, broadcast of small dims, SHUFFLE_HASH (never sort) for
+blob joins, and explicit parallelism of the CPU-bound OCR stage.
+"""
+
+import pytest
+
+from ocr_gang_spark.pipeline import (
+    broadcast_weights,
+    explode_spans,
+    extract_media_spans,
+)
+from ocr_gang_spark.queries import q1_pricing_summary, q3_top_orders
+from ocr_gang_spark.synth import synth_documents, synth_media
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of(q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 11-column table scans only the 6 needed columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read_schema
+    for col in ("l_partkey", "l_suppkey", "l_tax", "l_linenumber"):
+        assert col not in read_schema
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    plan = plan_of(q3_top_orders(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_media_join_is_shuffle_hash_not_sort_merge(spark):
+    """Sorting blob-sized rows is a scale hazard — pin the join strategy."""
+    docs = synth_documents(spark, 8, seed=1)
+    media = synth_media(spark, docs)
+    df = extract_media_spans(explode_spans(docs), media, broadcast_weights(spark))
+    plan = plan_of(df, mode="simple")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # blobs are never broadcast
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_media_branch_has_explicit_parallelism(spark):
+    """The CPU-bound OCR stage must not be at the mercy of AQE's
+    byte-based coalescing: both join inputs carry an explicit
+    repartitioning on media_ref."""
+    docs = synth_documents(spark, 8, seed=1)
+    media = synth_media(spark, docs)
+    df = extract_media_spans(explode_spans(docs), media, broadcast_weights(spark))
+    plan = plan_of(df, mode="formatted")
+    assert plan.count("REPARTITION_BY_NUM") >= 2 or plan.count("hashpartitioning(media_ref") >= 2
+
+
+def test_extraction_metrics_partial_aggregation(spark):
+    """groupBy must show a map-side partial aggregate (HashAggregate
+    appears above and below the exchange)."""
+    from ocr_gang_spark.queries import load
+    from pyspark.sql import functions as F
+
+    (li,) = load(spark, SF, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = plan_of(df, mode="simple")
+    assert plan.count("HashAggregate") >= 2
