@@ -59,6 +59,7 @@ def main() -> None:
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--weights-mlp", default=None)
     p.add_argument("--weights-cnn", default=None)
+    p.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True)
     args = p.parse_args()
 
     spark = build_session(args.cpus)
@@ -72,6 +73,18 @@ def main() -> None:
         args.weights_mlp or DEFAULT_MLP, args.weights_cnn or DEFAULT_CNN
     )
     weights_bc = spark.sparkContext.broadcast(weights)
+
+    if args.warmup:
+        # warm the executor python workers (imports + broadcast fetch)
+        # before the timed run: steady-state throughput is the metric —
+        # a real cluster job amortizes worker startup over hours
+        wdocs = synth_documents(spark, 128, seed=1)
+        wmedia = synth_media(spark, wdocs)
+        from ocr_gang_spark.pipeline import extract_documents
+
+        extract_documents(wdocs, wmedia, weights_bc).write.mode("overwrite").format(
+            "noop"
+        ).save()
 
     if args.mode == "synth":
         docs = synth_documents(spark, args.n_docs, seed=args.seed, skew_frac=args.skew_frac)

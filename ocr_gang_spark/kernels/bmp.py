@@ -17,6 +17,7 @@ BMP layout (Windows BITMAPINFOHEADER, BI_RGB):
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -42,6 +43,24 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     header = _FILE_HEADER.pack(b"BM", file_size, 0, 0, pixel_offset)
     info = _INFO_HEADER.pack(40, w, h, 1, 24, 0, h * stride, 2835, 2835, 0, 0)
     return header + info + out.tobytes()
+
+
+def encode_media_blob(rgb: np.ndarray) -> bytes:
+    """zlib-wrapped BMP — the synth corpus blob format.  Page bitmaps
+    are mostly background and compress ~20x, which cuts blob shuffle
+    bytes accordingly; media_ref blobs are opaque to the pipeline, which
+    sniffs the format on decode."""
+    return zlib.compress(encode_bmp(rgb), level=1)
+
+
+def decode_media_blob(data: bytes) -> np.ndarray:
+    """Decode a media blob: raw BMP ('BM' magic) or zlib-wrapped BMP
+    (0x78 first byte).  Raises ValueError on anything else."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:1] == b"\x78":
+        return decode_bmp(zlib.decompress(data))
+    raise ValueError("unknown media blob format")
 
 
 def decode_bmp(data: bytes) -> np.ndarray:

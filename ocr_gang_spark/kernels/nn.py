@@ -90,6 +90,68 @@ def cnn_forward(images: np.ndarray, filters: np.ndarray, biases: np.ndarray) -> 
     return out
 
 
+def _conv_lut(filters: np.ndarray, biases: np.ndarray) -> np.ndarray:
+    """(512, 8) lookup table: ReLU(bias + 3x3 dot) for every possible
+    binary 3x3 neighborhood pattern.
+
+    Glyph matrices are binary {0,1} (ImageToMatrix semantics), so the
+    conv reduces to indexing this table by the 9-bit neighborhood
+    pattern.  Accumulation order matches the C source exactly
+    (bias + t00 + t01 + ... + t22, cnn.c:58-61; a zero term adds +0.0
+    which is an IEEE no-op), so LUT values are bit-identical to the
+    dense float64 conv — pinned by tests.
+    """
+    lut = np.empty((512, NUM_FILTERS), dtype=np.float64)
+    for p in range(512):
+        for f in range(NUM_FILTERS):
+            s = biases[f]
+            k = 0
+            for i in range(CONV_SIZE):
+                for j in range(CONV_SIZE):
+                    if (p >> k) & 1:
+                        s = s + filters[f, i, j]
+                    k += 1
+            lut[p, f] = s if s > 0.0 else 0.0
+    return lut
+
+
+def conv_lut_for(w: OcrWeights) -> np.ndarray:
+    lut = getattr(w, "_conv_lut_cache", None)
+    if lut is None:
+        lut = _conv_lut(w.filters, w.conv_biases)
+        w._conv_lut_cache = lut
+    return lut
+
+
+def cnn_forward_binary(matrices: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Fast path of N1-N4 for binary inputs: 9 shifted uint16 adds build
+    the per-position neighborhood pattern, one LUT gather replaces the
+    float64 conv, pooling maxes the gathered (already-ReLU'd) values.
+    Bit-identical to :func:`cnn_forward` on {0,1} inputs (tests assert
+    np.array_equal); ~10x less memory traffic, which is what lets the
+    kernel scale across 32 concurrent executor threads on a
+    bandwidth-limited box.
+    """
+    m = (np.asarray(matrices).reshape(-1, INPUT_W, INPUT_W) != 0).astype(np.uint16)
+    n = m.shape[0]
+    cw = INPUT_W - CONV_SIZE + 1  # 26
+    out = np.empty((n, FLATTEN_SIZE), dtype=np.float64)
+    for s in range(0, n, 64):
+        chunk = m[s : s + 64]
+        b = chunk.shape[0]
+        pat = np.zeros((b, cw, cw), dtype=np.uint16)
+        k = 0
+        for i in range(CONV_SIZE):
+            for j in range(CONV_SIZE):
+                pat += chunk[:, i : i + cw, j : j + cw] << k
+                k += 1
+        p4 = pat.reshape(b, POOL_H, 2, POOL_W, 2)
+        vals = lut[p4]  # (b, 13, 2, 13, 2, 8)
+        pool = vals.max(axis=(2, 4))  # (b, 13, 13, 8)
+        out[s : s + b] = pool.transpose(0, 3, 1, 2).reshape(b, FLATTEN_SIZE)
+    return out
+
+
 def mlp_forward(flat: np.ndarray, w: OcrWeights) -> np.ndarray:
     """N5 — hidden leaky-ReLU(0.01) + output logits (dropout off at inference).
 
@@ -116,8 +178,10 @@ def classify(matrices: np.ndarray, w: OcrWeights) -> np.ndarray:
 
     (B, 28, 28) or (B, 784) {0,1} -> (B,) unicode chars.  np.argmax
     keeps the first maximum, matching IndexAnswer's strict-> scan.
+    Uses the binary LUT conv (bit-identical to the dense conv on the
+    {0,1} inputs ImageToMatrix produces).
     """
-    flat = cnn_forward(matrices, w.filters, w.conv_biases)
+    flat = cnn_forward_binary(matrices, conv_lut_for(w))
     logits = mlp_forward(flat, w)
     return CLASS_CHARS[np.argmax(logits, axis=1)]
 

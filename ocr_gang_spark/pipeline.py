@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .kernels.bmp import decode_bmp
+from .kernels.bmp import decode_media_blob
 from .kernels.html_strip import strip_html
 from .kernels.nn import OcrWeights, load_weights
 from .kernels.ocr import ocr_pages_to_text
@@ -116,7 +116,7 @@ def extract_media_spans(spans: DataFrame, media: DataFrame, weights_bc) -> DataF
         for pdf in batches:
             blobs = pdf["bytes"]
             idx = [i for i, b in enumerate(blobs) if b is not None]
-            pages = [decode_bmp(bytes(blobs.iloc[i])) for i in idx]
+            pages = [decode_media_blob(bytes(blobs.iloc[i])) for i in idx]
             texts = ocr_pages_to_text(pages, w) if pages else []
             out = [None] * len(pdf)
             for i, t in zip(idx, texts):

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .atlas import page_for_ref, random_text
-from .kernels.bmp import encode_bmp
+from .kernels.bmp import encode_media_blob
 
 SPAN_STRUCT = T.StructType(
     [
@@ -147,7 +147,7 @@ def synth_media(spark: SparkSession, docs: DataFrame, partitions: int | None = N
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = [encode_bmp(page_for_ref(r)[1]) for r in pdf["media_ref"]]
+            blobs = [encode_media_blob(page_for_ref(r)[1]) for r in pdf["media_ref"]]
             yield pd.DataFrame({"media_ref": pdf["media_ref"], "bytes": blobs})
 
     return refs.mapInPandas(render, schema=MEDIA_SCHEMA)

@@ -27,3 +27,17 @@ def test_decodes_32bpp():
     info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 0, 4, 0, 0, 0, 0)
     data = header + info + bytes([1, 2, 3, 255])
     assert decode_bmp(data).tolist() == [[[3, 2, 1]]]
+
+
+def test_media_blob_roundtrip_and_sniff():
+    from ocr_gang_spark.kernels.bmp import decode_media_blob, encode_media_blob
+
+    from ocr_gang_spark.atlas import render_page
+
+    img = render_page("Hello World", key="blob")[0]
+    z = encode_media_blob(img)
+    assert len(z) < len(encode_bmp(img)) / 5  # page bitmaps compress well
+    assert np.array_equal(decode_media_blob(z), img)
+    assert np.array_equal(decode_media_blob(encode_bmp(img)), img)  # raw passthrough
+    with pytest.raises(ValueError):
+        decode_media_blob(b"\x00\x01\x02")

@@ -123,3 +123,18 @@ def test_weight_file_roundtrip(tmp_path):
         assert False, "should reject incompatible dims"
     except ValueError:
         pass
+
+
+def test_lut_conv_bit_identical_to_dense():
+    """The binary-input LUT conv must equal the dense float64 conv to
+    the last bit (same accumulation order, +0.0 terms are IEEE no-ops)."""
+    from ocr_gang_spark.kernels.nn import cnn_forward_binary, _conv_lut
+
+    rng = np.random.default_rng(21)
+    filters = rng.normal(size=(8, 3, 3))
+    biases = rng.normal(size=8)
+    imgs = (rng.random((40, 28, 28)) < 0.4).astype(np.float64)
+    dense = cnn_forward(imgs, filters, biases)
+    lut = _conv_lut(filters, biases)
+    fast = cnn_forward_binary(imgs, lut)
+    assert np.array_equal(dense, fast)

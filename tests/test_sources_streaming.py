@@ -1,0 +1,63 @@
+"""S2/S3 binaryFile training-dir scan + Structured Streaming parity."""
+
+import numpy as np
+import pytest
+
+from ocr_gang_spark.kernels.nn import load_weights, classify
+from ocr_gang_spark.pipeline import DEFAULT_CNN, DEFAULT_MLP
+from ocr_gang_spark.sources import load_training_set, write_glyph_fixture_dir
+from ocr_gang_spark.streaming import (
+    windowed_event_counts_batch,
+    windowed_event_counts_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_training_dir_scan_labels_and_classification(spark, tmp_path):
+    base = str(tmp_path / "glyphs")
+    write_glyph_fixture_dir(base, per_class=3)
+    ds = load_training_set(spark, base)
+    rows = ds.collect()
+    assert len(rows) == 52 * 3
+    labels = {r.label for r in rows}
+    assert len(labels) == 52
+
+    # the normalized pixels classify back to the filename label with the
+    # committed fixture weights (S2 pipeline end-to-end)
+    w = load_weights(DEFAULT_MLP, DEFAULT_CNN)
+    mats = np.array([r.pixels for r in rows], dtype=np.float64).reshape(-1, 28, 28)
+    preds = classify(mats, w)
+    acc = float(np.mean(preds == np.array([r.label for r in rows])))
+    assert acc == 1.0
+
+
+def test_training_dir_case_coercion(spark, tmp_path):
+    # files in maj/ get uppercase labels regardless of filename case
+    # (reference tools.c:562-564)
+    base = str(tmp_path / "glyphs2")
+    write_glyph_fixture_dir(base, per_class=1)
+    ds = load_training_set(spark, base)
+    for r in ds.collect():
+        if "/maj/" in r.path:
+            assert r.label.isupper()
+        else:
+            assert r.label.islower()
+
+
+def test_empty_training_dir_raises(spark, tmp_path):
+    base = str(tmp_path / "empty")
+    (tmp_path / "empty" / "maj").mkdir(parents=True)
+    (tmp_path / "empty" / "min").mkdir(parents=True)
+    with pytest.raises(Exception):
+        load_training_set(spark, base)
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    got = windowed_event_counts_stream(
+        spark, SF, checkpoint=str(tmp_path / "cp"), out_table="t_stream_counts"
+    )
+    expected = windowed_event_counts_batch(spark, SF)
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expected.collect()}
+    assert g == e and len(g) > 0
