@@ -217,7 +217,9 @@ def glyph_to_matrix(crop: np.ndarray) -> Optional[np.ndarray]:
     size = bw if bw > bh else bh
     off_x = size // 2 - bw // 2
     off_y = size // 2 - bh // 2
-    padded = np.zeros((size, size), dtype=np.int64)
+    # uint8 {0,1}: 8x less memory traffic than int64 and 8x smaller
+    # content-address keys; the classifier converts to float64 itself
+    padded = np.zeros((size, size), dtype=np.uint8)
     padded[off_y : off_y + bh, off_x : off_x + bw] = ink[
         min_y : max_y + 1, min_x : max_x + 1
     ]

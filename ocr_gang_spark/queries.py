@@ -358,6 +358,43 @@ def string_label_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_split",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN rn <= (cnt * 4) // 5 THEN 'train' ELSE 'val' END AS split
+    FROM ranked
+    """,
+)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 analog — per-class 80/20 split (reference
+    split_dataset_stratified training.c:64-106: per-class shuffle, first
+    floor(total*4/5) to train).  The shuffle is a deterministic md5
+    ordering so the oracle can verify values (the reference uses
+    srand(time) — non-reproducible by design; SURVEY §7.0)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    wc = W.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id", "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("cnt"),
+        )
+        .select(
+            "doc_id", "lang",
+            F.when(F.col("rn") <= (F.col("cnt") * 4) / 5, "train")
+            .otherwise("val").alias("split"),
+        )
+    )
+
+
+@register(
     "json_props_extract",
     """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -80,10 +80,16 @@ def _perm(a: int, b: int):
     return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
 
 
+def _with_token_hashes(df):
+    """Materialize the md5 token-hash array once per row: Spark does not
+    CSE a subexpression shared across several lambda functions, so every
+    permutation/bit would otherwise re-hash every token."""
+    return df.withColumn("hl", F.transform(F.split(F.col("text"), " "), _tok_hash_spark))
+
+
 def _minhash_cols_spark():
-    hashes = F.transform(F.split(F.col("text"), " "), _tok_hash_spark)
     return [
-        F.array_min(F.transform(hashes, _perm(a, b))).alias(f"mh{k}")
+        F.array_min(F.transform(F.col("hl"), _perm(a, b))).alias(f"mh{k}")
         for k, (a, b) in enumerate(MINHASH_AB)
     ]
 
@@ -105,7 +111,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature per doc, computed in-row (shingle->minhash with
     zero shuffle: array transforms over the token array)."""
     (docs,) = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", *_minhash_cols_spark())
+    return _with_token_hashes(docs).select("doc_id", *_minhash_cols_spark())
 
 
 @register(
@@ -122,7 +128,7 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: docs sharing a band bucket are near-dup candidates;
     the bucket-join replaces the O(n^2) pair scan at scale."""
     (docs,) = load(spark, sf_dir, "documents")
-    sig = docs.select("doc_id", *_minhash_cols_spark())
+    sig = _with_token_hashes(docs).select("doc_id", *_minhash_cols_spark())
     band = F.concat_ws("_", F.col("mh0").cast("string"), F.col("mh1").cast("string"))
     return sig.groupBy(band.alias("band0")).agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
@@ -143,10 +149,9 @@ def _bit_vote(b: int):
 
 
 def _simhash_col_spark():
-    hashes = F.transform(F.split(F.col("text"), " "), _tok_hash_spark)
     total = F.lit(0).cast("bigint")
     for b in range(SIMHASH_BITS):
-        bit_sum = F.aggregate(hashes, F.lit(0).cast("bigint"), _bit_vote(b))
+        bit_sum = F.aggregate(F.col("hl"), F.lit(0).cast("bigint"), _bit_vote(b))
         total = total + F.when(bit_sum > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
     return total.alias("simhash16")
 
@@ -172,7 +177,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per doc, in-row (no explode/shuffle): per bit, the
     sign of the +-1 vote sum over token hashes."""
     (docs,) = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", _simhash_col_spark())
+    return _with_token_hashes(docs).select("doc_id", _simhash_col_spark())
 
 
 # ---------------------------------------------------------------------------
