@@ -91,7 +91,17 @@ def run_extraction(
         return RunResult(run_id, 0, 0, int((time.time() - t0) * 1000))
 
     extracted = extract_documents(remaining.drop("part_id"), media, weights_bc)
-    out = with_part_id(extracted, n_parts)
+    # per-doc span stats become plain columns so the lineage pass can
+    # read 3 small columns instead of re-exploding the spans arrays
+    out = with_part_id(extracted, n_parts).select(
+        "*",
+        F.size("spans").alias("n_spans"),
+        F.aggregate(
+            F.transform("spans", lambda s: F.coalesce(F.length(s.text), F.lit(0))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars"),
+    )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     # co-locate each part before the partitioned write: otherwise every
@@ -101,17 +111,17 @@ def run_extraction(
         output_dir
     )
 
-    # lineage metrics from the *written* files (validates the write too)
+    # lineage metrics from the *written* files (validates the write too);
+    # column pruning means this scans only (part_id, n_spans, n_chars)
     written = spark.read.parquet(output_dir).where(F.col("part_id").isin(todo_parts))
     wall_ms = int((time.time() - t0) * 1000)
-    metrics = (
-        written.select("part_id", F.explode("spans").alias("s"))
-        .groupBy("part_id")
+    metrics_rows = (
+        written.groupBy("part_id")
         .agg(
-            F.count("*").alias("n_spans_out"),
-            F.sum(F.length("s.text")).alias("n_chars_out"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans").alias("n_spans_out"),
+            F.sum("n_chars").alias("n_chars_out"),
         )
-        .join(written.groupBy("part_id").agg(F.count("*").alias("n_docs")), "part_id")
         .withColumn("wall_ms", F.lit(wall_ms))
         .withColumn("status", F.lit("done"))
         .withColumn("run_id", F.lit(run_id))
@@ -119,10 +129,12 @@ def run_extraction(
             "part_id", "n_docs", "n_spans_out", "n_chars_out",
             "wall_ms", "status", "run_id",
         )
+    ).collect()
+    spark.createDataFrame(metrics_rows, CHECKPOINT_SCHEMA).write.mode("append").parquet(
+        checkpoint_dir
     )
-    metrics.write.mode("append").parquet(checkpoint_dir)
 
-    n_docs = written.count()
+    n_docs = sum(r.n_docs for r in metrics_rows)
     return RunResult(run_id, len(todo_parts), n_docs, wall_ms)
 
 

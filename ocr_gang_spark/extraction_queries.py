@@ -38,6 +38,47 @@ def ocr_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("segmentation_debug", None)  # rows-only: image kernel
+def segmentation_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 analog — the reference dumps a segmentation overlay bitmap
+    (SDL_SaveBMP 'segmentation.bmp', ocr.c:165); the engine's debug sink
+    is a *table* of line/char boxes per media blob instead."""
+    import pandas as pd
+    from .kernels.bmp import decode_media_blob
+    from .kernels.image_ops import (
+        binarize,
+        char_items,
+        col_marker_mask,
+        row_marker_mask,
+        runs_of_nonmarker,
+    )
+    from .synth import spans_from_testdata
+
+    docs = spans_from_testdata(spark, sf_dir)
+    media = synth_media(spark, docs)
+
+    def boxes(batches):
+        for pdf in batches:
+            out = []
+            for ref, blob in zip(pdf["media_ref"], pdf["bytes"]):
+                bw = binarize(decode_media_blob(bytes(blob)))
+                for li, (y0, y1) in enumerate(runs_of_nonmarker(row_marker_mask(bw))):
+                    items = char_items(col_marker_mask(bw[y0:y1, :]))
+                    out.append(
+                        (ref, li, int(y0), int(y1),
+                         sum(1 for it in items if it[0] == "glyph"),
+                         sum(1 for it in items if it[0] == "space"))
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_ref", "line_idx", "y0", "y1", "n_glyphs", "n_spaces"]
+            )
+
+    return media.mapInPandas(
+        boxes,
+        schema="media_ref string, line_idx int, y0 int, y1 int, n_glyphs int, n_spaces int",
+    )
+
+
 @register(
     "html_strip_identity",
     # oracle: the testdata corpus text is already boilerplate-free,

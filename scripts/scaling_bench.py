@@ -38,10 +38,14 @@ spark.stop()
 
 
 def run_level(cpus: int, base: str, n_parts: int, rep: int = 0) -> dict:
-    # fresh output/checkpoint dirs per repeat — reusing a checkpoint dir
-    # would make the second run a resume no-op
+    # fresh output/checkpoint dirs per repeat — a leftover checkpoint dir
+    # would make the run a resume no-op
+    import shutil
+
     out = f"{base}/out{cpus}_{rep}"
     cp = f"{base}/cp{cpus}_{rep}"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -87,17 +91,18 @@ def main() -> None:
         print(f"prep: {args.n_docs} docs -> {args.base}", flush=True)
         prep_input(args.n_docs, args.seed, args.base)
 
-    results = []
-    for cpus in args.levels:
-        # median of N runs — this sandbox is a VM with noisy host-level
-        # contention; single runs mislead
-        runs = []
-        for i in range(args.repeats):
-            print(f"running local[{cpus}] (run {i + 1}/{args.repeats}) ...", flush=True)
+    # INTERLEAVED repeats (4,16,4,16,...) so host-level drift on this
+    # shared VM hits both levels equally; medians per level
+    by_level = {c: [] for c in args.levels}
+    for i in range(args.repeats):
+        for cpus in args.levels:
+            print(f"running local[{cpus}] (round {i + 1}/{args.repeats}) ...", flush=True)
             r = run_level(cpus, args.base, args.n_parts, rep=i)
             print(json.dumps(r), flush=True)
-            runs.append(r)
-        runs.sort(key=lambda r: r["docs_per_sec"])
+            by_level[cpus].append(r)
+    results = []
+    for cpus in args.levels:
+        runs = sorted(by_level[cpus], key=lambda r: r["docs_per_sec"])
         med = runs[len(runs) // 2]
         med["all_docs_per_sec"] = [r["docs_per_sec"] for r in runs]
         results.append(med)
