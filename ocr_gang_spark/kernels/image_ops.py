@@ -179,16 +179,33 @@ def char_items(col_marker: np.ndarray) -> List[Tuple[str, int, int]]:
     return items
 
 
+_RESIZE_IDX_CACHE: dict = {}
+
+
+def _resize_idx(sy: int, sx: int, fy: int, fx: int):
+    key = (sy, sx, fy, fx)
+    v = _RESIZE_IDX_CACHE.get(key)
+    if v is None:
+        v = (
+            (np.arange(fy) * sy // fy)[:, None],
+            np.arange(fx) * sx // fx,
+        )
+        if len(_RESIZE_IDX_CACHE) < 4096:
+            _RESIZE_IDX_CACHE[key] = v
+    return v
+
+
 def resize1(mat: np.ndarray, fx: int, fy: int) -> np.ndarray:
     """K3 — nearest-neighbor resample with floor source indexing.
 
     Reference ``Resize1`` (segmentation.c:261-278):
     ``res[y*fx+x] = mat[(y*sy/fy)*sx + (x*sx/fx)]`` — C integer division.
+    (Index vectors are memoized by shape: glyph crops repeat a handful of
+    sizes, and this sits on the hot per-glyph path.)
     """
     sy, sx = mat.shape
-    idx_y = np.arange(fy) * sy // fy
-    idx_x = np.arange(fx) * sx // fx
-    return mat[np.ix_(idx_y, idx_x)]
+    idx_y, idx_x = _resize_idx(sy, sx, fy, fx)
+    return mat[idx_y, idx_x]
 
 
 def glyph_to_matrix(crop: np.ndarray) -> Optional[np.ndarray]:
@@ -210,7 +227,8 @@ def glyph_to_matrix(crop: np.ndarray) -> Optional[np.ndarray]:
     ys, xs = np.nonzero(ink)
     if ys.size == 0:
         return None
-    min_y, max_y = int(ys.min()), int(ys.max())
+    # np.nonzero scans row-major, so ys is sorted; xs is not
+    min_y, max_y = int(ys[0]), int(ys[-1])
     min_x, max_x = int(xs.min()), int(xs.max())
     bw = max_x - min_x + 1
     bh = max_y - min_y + 1

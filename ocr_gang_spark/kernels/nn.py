@@ -115,49 +115,73 @@ def _conv_lut(filters: np.ndarray, biases: np.ndarray) -> np.ndarray:
     return lut
 
 
+def _conv_lut16(lut512: np.ndarray) -> np.ndarray:
+    """(65536, 8) fused conv+pool LUT: entry p = the pooled output for a
+    4x4 image block whose 16 cells are the bits of p (bit 4*i+j = cell
+    (i, j)).
+
+    A pooled cell (py, px) maxes the 4 conv positions (2py+dy, 2px+dx),
+    dy,dx in {0,1}; each conv position reads the 3x3 neighborhood at
+    block cells (dy+a, dx+b) — all inside the 4x4 block.  Each entry is
+    ``max`` of the 4 ReLU'd float64 values the 512-entry LUT holds, i.e.
+    exactly the value the runtime pool-max computed before — so this
+    stays bit-identical to the dense conv while replacing 4 gathers +
+    3 max passes with ONE gather per pooled cell (the dominant memory
+    traffic of the whole OCR kernel; each LUT row is one 64B cache line).
+    """
+    p = np.arange(65536, dtype=np.uint32)
+    out = None
+    for dy in range(2):
+        for dx in range(2):
+            idx = np.zeros(65536, dtype=np.uint32)
+            for a in range(CONV_SIZE):
+                for b in range(CONV_SIZE):
+                    idx |= ((p >> (4 * (dy + a) + (dx + b))) & 1) << (3 * a + b)
+            v = lut512[idx]
+            if out is None:
+                out = v
+            else:
+                np.maximum(out, v, out=out)
+    return out
+
+
 def conv_lut_for(w: OcrWeights) -> np.ndarray:
     lut = getattr(w, "_conv_lut_cache", None)
     if lut is None:
-        lut = _conv_lut(w.filters, w.conv_biases)
+        lut = _conv_lut16(_conv_lut(w.filters, w.conv_biases))
         w._conv_lut_cache = lut
     return lut
 
 
 def cnn_forward_binary(matrices: np.ndarray, lut) -> np.ndarray:
-    """Fast path of N1-N4 for binary inputs: 9 shifted uint16 adds build
-    the per-position neighborhood pattern, one LUT gather replaces the
-    float64 conv, pooling maxes the gathered (already-ReLU'd) values.
-    Bit-identical to :func:`cnn_forward` on {0,1} inputs (tests assert
-    np.array_equal); ~10x less memory traffic than the dense conv, which
-    is what lets the kernel scale across many concurrent executor
-    threads on a bandwidth-limited box.
+    """Fast path of N1-N4 for binary inputs: 16 shifted uint16 adds build
+    the per-pooled-cell 4x4-block pattern, one fused conv+pool LUT
+    gather replaces the float64 conv AND the pool max.  Bit-identical to
+    :func:`cnn_forward` on {0,1} inputs (tests assert np.array_equal);
+    ~25x less memory traffic than the dense conv, which is what lets the
+    kernel scale across many concurrent executor threads on a
+    bandwidth-limited box.
+
+    Accepts either the raw (512, 8) neighborhood LUT (tests) or the
+    fused (65536, 8) LUT :func:`conv_lut_for` caches per worker.
     """
     vlut = lut[0] if isinstance(lut, tuple) else lut
+    if vlut.shape[0] == 512:
+        vlut = _conv_lut16(vlut)
     m = (np.asarray(matrices).reshape(-1, INPUT_W, INPUT_W) != 0).astype(np.uint16)
     n = m.shape[0]
-    cw = INPUT_W - CONV_SIZE + 1  # 26
     out = np.empty((n, FLATTEN_SIZE), dtype=np.float64)
     for s in range(0, n, 64):
         chunk = m[s : s + 64]
         b = chunk.shape[0]
-        pat = np.zeros((b, cw, cw), dtype=np.uint16)
-        k = 0
-        for i in range(CONV_SIZE):
-            for j in range(CONV_SIZE):
-                pat += chunk[:, i : i + cw, j : j + cw] << k
-                k += 1
-        # pool max via 4 strided sub-gathers with an in-place running
-        # maximum: the (b,13,13,8) accumulator stays cache-hot instead of
-        # materializing the full (b,26,26,8) conv field (3x faster here)
-        acc = None
-        for dy in range(2):
-            for dx in range(2):
-                v = vlut[pat[:, dy::2, dx::2]]  # (b, 13, 13, 8)
-                if acc is None:
-                    acc = v
-                else:
-                    np.maximum(acc, v, out=acc)
-        out[s : s + b] = acc.transpose(0, 3, 1, 2).reshape(b, FLATTEN_SIZE)
+        # pat[g, py, px] = 16-bit pattern of image block [2py:2py+4, 2px:2px+4]
+        pat = np.zeros((b, POOL_H, POOL_W), dtype=np.uint16)
+        for i in range(4):
+            for j in range(4):
+                pat += chunk[:, i : i + 2 * POOL_H - 1 : 2, j : j + 2 * POOL_W - 1 : 2] << (
+                    4 * i + j
+                )
+        out[s : s + b] = vlut[pat].transpose(0, 3, 1, 2).reshape(b, FLATTEN_SIZE)
     return out
 
 

@@ -92,7 +92,9 @@ def ocr_pages_to_text(pages: Iterable[np.ndarray], weights: OcrWeights) -> List[
         layouts.append(layout)
 
     if novel:
-        chars = classify(np.stack(novel).astype(np.float64), weights)
+        # uint8 {0,1} stack: the binary conv LUT needs no float64 input,
+        # and an (N,28,28) float64 stack is 8x the memory traffic
+        chars = classify(np.stack(novel), weights)
         for key, ch in zip(novel_keys, chars):
             cache[key] = str(ch)
         while len(cache) > _CLS_CACHE_MAX:
