@@ -38,8 +38,14 @@ HEADLINE = [
     "jaccard_candidate_pairs",
     "embedding_topk_cosine",
     "token_stats",
-    "ocr_extract_spans",
 ]
+
+# pandas-UDF-heavy extraction queries: every task pins a JVM thread AND
+# a python worker, so above ~cores/4 the box oversubscribes and thrashes
+# (BENCH/NOTES.md); these run in their own session at EXTRACT_CPUS
+# unless SPARK_GRAFT_CPUS pins a level explicitly.
+HEADLINE_EXTRACT = ["ocr_extract_spans"]
+EXTRACT_CPUS = 8
 
 
 def materialize(df) -> None:
@@ -52,6 +58,10 @@ def main() -> None:
     n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    extract_cpus = (
+        cpus if os.environ.get("SPARK_GRAFT_CPUS") else min(EXTRACT_CPUS, cpus)
+    )
+
     spark = get_spark("bench", cpus=cpus)
     spark.range(1000).count()  # JVM warm-up
 
@@ -63,17 +73,28 @@ def main() -> None:
         materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    # flagship synthetic-corpus extraction (docs/sec — the BASELINE metric).
-    # input synthesis is excluded: generate + persist to parquet first.
-    bc = broadcast_weights(spark)
+    # flagship extraction input: synthesize + persist at full parallelism
+    # (excluded from timings), then re-read for the timed runs
     tmp = f"/tmp/ocr_gang_bench_{os.getpid()}"
     docs = synth_documents(spark, n_synth, seed=42, skew_frac=0.01)
     media = synth_media(spark, docs)
     docs.write.mode("overwrite").parquet(f"{tmp}/docs")
     media.write.mode("overwrite").parquet(f"{tmp}/media")
+
+    if extract_cpus != cpus:
+        spark.stop()
+        spark = get_spark("bench-extract", cpus=extract_cpus)
+
+    for name in HEADLINE_EXTRACT:
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship synthetic-corpus extraction (docs/sec — the BASELINE metric)
+    bc = broadcast_weights(spark)
     docs_p = spark.read.parquet(f"{tmp}/docs")
     media_p = spark.read.parquet(f"{tmp}/media")
-
+    materialize(extract_documents(docs_p.limit(64), media_p, bc))  # worker warm-up
     t0 = time.time()
     materialize(extract_documents(docs_p, media_p, bc))
     dt = time.time() - t0
@@ -90,6 +111,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                "extract_cpus": extract_cpus,
                 "synth_docs": n_synth,
                 "extract_docs_per_sec": docs_per_sec,
             }

@@ -86,8 +86,14 @@ def run_extraction(
     done = completed_parts(spark, checkpoint_dir)
     remaining = docs_p.join(F.broadcast(done), "part_id", "left_anti")
 
-    todo_parts = [r.part_id for r in remaining.select("part_id").distinct().collect()]
-    if not todo_parts:
+    # No pre-scan of the input to enumerate work (the old
+    # remaining.distinct().collect() was a full input scan + shuffle —
+    # pure fixed cost on every run): the anti-join alone decides what is
+    # processed, and the parts completed THIS run are read back off the
+    # written output below.  Only a resume pays the cheap done/empty
+    # probes; a fresh run goes straight to the extraction job.
+    done_ids = {r.part_id for r in done.collect()}
+    if len(done_ids) >= n_parts or (done_ids and remaining.isEmpty()):
         return RunResult(run_id, 0, 0, int((time.time() - t0) * 1000))
 
     extracted = extract_documents(remaining.drop("part_id"), media, weights_bc)
@@ -112,8 +118,15 @@ def run_extraction(
     )
 
     # lineage metrics from the *written* files (validates the write too);
-    # column pruning means this scans only (part_id, n_spans, n_chars)
-    written = spark.read.parquet(output_dir).where(F.col("part_id").isin(todo_parts))
+    # column pruning means this scans only (part_id, n_spans, n_chars);
+    # the anti-join against the old checkpoint keeps exactly the parts
+    # completed by THIS run
+    try:
+        written = spark.read.parquet(output_dir)
+    except Exception:  # empty input, nothing written -> no output dir/schema
+        return RunResult(run_id, 0, 0, int((time.time() - t0) * 1000))
+    if done_ids:
+        written = written.where(~F.col("part_id").isin(list(done_ids)))
     wall_ms = int((time.time() - t0) * 1000)
     metrics_rows = (
         written.groupBy("part_id")
@@ -135,7 +148,7 @@ def run_extraction(
     )
 
     n_docs = sum(r.n_docs for r in metrics_rows)
-    return RunResult(run_id, len(todo_parts), n_docs, wall_ms)
+    return RunResult(run_id, len(metrics_rows), n_docs, wall_ms)
 
 
 def load_output(spark: SparkSession, output_dir: str) -> DataFrame:

@@ -145,10 +145,51 @@ def _conv_lut16(lut512: np.ndarray) -> np.ndarray:
     return out
 
 
+def _shared_lut16(filters: np.ndarray, biases: np.ndarray) -> np.ndarray:
+    """Build (or map) the fused LUT as a host-shared read-only mmap.
+
+    Every Spark python worker on a host needs the same 4MB table; keeping
+    one private copy per worker multiplies the hot cache working set by
+    the worker count (16 workers x 4MB evicts itself out of shared L3
+    under concurrent JVM traffic).  A content-addressed file in /dev/shm
+    mapped read-only gives all workers the SAME physical pages — one
+    4MB resident copy per host regardless of worker count.  Falls back
+    to a private in-memory array if no writable shm dir exists.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    shm = os.environ.get("SPARK_GRAFT_LUT_DIR") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    )
+    key = hashlib.sha1(
+        np.ascontiguousarray(filters, dtype=np.float64).tobytes()
+        + np.ascontiguousarray(biases, dtype=np.float64).tobytes()
+    ).hexdigest()[:16]
+    path = os.path.join(shm, f"ocrgang_lut16_{key}.npy")
+    if not os.path.exists(path):
+        lut = _conv_lut16(_conv_lut(filters, biases))
+        tmp = f"{path}.{os.getpid()}.tmp"
+        try:
+            with open(tmp, "wb") as f:
+                np.save(f, lut)
+            os.rename(tmp, path)  # atomic: concurrent builders agree on content
+        except OSError:
+            return lut  # unwritable shm dir — keep the private copy
+    try:
+        # np.asarray strips the memmap subclass (fancy-indexing on the
+        # subclass takes a much slower path) while keeping the same
+        # shared mmap buffer — no copy
+        return np.asarray(np.load(path, mmap_mode="r"))
+    except Exception:
+        return _conv_lut16(_conv_lut(filters, biases))
+
+
 def conv_lut_for(w: OcrWeights) -> np.ndarray:
     lut = getattr(w, "_conv_lut_cache", None)
     if lut is None:
-        lut = _conv_lut16(_conv_lut(w.filters, w.conv_biases))
+        lut = _shared_lut16(w.filters, w.conv_biases)
         w._conv_lut_cache = lut
     return lut
 

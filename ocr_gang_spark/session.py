@@ -1,7 +1,7 @@
 """Tuned SparkSession builder (local mode here; cluster-safe confs).
 
 Reads SPARK_GRAFT_CPUS (default 32) so the same code runs the N-vs-4N
-scaling evidence (local[8] vs local[32]) required by BASELINE.json.
+scaling evidence (local[2] vs local[8]) required by BASELINE.json.
 """
 
 from __future__ import annotations

@@ -267,9 +267,12 @@ def jaccard_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sorted postings list, then one aggregation per pair.  Exactly
     # two shuffles; the exploded shingle set is computed once (the naive
     # a JOIN rare JOIN b plan recomputed it three times and was ~10x
-    # slower at sf0.01).
-    e = docs.select(
-        "doc_id", F.size(shingles).alias("n_sh"), F.explode(shingles).alias("shingle")
+    # slower at sf0.01).  The shingle array is materialized in its own
+    # projection first: size() + explode() of the raw expression sit in
+    # separate Project/Generate nodes that Catalyst does not CSE, so the
+    # one-step select built the array twice per row.
+    e = docs.select("doc_id", shingles.alias("sh")).select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
     postings = (
         e.groupBy("shingle")
