@@ -27,6 +27,12 @@ def get_spark(app_name: str = "ocr_gang_spark", cpus: int | None = None) -> Spar
         # inside the OCR kernel; 512 blobs/batch keeps a batch < ~100MB
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.driver.memory", driver_mem)
+        # 32MB G1 regions: multi-MB Arrow record batches of blob columns
+        # otherwise allocate as G1 "humongous" objects, and with many
+        # concurrent pandas-UDF tasks that thrashes the collector
+        # (measured: JVM GC 107.6 core-s at local[16] vs 1.0 at local[4]
+        # on the same job)
+        .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
