@@ -55,7 +55,9 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000"))
+    # 10k docs (~30k media blobs): large enough that per-job fixed costs
+    # (planning, commit, metrics) do not dominate the docs/sec headline
+    n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "10000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     extract_cpus = (

@@ -244,6 +244,68 @@ def glyph_to_matrix(crop: np.ndarray) -> Optional[np.ndarray]:
     return resize1(padded, IMAGE_SIZE, IMAGE_SIZE)
 
 
+def glyph_matrices_batch(crops: List[np.ndarray]) -> List[Optional[np.ndarray]]:
+    """Batched :func:`glyph_to_matrix` — identical outputs, one call.
+
+    Crops are grouped by shape; within a group the bbox scan (the
+    per-glyph numpy-call overhead that dominates segmentation cost) is
+    one vectorized pass, and when every member shares the same bbox
+    geometry — the common case for a font whose glyphs have full-extent
+    ink, and exactly the page-renderer's ring-atlas regime — the
+    pad+resample runs as one fancy-index over the stacked array.
+    Members with divergent bboxes fall back to the per-item kernel with
+    their precomputed bounds.  Bit-identical to the scalar path (pinned
+    by tests).
+    """
+    out: List[Optional[np.ndarray]] = [None] * len(crops)
+    groups: dict = {}
+    for i, c in enumerate(crops):
+        groups.setdefault(c.shape, []).append(i)
+    for shape, idxs in groups.items():
+        h, w = shape
+        A = np.stack([crops[i] for i in idxs])
+        ink = A < BW_THRESHOLD
+        rows = ink.any(axis=2)
+        cols = ink.any(axis=1)
+        has = rows.any(axis=1)
+        miny = rows.argmax(axis=1)
+        maxy = h - 1 - rows[:, ::-1].argmax(axis=1)
+        minx = cols.argmax(axis=1)
+        maxx = w - 1 - cols[:, ::-1].argmax(axis=1)
+        bws = maxx - minx + 1
+        bhs = maxy - miny + 1
+        if has.all() and (miny == miny[0]).all() and (minx == minx[0]).all() and (
+            bws == bws[0]
+        ).all() and (bhs == bhs[0]).all():
+            bw0, bh0 = int(bws[0]), int(bhs[0])
+            y0, x0 = int(miny[0]), int(minx[0])
+            size = bw0 if bw0 > bh0 else bh0
+            off_x = size // 2 - bw0 // 2
+            off_y = size // 2 - bh0 // 2
+            padded = np.zeros((len(idxs), size, size), dtype=np.uint8)
+            padded[:, off_y : off_y + bh0, off_x : off_x + bw0] = ink[
+                :, y0 : y0 + bh0, x0 : x0 + bw0
+            ]
+            iy, ix = _resize_idx(size, size, IMAGE_SIZE, IMAGE_SIZE)
+            mats = padded[:, iy, ix]
+            for j, i in enumerate(idxs):
+                out[i] = mats[j]
+            continue
+        for j, i in enumerate(idxs):
+            if not has[j]:
+                continue
+            bw0, bh0 = int(bws[j]), int(bhs[j])
+            size = bw0 if bw0 > bh0 else bh0
+            off_x = size // 2 - bw0 // 2
+            off_y = size // 2 - bh0 // 2
+            padded = np.zeros((size, size), dtype=np.uint8)
+            padded[off_y : off_y + bh0, off_x : off_x + bw0] = ink[
+                j, miny[j] : maxy[j] + 1, minx[j] : maxx[j] + 1
+            ]
+            out[i] = resize1(padded, IMAGE_SIZE, IMAGE_SIZE)
+    return out
+
+
 def segment_page(
     bw: np.ndarray, matrix_cache: Optional[dict] = None
 ) -> List[List[Optional[np.ndarray]]]:
@@ -260,6 +322,7 @@ def segment_page(
     owns eviction.
     """
     lines: List[List[Optional[np.ndarray]]] = []
+    pending: List[tuple] = []  # (line_idx, slot_idx, crop, cache_key|None)
     for y0, y1 in runs_of_nonmarker(row_marker_mask(bw)):
         bloc = bw[y0:y1, :]
         m = col_marker_mask(bloc)
@@ -269,15 +332,20 @@ def segment_page(
                 line.append(None)
                 continue
             crop = bloc[:, s:e]
-            if matrix_cache is None:
-                line.append(glyph_to_matrix(crop))
-                continue
-            key = (crop.shape, crop.tobytes())
-            if key in matrix_cache:
-                line.append(matrix_cache[key])
+            if matrix_cache is not None:
+                key = (crop.shape, crop.tobytes())
+                if key in matrix_cache:
+                    line.append(matrix_cache[key])
+                    continue
             else:
-                mat = glyph_to_matrix(crop)
-                matrix_cache[key] = mat
-                line.append(mat)
+                key = None
+            pending.append((len(lines), len(line), crop, key))
+            line.append(None)  # placeholder, filled from the batch below
         lines.append(line)
+    if pending:
+        mats = glyph_matrices_batch([p[2] for p in pending])
+        for (li, si, _crop, key), mat in zip(pending, mats):
+            lines[li][si] = mat
+            if key is not None:
+                matrix_cache[key] = mat
     return lines

@@ -207,3 +207,34 @@ class TestGlyphToMatrix:
                 assert got is None
             else:
                 assert np.array_equal(got, expected)
+
+
+def test_glyph_matrices_batch_matches_scalar():
+    """glyph_matrices_batch must be bit-identical to glyph_to_matrix on
+    mixed shapes/densities including empty, solid, and ring-style crops
+    (the vectorized uniform-bbox fast path and the per-item fallback)."""
+    import numpy as np
+
+    from ocr_gang_spark.kernels.image_ops import (
+        glyph_matrices_batch,
+        glyph_to_matrix,
+    )
+
+    rng = np.random.default_rng(123)
+    crops = []
+    for _ in range(200):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        d = rng.choice([0.0, 0.02, 0.3, 1.0])
+        crops.append(np.where(rng.random((h, w)) < d, 0, 255).astype(np.uint8))
+    for _ in range(50):  # uniform full-extent bbox group (ring atlas regime)
+        c = np.full((20, 16), 255, np.uint8)
+        c[0, :] = c[-1, :] = c[:, 0] = c[:, -1] = 0
+        c[1:-1, 1:-1] = np.where(rng.random((18, 14)) < 0.3, 0, 255)
+        crops.append(c)
+    batch = glyph_matrices_batch(crops)
+    for crop, got in zip(crops, batch):
+        want = glyph_to_matrix(crop)
+        assert (want is None) == (got is None)
+        if want is not None:
+            assert np.array_equal(want, got)
