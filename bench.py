@@ -42,8 +42,11 @@ HEADLINE = [
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND
 # a python worker, so above ~cores/4 the box oversubscribes and thrashes
-# (BENCH/NOTES.md); these run in their own session at EXTRACT_CPUS
-# unless SPARK_GRAFT_CPUS pins a level explicitly.
+# (BENCH/NOTES.md; measured ~8x slower at local[32] than local[8]).
+# These ALWAYS run in their own session capped at EXTRACT_CPUS —
+# SPARK_GRAFT_CPUS does not lift the cap (round-1 lesson: the driver's
+# local[32] run recorded 82 docs/s for an engine that does ~687 at
+# local[8]).  Override knob for experiments: SPARK_GRAFT_EXTRACT_CPUS.
 HEADLINE_EXTRACT = ["ocr_extract_spans"]
 EXTRACT_CPUS = 8
 
@@ -60,8 +63,8 @@ def main() -> None:
     n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "10000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    extract_cpus = (
-        cpus if os.environ.get("SPARK_GRAFT_CPUS") else min(EXTRACT_CPUS, cpus)
+    extract_cpus = int(
+        os.environ.get("SPARK_GRAFT_EXTRACT_CPUS", min(EXTRACT_CPUS, cpus))
     )
 
     spark = get_spark("bench", cpus=cpus)
@@ -113,7 +116,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                # extraction conditions (ADVICE: state them next to the
+                # headline): the extract_* queries and extract_docs_per_sec
+                # ran at local[extract_cpus] with one untimed warm-up batch
                 "extract_cpus": extract_cpus,
+                "extract_warmup_excluded": True,
                 "synth_docs": n_synth,
                 "extract_docs_per_sec": docs_per_sec,
             }

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from .pipeline import broadcast_weights, extract_documents
 
 CHECKPOINT_SCHEMA = (
-    "part_id int, n_docs long, n_spans_out long, n_chars_out long, "
+    "part_id int, n_parts int, n_docs long, n_spans_out long, n_chars_out long, "
     "wall_ms long, status string, run_id string"
 )
 
@@ -45,11 +45,19 @@ def with_part_id(df: DataFrame, n_parts: int) -> DataFrame:
     return df.withColumn("part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"))
 
 
-def completed_parts(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
-    """Distinct part_ids already marked done (empty DF if no checkpoint)."""
+def completed_parts(spark: SparkSession, checkpoint_dir: str, n_parts: int) -> DataFrame:
+    """Distinct part_ids already marked done *under the same n_parts
+    partitioning* (empty DF if no checkpoint).  part_id is only
+    meaningful relative to n_parts, so entries written with a different
+    configuration are ignored rather than silently short-circuiting a
+    run with genuine remaining work (ADVICE r1)."""
     try:
         cp = spark.read.parquet(checkpoint_dir)
-        return cp.where(F.col("status") == "done").select("part_id").distinct()
+        return (
+            cp.where((F.col("status") == "done") & (F.col("n_parts") == n_parts))
+            .select("part_id")
+            .distinct()
+        )
     except Exception:
         return spark.createDataFrame([], "part_id int")
 
@@ -83,7 +91,7 @@ def run_extraction(
     t0 = time.time()
 
     docs_p = with_part_id(docs, n_parts)
-    done = completed_parts(spark, checkpoint_dir)
+    done = completed_parts(spark, checkpoint_dir, n_parts)
     remaining = docs_p.join(F.broadcast(done), "part_id", "left_anti")
 
     # No pre-scan of the input to enumerate work (the old
@@ -119,8 +127,12 @@ def run_extraction(
 
     # lineage metrics from the *written* files (validates the write too);
     # column pruning means this scans only (part_id, n_spans, n_chars);
-    # the anti-join against the old checkpoint keeps exactly the parts
-    # completed by THIS run
+    # the filter against the old checkpoint keeps the parts completed by
+    # THIS run.  Assumption (documented, ADVICE r1): inputs are immutable
+    # across resumes — an orphan part_id left in output_dir by a crashed
+    # run whose docs no longer appear in the input would be attributed to
+    # this run's lineage; with immutable inputs that part is exactly the
+    # data this run would have produced, so attribution stays truthful.
     try:
         written = spark.read.parquet(output_dir)
     except Exception:  # empty input, nothing written -> no output dir/schema
@@ -135,11 +147,12 @@ def run_extraction(
             F.sum("n_spans").alias("n_spans_out"),
             F.sum("n_chars").alias("n_chars_out"),
         )
+        .withColumn("n_parts", F.lit(n_parts))
         .withColumn("wall_ms", F.lit(wall_ms))
         .withColumn("status", F.lit("done"))
         .withColumn("run_id", F.lit(run_id))
         .select(
-            "part_id", "n_docs", "n_spans_out", "n_chars_out",
+            "part_id", "n_parts", "n_docs", "n_spans_out", "n_chars_out",
             "wall_ms", "status", "run_id",
         )
     ).collect()

@@ -145,34 +145,68 @@ def _conv_lut16(lut512: np.ndarray) -> np.ndarray:
     return out
 
 
+def _lut16_spot_check(lut: np.ndarray, lut512: np.ndarray) -> bool:
+    """Validate a loaded fused LUT: shape/dtype plus value spot-checks of
+    pseudo-random entries against the (cheaply rebuilt) 512-entry
+    neighborhood LUT.  A stale, truncated-then-renamed, or foreign
+    ocrgang_lut16_*.npy must never silently corrupt classification
+    (ADVICE r1): wrong shape/dtype fails fast, wrong values fail the
+    16-entry recomputation with probability ~1 for any real corruption.
+    """
+    if lut.shape != (65536, NUM_FILTERS) or lut.dtype != np.float64:
+        return False
+    rng = np.random.default_rng(0xC0FFEE)
+    for p in rng.integers(0, 65536, size=16):
+        expect = None
+        for dy in range(2):
+            for dx in range(2):
+                idx = 0
+                for a in range(CONV_SIZE):
+                    for b in range(CONV_SIZE):
+                        idx |= ((int(p) >> (4 * (dy + a) + (dx + b))) & 1) << (3 * a + b)
+                v = lut512[idx]
+                expect = v if expect is None else np.maximum(expect, v)
+        if not np.array_equal(lut[int(p)], expect):
+            return False
+    return True
+
+
 def _shared_lut16(filters: np.ndarray, biases: np.ndarray) -> np.ndarray:
     """Build (or map) the fused LUT as a host-shared read-only mmap.
 
     Every Spark python worker on a host needs the same 4MB table; keeping
     one private copy per worker multiplies the hot cache working set by
     the worker count (16 workers x 4MB evicts itself out of shared L3
-    under concurrent JVM traffic).  A content-addressed file in /dev/shm
-    mapped read-only gives all workers the SAME physical pages — one
-    4MB resident copy per host regardless of worker count.  Falls back
-    to a private in-memory array if no writable shm dir exists.
+    under concurrent JVM traffic).  A content-addressed file in a
+    user-scoped 0700 subdirectory of /dev/shm, mapped read-only, gives
+    all workers of this user the SAME physical pages — one 4MB resident
+    copy per host regardless of worker count.  Every mapped file is
+    validated (shape + dtype + value spot-checks) before use; any
+    mismatch falls back to a freshly built private in-memory LUT.
     """
     import hashlib
     import os
     import tempfile
 
-    shm = os.environ.get("SPARK_GRAFT_LUT_DIR") or (
+    lut512 = _conv_lut(filters, biases)
+
+    shm_root = os.environ.get("SPARK_GRAFT_LUT_DIR") or (
         "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     )
+    shm = os.path.join(shm_root, f"ocrgang_{os.getuid()}")
     key = hashlib.sha1(
         np.ascontiguousarray(filters, dtype=np.float64).tobytes()
         + np.ascontiguousarray(biases, dtype=np.float64).tobytes()
     ).hexdigest()[:16]
     path = os.path.join(shm, f"ocrgang_lut16_{key}.npy")
     if not os.path.exists(path):
-        lut = _conv_lut16(_conv_lut(filters, biases))
+        lut = _conv_lut16(lut512)
         tmp = f"{path}.{os.getpid()}.tmp"
         try:
-            with open(tmp, "wb") as f:
+            os.makedirs(shm, mode=0o700, exist_ok=True)
+            # O_EXCL + 0600: never follow a planted symlink / shared tmp file
+            fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+            with os.fdopen(fd, "wb") as f:
                 np.save(f, lut)
             os.rename(tmp, path)  # atomic: concurrent builders agree on content
         except OSError:
@@ -181,9 +215,12 @@ def _shared_lut16(filters: np.ndarray, biases: np.ndarray) -> np.ndarray:
         # np.asarray strips the memmap subclass (fancy-indexing on the
         # subclass takes a much slower path) while keeping the same
         # shared mmap buffer — no copy
-        return np.asarray(np.load(path, mmap_mode="r"))
+        lut = np.asarray(np.load(path, mmap_mode="r"))
+        if _lut16_spot_check(lut, lut512):
+            return lut
     except Exception:
-        return _conv_lut16(_conv_lut(filters, biases))
+        pass
+    return _conv_lut16(lut512)
 
 
 def conv_lut_for(w: OcrWeights) -> np.ndarray:
@@ -362,14 +399,17 @@ def load_weights(mlp_path: str, cnn_path: str) -> OcrWeights:
     need = NUM_FILTERS + kc + 2 * NUM_FILTERS + 2 * kc
     if vals.size != need:
         raise ValueError(f"CNN weight file truncated: {vals.size} != {need}")
+    # same take() closure as the MLP section above: it reads the
+    # *current* ``vals``/``pos`` from the enclosing scope, so resetting
+    # pos after swapping in the CNN token array continues the pattern
     pos = 0
-    conv_biases = take_arr(vals, pos, NUM_FILTERS); pos += NUM_FILTERS
-    filters = take_arr(vals, pos, kc).reshape(NUM_FILTERS, CONV_SIZE, CONV_SIZE); pos += kc
-    cnn_adam = {"t": t, "b1t": b1t, "b2t": b2t}
-    cnn_adam["m_b"] = take_arr(vals, pos, NUM_FILTERS); pos += NUM_FILTERS
-    cnn_adam["v_b"] = take_arr(vals, pos, NUM_FILTERS); pos += NUM_FILTERS
-    cnn_adam["m_f"] = take_arr(vals, pos, kc); pos += kc
-    cnn_adam["v_f"] = take_arr(vals, pos, kc); pos += kc
+    conv_biases = take(NUM_FILTERS)
+    filters = take(kc).reshape(NUM_FILTERS, CONV_SIZE, CONV_SIZE)
+    cnn_adam = {
+        "t": t, "b1t": b1t, "b2t": b2t,
+        "m_b": take(NUM_FILTERS), "v_b": take(NUM_FILTERS),
+        "m_f": take(kc), "v_f": take(kc),
+    }
 
     return OcrWeights(
         filters=filters,
@@ -381,7 +421,3 @@ def load_weights(mlp_path: str, cnn_path: str) -> OcrWeights:
         mlp_adam=mlp_adam,
         cnn_adam=cnn_adam,
     )
-
-
-def take_arr(vals: np.ndarray, pos: int, n: int) -> np.ndarray:
-    return vals[pos : pos + n]

@@ -262,22 +262,32 @@ def jaccard_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    # one pass over the inverted index: group docs per shingle, keep rare
-    # shingles (postings length 2..5), generate the a<b pairs IN-ROW from
-    # the sorted postings list, then one aggregation per pair.  Exactly
-    # two shuffles; the exploded shingle set is computed once (the naive
-    # a JOIN rare JOIN b plan recomputed it three times and was ~10x
-    # slower at sf0.01).  The shingle array is materialized in its own
-    # projection first: size() + explode() of the raw expression sit in
-    # separate Project/Generate nodes that Catalyst does not CSE, so the
-    # one-step select built the array twice per row.
+    # inverted index with the rarity filter BEFORE the postings
+    # aggregation (skew safety at 100x: a stop-word-like shingle present
+    # in millions of docs would otherwise materialize its whole postings
+    # array inside ONE collect_list buffer -> OOM).  Two-pass: document-
+    # frequency count -> keep 2..5 -> semi-join back -> collect_list,
+    # whose buffers are now bounded at 5 entries by construction.  Both
+    # aggregations and the semi-join hash-partition on shingle.  The
+    # pairs are then generated IN-ROW from the sorted postings list (the
+    # naive a JOIN rare JOIN b plan recomputed the explode three times
+    # and was ~10x slower at sf0.01).  The shingle array is materialized
+    # in its own projection first: size() + explode() of the raw
+    # expression sit in separate Project/Generate nodes that Catalyst
+    # does not CSE, so a one-step select would build the array twice.
     e = docs.select("doc_id", shingles.alias("sh")).select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
-    postings = (
+    rare = (
         e.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 5))
+        .select("shingle")
+    )
+    postings = (
+        e.join(rare, "shingle", "left_semi")
+        .groupBy("shingle")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
-        .where((F.size("ds") >= 2) & (F.size("ds") <= 5))
     )
     pair_list = F.flatten(
         F.transform(

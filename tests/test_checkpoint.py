@@ -54,6 +54,25 @@ def test_clean_run_then_noop_resume(spark, corpus, tmp_path):
     assert row.d == N_DOCS and row.s > 0
 
 
+def test_mismatched_n_parts_checkpoint_is_ignored(spark, corpus, tmp_path):
+    """part_id is only meaningful relative to n_parts: entries written
+    under a different n_parts must not short-circuit a run with genuine
+    remaining work (ADVICE r1)."""
+    docs, media = corpus
+    cp = str(tmp_path / "cp")
+    bc = broadcast_weights(spark)
+
+    r1 = run_extraction(spark, docs, media, str(tmp_path / "out4"), cp,
+                        n_parts=4, run_id="a", weights_bc=bc)
+    assert r1.n_docs == N_DOCS
+
+    # same checkpoint dir, different n_parts: the 4-part 'done' rows are
+    # ignored and the full corpus is reprocessed under the new scheme
+    r2 = run_extraction(spark, docs, media, str(tmp_path / "out8"), cp,
+                        n_parts=8, run_id="b", weights_bc=bc)
+    assert r2.n_docs == N_DOCS and r2.n_parts_processed > 0
+
+
 def test_killed_run_resumes_to_identical_output(spark, corpus, tmp_path):
     docs, media = corpus
     bc = broadcast_weights(spark)

@@ -64,6 +64,19 @@ def test_media_branch_has_explicit_parallelism(spark):
     assert plan.count("REPARTITION_BY_NUM") >= 2 or plan.count("hashpartitioning(media_ref") >= 2
 
 
+def test_jaccard_rarity_filter_precedes_postings_collect(spark):
+    """Skew guard: the document-frequency filter (2..5) must run BEFORE
+    the collect_list postings aggregation — a frequent shingle must never
+    reach a collect_list buffer (VERDICT r1 finding 1).  In the optimized
+    plan that shows as a LeftSemi join *below* the collect_list aggregate
+    (treeString prints parents before children)."""
+    from ocr_gang_spark.textops import jaccard_candidate_pairs
+
+    plan = plan_of(jaccard_candidate_pairs(spark, SF), mode="simple")
+    assert "collect_list" in plan and "LeftSemi" in plan
+    assert plan.index("collect_list") < plan.index("LeftSemi")
+
+
 def test_extraction_metrics_partial_aggregation(spark):
     """groupBy must show a map-side partial aggregate (HashAggregate
     appears above and below the exchange)."""
