@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Generate the committed expected-output parquet fixtures that give the
+image-kernel driver queries real rows+schema+hash CORRECTNESS checks.
+
+The flagship extraction's expected output is a pure function of the
+testdata documents table (VERDICT r1 item 1):
+
+* text spans  — strip_html of the fixed spans_from_testdata template
+  (our pinned spec, applied here in plain Python, no Spark);
+* media spans — the page renderer's expected text BY CONSTRUCTION
+  (atlas.page_for_ref renders random_text(media_ref) and returns the
+  exact string the reference OCR semantics yield on that page —
+  independent of the trained weights);
+* segmentation boxes / first-glyph matrix dump — the NumPy oracle
+  kernels over the deterministically rendered pages (pinned vs the C
+  semantics by hand-enumerable micro-tests in tests/test_image_ops.py).
+
+Each row is tagged with ``corpus_key`` = the sum of per-document 32-bit
+md5 text prefixes (the testdata tiers share row COUNTS — sf0.001 and
+sf0.01 both have 500 docs — so a count tag would collide; the content
+key cannot).  ONE committed parquet then serves every tier: the oracle
+SQL filters ``corpus_key = (SELECT CAST(SUM(md5-prefix) AS VARCHAR)
+FROM documents)`` and returns exactly the slice matching the corpus the
+driver is running.
+
+Writes fixtures/expected_extraction.parquet,
+fixtures/expected_segmentation.parquet, fixtures/expected_matrix_dump.parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from ocr_gang_spark.atlas import page_for_ref  # noqa: E402
+from ocr_gang_spark.kernels.html_strip import strip_html  # noqa: E402
+from ocr_gang_spark.kernels.image_ops import (  # noqa: E402
+    binarize,
+    char_items,
+    col_marker_mask,
+    row_marker_mask,
+    runs_of_nonmarker,
+    segment_page,
+)
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+FIXDIR = os.path.join(ROOT, "fixtures")
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+# must mirror ocr_gang_spark.synth.spans_from_testdata exactly
+TPL = (
+    "<head><title>t</title></head><div>%s</div>"
+    "<script>var x=1;</script><p>tail &amp; done</p>"
+)
+SEED = 42
+MEDIA_PER_DOC = 2
+
+
+def corpus_key_of(sf_dir: str) -> str:
+    """Order-insensitive corpus content key: decimal string of the sum of
+    per-document 32-bit md5 text prefixes.  Must stay in lockstep with
+    _CORPUS_KEY_SQL in ocr_gang_spark/extraction_queries.py."""
+    import hashlib
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    total = sum(
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for t in docs.column("text").to_pylist()
+    )
+    return str(total)
+
+
+def expected_rows_for(sf_dir: str):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_rows = corpus_key_of(sf_dir)
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+
+    ext, seg, dump = [], [], []
+    for did, text in zip(ids, texts):
+        doc_id = f"doc-{did:08d}"
+        n_media = did % MEDIA_PER_DOC + 1
+        ext.append((n_rows, doc_id, 0, "text", strip_html(TPL % text), None, 0))
+        for i in range(1, n_media + 1):
+            ref = f"m{SEED}-{doc_id}-{i}"
+            expected_text, page = page_for_ref(ref)
+            ext.append((n_rows, doc_id, i, "media", expected_text, ref, i))
+
+            bw = binarize(page)
+            for li, (y0, y1) in enumerate(runs_of_nonmarker(row_marker_mask(bw))):
+                items = char_items(col_marker_mask(bw[y0:y1, :]))
+                seg.append(
+                    (n_rows, ref, li, int(y0), int(y1),
+                     sum(1 for it in items if it[0] == "glyph"),
+                     sum(1 for it in items if it[0] == "space"))
+                )
+
+            # G9 SaveMatrix analog: the FIRST glyph matrix of the page as
+            # 28 lines of '0'/'1' (reference segmentation.c:373-386 dumps
+            # matrix[0]); pages whose first item is a space dump nothing
+            first = None
+            for line in segment_page(bw):
+                for mat in line:
+                    first = mat
+                    break
+                break
+            txt = (
+                "\n".join("".join(str(int(v)) for v in row) for row in np.asarray(first))
+                if first is not None
+                else None
+            )
+            dump.append((n_rows, ref, txt))
+    return ext, seg, dump
+
+
+def main() -> None:
+    all_ext, all_seg, all_dump = [], [], []
+    for sf_dir in SF_DIRS:
+        e, s, d = expected_rows_for(sf_dir)
+        print(f"{sf_dir}: {len(e)} extraction rows, {len(s)} box rows, {len(d)} dumps")
+        all_ext += e
+        all_seg += s
+        all_dump += d
+
+    ext_schema = pa.schema(
+        [
+            ("corpus_key", pa.string()),
+            ("doc_id", pa.string()),
+            ("pos", pa.int32()),
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+    seg_schema = pa.schema(
+        [
+            ("corpus_key", pa.string()),
+            ("media_ref", pa.string()),
+            ("line_idx", pa.int32()),
+            ("y0", pa.int32()),
+            ("y1", pa.int32()),
+            ("n_glyphs", pa.int32()),
+            ("n_spaces", pa.int32()),
+        ]
+    )
+    dump_schema = pa.schema(
+        [
+            ("corpus_key", pa.string()),
+            ("media_ref", pa.string()),
+            ("matrix_txt", pa.string()),
+        ]
+    )
+    for name, rows, schema in [
+        ("expected_extraction", all_ext, ext_schema),
+        ("expected_segmentation", all_seg, seg_schema),
+        ("expected_matrix_dump", all_dump, dump_schema),
+    ]:
+        cols = list(zip(*rows))
+        table = pa.table(
+            {f.name: pa.array(cols[i], type=f.type) for i, f in enumerate(schema)},
+            schema=schema,
+        )
+        path = os.path.join(FIXDIR, f"{name}.parquet")
+        pq.write_table(table, path, compression="zstd")
+        print(f"wrote {path} ({os.path.getsize(path)} bytes, {table.num_rows} rows)")
+
+
+if __name__ == "__main__":
+    main()
