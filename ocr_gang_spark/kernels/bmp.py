@@ -54,10 +54,19 @@ def encode_media_blob(rgb: np.ndarray) -> bytes:
 
 
 def decode_media_blob(data: bytes) -> np.ndarray:
-    """Decode a media blob: raw BMP ('BM' magic) or zlib-wrapped BMP
-    (0x78 first byte).  Raises ValueError on anything else."""
+    """Decode a media blob with format autodetect (the Spark analog of
+    the reference's IMG_Load sniffing, our_sdl.c:20-31): raw BMP ('BM'
+    magic), PNG, zlib-wrapped BMP (0x78 first byte), or JPEG (clear
+    error — no DCT decoder without codec libs).  Raises ValueError on
+    anything else."""
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png
+
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        raise ValueError("JPEG decode unsupported (no codec libraries; see png.py)")
     if data[:1] == b"\x78":
         return decode_bmp(zlib.decompress(data))
     raise ValueError("unknown media blob format")

@@ -30,6 +30,7 @@ from pyspark.sql import types as T
 
 from .atlas import page_for_ref, random_text
 from .kernels.bmp import encode_media_blob
+from .kernels.png import encode_png
 
 SPAN_STRUCT = T.StructType(
     [
@@ -147,10 +148,22 @@ def synth_media(spark: SparkSession, docs: DataFrame, partitions: int | None = N
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = [encode_media_blob(page_for_ref(r)[1]) for r in pdf["media_ref"]]
+            blobs = [blob_for_ref(r) for r in pdf["media_ref"]]
             yield pd.DataFrame({"media_ref": pdf["media_ref"], "bytes": blobs})
 
     return refs.mapInPandas(render, schema=MEDIA_SCHEMA)
+
+
+def blob_for_ref(ref: str) -> bytes:
+    """Render + encode one media blob.  Deterministic format mix: ~1/4
+    of refs encode as PNG (the autodetect decode path must run under
+    every pipeline test and driver query, mirroring the reference's
+    mixed BMP/PNG sample set), the rest as zlib-wrapped BMP."""
+    rgb = page_for_ref(ref)[1]
+    digest = hashlib.sha256(("fmt:" + ref).encode()).digest()
+    if digest[0] % 4 == 0:
+        return encode_png(rgb, level=1)
+    return encode_media_blob(rgb)
 
 
 def spans_from_testdata(spark: SparkSession, sf_dir: str, seed: int = 42,
