@@ -119,6 +119,23 @@ def expected_rows_for(sf_dir: str):
     return ext, seg, dump
 
 
+def expected_augmentation_rows():
+    """Offline NumPy run of the T2 kernels over the 52-class atlas —
+    the value oracle for the distributed augmentation_counts query
+    (sf-independent, so no corpus_key)."""
+    from ocr_gang_spark.atlas import class_matrices
+    from ocr_gang_spark.kernels.augment import augment_copy
+    from ocr_gang_spark.training_queries import N_CLASSES, N_COPIES
+
+    mats = class_matrices()
+    rows = []
+    for cls in range(N_CLASSES):
+        for copy_id in range(1, N_COPIES + 1):
+            out, op = augment_copy(mats[cls], f"{cls}:{copy_id}")
+            rows.append((cls, copy_id, op, int(out.sum())))
+    return rows
+
+
 def main() -> None:
     all_ext, all_seg, all_dump = [], [], []
     for sf_dir in SF_DIRS:
@@ -127,6 +144,26 @@ def main() -> None:
         all_ext += e
         all_seg += s
         all_dump += d
+
+    aug_rows = expected_augmentation_rows()
+    aug_schema = pa.schema(
+        [
+            ("cls", pa.int32()),
+            ("copy_id", pa.int32()),
+            ("op", pa.string()),
+            ("n_ink", pa.int64()),
+        ]
+    )
+    cols = list(zip(*aug_rows))
+    pq.write_table(
+        pa.table(
+            {f.name: pa.array(cols[i], type=f.type) for i, f in enumerate(aug_schema)},
+            schema=aug_schema,
+        ),
+        os.path.join(FIXDIR, "expected_augmentation.parquet"),
+        compression="zstd",
+    )
+    print(f"wrote expected_augmentation.parquet ({len(aug_rows)} rows)")
 
     ext_schema = pa.schema(
         [
