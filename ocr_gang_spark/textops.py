@@ -15,6 +15,8 @@ shuffle-conscious:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -23,9 +25,23 @@ from .queries import load, register
 
 EMB_DIM = 64
 
-# (a, b) pairs for the 4 minhash permutations h' = (a*h + b) mod P
+# (a, b) pairs for the 32 minhash permutations h' = (a*h + b) mod P —
+# production shape: 8 bands x 4 rows (VERDICT r1 item 8).  The first 4
+# pairs are the round-1 set; the rest are seeded draws capped below
+# 2^27 so a*h + b stays < 2^59 (no int64 overflow in either engine).
 MINHASH_P = 2147483647
-MINHASH_AB = [(1299721, 104729), (15485863, 32452843), (49979687, 67867967), (86028121, 982451653)]
+_AB_CAP = 1 << 27
+_ab_rng = np.random.default_rng(0x5EED)
+MINHASH_AB = [
+    (1299721, 104729), (15485863, 32452843), (49979687, 67867967), (86028121, 982451653),
+] + [
+    (int(a), int(b))
+    for a, b in zip(
+        _ab_rng.integers(1, _AB_CAP, 28), _ab_rng.integers(0, _AB_CAP, 28)
+    )
+]
+N_PERMS = len(MINHASH_AB)  # 32
+LSH_BANDS, LSH_ROWS = 8, 4  # 8 bands x 4 rows
 
 
 def _tok_hash_spark(tok):
@@ -80,11 +96,30 @@ def _perm(a: int, b: int):
     return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Input-parallelism correction for CPU-dense in-row transforms.
+
+    The testdata tiers are single-row-group parquet files, so the scan
+    yields ONE task and a 32-thread session runs all the per-token
+    hashing serially (measured: 32-perm minhash 11.9s serial vs <1s
+    spread).  On a real corpus the scan has file/row-group splits and
+    this never fires; when it does fire the shuffled payload is the raw
+    text at the tiny tier size.  Kept conditional so the no-op case adds
+    no exchange to the plan at scale."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _with_token_hashes(df):
     """Materialize the md5 token-hash array once per row: Spark does not
     CSE a subexpression shared across several lambda functions, so every
     permutation/bit would otherwise re-hash every token."""
-    return df.withColumn("hl", F.transform(F.split(F.col("text"), " "), _tok_hash_spark))
+    return _spread(df).withColumn(
+        "hl", F.transform(F.split(F.col("text"), " "), _tok_hash_spark)
+    )
 
 
 def _minhash_cols_spark():
@@ -94,90 +129,169 @@ def _minhash_cols_spark():
     ]
 
 
+# DuckDB computes the token-hash list ONCE in a CTE (hl_t), then each
+# permutation transforms it — the md5 per token is not re-evaluated 32x
+_HL_CTE_DUCK = (
+    "hl_t AS (SELECT doc_id, list_transform(string_split(text, ' '), "
+    "t -> " + _TOK_HASH_DUCK.format(t="t") + ") AS hl FROM documents)"
+)
+
+
 def _minhash_exprs_duck():
-    th = _TOK_HASH_DUCK.format(t="t")
     return [
-        f"list_min(list_transform(string_split(text, ' '), "
-        f"t -> ({a} * ({th}) + {b}) % {MINHASH_P})) AS mh{k}"
+        f"list_min(list_transform(hl, h -> ({a} * h + {b}) % {MINHASH_P})) AS mh{k}"
         for k, (a, b) in enumerate(MINHASH_AB)
     ]
 
 
-@register(
-    "minhash_signatures",
-    "SELECT doc_id, " + ", ".join(_minhash_exprs_duck()) + " FROM documents",
+_SIG_CTE_DUCK = (
+    f"WITH {_HL_CTE_DUCK}, sig AS (SELECT doc_id, "
+    + ", ".join(_minhash_exprs_duck())
+    + " FROM hl_t)"
 )
+
+
+@register("minhash_signatures", f"{_SIG_CTE_DUCK} SELECT * FROM sig")
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature per doc, computed in-row (shingle->minhash with
-    zero shuffle: array transforms over the token array)."""
+    """32-permutation MinHash signature per doc, computed in-row
+    (shingle->minhash with zero shuffle: array transforms over the
+    materialized token-hash array)."""
     (docs,) = load(spark, sf_dir, "documents")
     return _with_token_hashes(docs).select("doc_id", *_minhash_cols_spark())
 
 
+def _band_key_duck(b: int) -> str:
+    parts = " || '_' || ".join(
+        f"CAST(mh{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+    )
+    return f"SELECT {b} AS band_id, {parts} AS band_key, doc_id FROM sig"
+
+
 @register(
     "minhash_lsh_buckets",
-    """
-    WITH sig AS (SELECT doc_id, """ + ", ".join(_minhash_exprs_duck()) + """
-                 FROM documents)
-    SELECT concat(CAST(mh0 AS VARCHAR), '_', CAST(mh1 AS VARCHAR)) AS band0,
-           COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
-    FROM sig GROUP BY 1
+    f"""
+    {_SIG_CTE_DUCK},
+    bands AS ({" UNION ALL ".join(_band_key_duck(b) for b in range(LSH_BANDS))})
+    SELECT band_id, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+    FROM bands GROUP BY band_id, band_key
+    HAVING COUNT(*) >= 2
     """,
 )
 def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: docs sharing a band bucket are near-dup candidates;
-    the bucket-join replaces the O(n^2) pair scan at scale."""
+    """Production-shape LSH banding (8 bands x 4 rows over 32 perms):
+    docs sharing any band bucket are near-dup candidates; the per-band
+    bucket groupBy replaces the O(n^2) pair scan at scale.  Only
+    buckets with >= 2 docs survive (the candidate-generating ones)."""
     (docs,) = load(spark, sf_dir, "documents")
     sig = _with_token_hashes(docs).select("doc_id", *_minhash_cols_spark())
-    band = F.concat_ws("_", F.col("mh0").cast("string"), F.col("mh1").cast("string"))
-    return sig.groupBy(band.alias("band0")).agg(
-        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"mh{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)],
+                ).alias("band_key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return (
+        sig.select("doc_id", F.explode(bands).alias("b"))
+        .groupBy(F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .where(F.col("n_docs") >= 2)
     )
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit, in-row)
+# SimHash (64-bit, in-row)
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+SIMHASH_HALF_BITS = 32  # 64-bit signature as two engine-portable 32-bit halves
 
 
-def _bit_vote(b: int):
-    return lambda acc, h: acc + (
-        F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("bigint") * 2 - 1
+def _tok_hash2_spark(tok):
+    """Second independent 32-bit token hash (md5 hex chars 9-16) — the
+    bit source for the high half of the 64-bit signature."""
+    return F.conv(F.substring(F.md5(tok), 9, 8), 16, 10).cast("bigint")
+
+
+_TOK_HASH2_DUCK = "('0x' || substr(md5({t}), 9, 8))::BIGINT"
+
+
+def _simhash32_col(hl_col: str, alias: str):
+    """One 32-bit simhash half over a token-hash array column, built
+    with TWO array folds instead of 32 per-bit aggregates: fold the
+    token array into a 32-slot vote accumulator (zip_with add of the
+    per-token +-1 bit votes), then fold the votes against a power-of-two
+    literal array.  Keeps the whole-stage-codegen plan small enough to
+    stay compiled at 64 total bits (32 separate aggregates per half
+    blow the codegen method-size limit and fall back to interpreted)."""
+    two_pow = [F.lit(float(1 << b)) for b in range(SIMHASH_HALF_BITS)]
+
+    def tok_votes(h):
+        hd = h.cast("double")  # h < 2^32: exact in double, exact /2^b
+        return F.array(
+            *[
+                (F.floor(hd / two_pow[b]).cast("bigint") % 2) * 2 - 1
+                for b in range(SIMHASH_HALF_BITS)
+            ]
+        )
+
+    zero = F.array(*[F.lit(0).cast("bigint")] * SIMHASH_HALF_BITS)
+    votes = F.aggregate(
+        F.col(hl_col), zero, lambda acc, h: F.zip_with(acc, tok_votes(h), lambda a, v: a + v)
     )
-
-
-def _simhash_col_spark():
-    total = F.lit(0).cast("bigint")
-    for b in range(SIMHASH_BITS):
-        bit_sum = F.aggregate(F.col("hl"), F.lit(0).cast("bigint"), _bit_vote(b))
-        total = total + F.when(bit_sum > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
-    return total.alias("simhash16")
+    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_HALF_BITS)])
+    value = F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return value.alias(alias)
 
 
 def _simhash_sql_duck():
-    th = _TOK_HASH_DUCK.format(t="t")
-    cases = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(hl, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
-        f"THEN {1 << b} ELSE 0 END)"
-        for b in range(SIMHASH_BITS)
-    )
+    th1 = _TOK_HASH_DUCK.format(t="t")
+    th2 = _TOK_HASH2_DUCK.format(t="t")
+
+    def half(hl: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_sum(list_transform({hl}, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b in range(SIMHASH_HALF_BITS)
+        )
+
     return f"""
     WITH hl_t AS (
       SELECT doc_id,
-             list_transform(string_split(text, ' '), t -> {th}) AS hl
+             list_transform(string_split(text, ' '), t -> {th1}) AS hl,
+             list_transform(string_split(text, ' '), t -> {th2}) AS hl2
       FROM documents)
-    SELECT doc_id, CAST({cases} AS BIGINT) AS simhash16 FROM hl_t
+    SELECT doc_id, CAST({half('hl')} AS BIGINT) AS simhash_lo,
+           CAST({half('hl2')} AS BIGINT) AS simhash_hi
+    FROM hl_t
     """
 
 
 @register("simhash_signatures", _simhash_sql_duck())
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per doc, in-row (no explode/shuffle): per bit, the
-    sign of the +-1 vote sum over token hashes."""
+    """64-bit SimHash per doc (the production width — 16 bits is too
+    collision-prone at corpus scale), in-row with no explode/shuffle:
+    per bit, the sign of the +-1 vote sum over token hashes.  Emitted
+    as two 32-bit halves (lo from md5 chars 1-8, hi from 9-16): each
+    simhash bit needs an independent hash-bit source anyway, and halves
+    keep every intermediate far from BIGINT overflow in both engines."""
     (docs,) = load(spark, sf_dir, "documents")
-    return _with_token_hashes(docs).select("doc_id", _simhash_col_spark())
+    hashed = _with_token_hashes(docs).withColumn(
+        "hl2", F.transform(F.split(F.col("text"), " "), _tok_hash2_spark)
+    )
+    return hashed.select(
+        "doc_id",
+        _simhash32_col("hl", "simhash_lo"),
+        _simhash32_col("hl2", "simhash_hi"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -275,7 +389,7 @@ def jaccard_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in its own projection first: size() + explode() of the raw
     # expression sit in separate Project/Generate nodes that Catalyst
     # does not CSE, so a one-step select would build the array twice.
-    e = docs.select("doc_id", shingles.alias("sh")).select(
+    e = _spread(docs).select("doc_id", shingles.alias("sh")).select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
     rare = (
@@ -487,27 +601,147 @@ def ann_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_near_dup_pairs",
-    f"""
-    WITH sub AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 128)
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           {_cosine_duck('a.embedding', 'b.embedding')} AS cos_sim
-    FROM sub a JOIN sub b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_cosine_duck('a.embedding', 'b.embedding')} > 0.9
-    """,
-)
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection, bucketed by label so the
-    pair join is per-bucket (the O(n^2) cross join never materializes)."""
-    (emb,) = load(spark, sf_dir, "embeddings")
-    sub = emb.where(F.col("vec_id") < 128).select("vec_id", "label", "embedding")
-    a = sub.alias("a")
-    b = sub.alias("b")
-    cos = _cosine_spark(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"),
-                cos.alias("cos_sim"))
-        .where(F.col("cos_sim") > 0.9)
+# Random-hyperplane LSH for embedding near-dup: 2 bands x 8 hyperplanes
+# with seeded +-1 coefficients, identical literals in both engines.
+# Sign sums are fixed-order +-e_k chains => bit-identical doubles.
+LSH_EMB_BANDS, LSH_EMB_BITS = 2, 8
+_hp_rng = np.random.default_rng(0xE1B)
+HYPERPLANES = (
+    _hp_rng.integers(0, 2, size=(LSH_EMB_BANDS * LSH_EMB_BITS, EMB_DIM)) * 2 - 1
+).tolist()
+
+
+def _hp_dot_duck(e: str, plane) -> str:
+    return " + ".join(
+        f"CAST({e}[{k + 1}] AS DOUBLE) * ({float(c)})" for k, c in enumerate(plane)
     )
+
+
+def _hp_bucket_duck(e: str, band: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({_hp_dot_duck(e, HYPERPLANES[band * LSH_EMB_BITS + j])}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(LSH_EMB_BITS)
+    )
+
+
+def _near_dup_duck() -> str:
+    # per-vector norms precomputed in the CTE (cos = dot/(sqrt(na)*sqrt(nb))
+    # — same expressions as the Spark side, so doubles stay bit-identical)
+    cos = (
+        f"({_dot_chain_duck('a.embedding', 'b.embedding')}) / "
+        f"(sqrt(a.nrm) * sqrt(b.nrm))"
+    )
+    band_pairs = " UNION ".join(
+        f"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS cos_sim
+            FROM sub a JOIN sub b ON a.b{band} = b.b{band} AND a.vec_id < b.vec_id
+            WHERE {cos} > 0.9"""
+        for band in range(LSH_EMB_BANDS)
+    )
+    buckets = ", ".join(
+        f"({_hp_bucket_duck('embedding', band)}) AS b{band}"
+        for band in range(LSH_EMB_BANDS)
+    )
+    return (
+        f"WITH sub AS (SELECT vec_id, embedding, "
+        f"({_dot_chain_duck('embedding', 'embedding')}) AS nrm, {buckets} "
+        f"FROM embeddings) {band_pairs}"
+    )
+
+
+@register("embedding_near_dup_pairs", _near_dup_duck())
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection via random-hyperplane LSH
+    (VERDICT r1 item 7 — replaces the label-bucketed O(bucket^2) join
+    and its silent vec_id cap): each vector gets a sign-bucket per band
+    (8 seeded hyperplanes -> 256 buckets), candidate pairs join only
+    within a shared bucket, and the two bands' pair sets union (LSH
+    multi-band recall; a cos>0.9 pair agrees on a band's 8 signs with
+    high probability).  Full corpus, no caps; at 100TB the bucket join
+    shuffles on the bucket key exactly like the minhash banding.
+
+    The float math runs in Arrow-batched mapInPandas kernels whose
+    accumulation loops go strictly left-to-right over the 64 dims --
+    bit-identical to the oracle SQL's explicit expression chains (a
+    16x64-term JVM expression tree falls out of whole-stage codegen and
+    interprets ~30x slower).  mapInPandas rather than a scalar
+    pandas_udf on purpose: Catalyst re-evaluates a pandas-UDF output
+    when a filter on it is pushed below the projection, doubling every
+    Python stage; the in-kernel threshold keeps it one evaluation."""
+
+    hp = np.ascontiguousarray(np.array(HYPERPLANES, dtype=np.float64).T)  # (64, 16)
+    powers = 1 << np.arange(LSH_EMB_BITS, dtype=np.int64)
+
+    def prep(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+            ).astype(np.float64)
+            nrm = np.zeros(e.shape[0])
+            acc = np.zeros((e.shape[0], hp.shape[1]))
+            for k in range(EMB_DIM):  # left-to-right: matches the SQL chains
+                nrm += e[:, k] * e[:, k]
+                acc += e[:, k, None] * hp[None, k, :]
+            bits = acc > 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "nrm": nrm,
+                    "b0": (bits[:, :LSH_EMB_BITS] @ powers).astype(np.int32),
+                    "b1": (bits[:, LSH_EMB_BITS:] @ powers).astype(np.int32),
+                }
+            )
+
+    def pair_cos(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in pdf["ea"]]
+            ).astype(np.float64)
+            b = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in pdf["eb"]]
+            ).astype(np.float64)
+            dot = np.zeros(a.shape[0])
+            for k in range(EMB_DIM):
+                dot += a[:, k] * b[:, k]
+            cos = dot / (np.sqrt(pdf["na"].to_numpy()) * np.sqrt(pdf["nb"].to_numpy()))
+            keep = cos > 0.9
+            yield pd.DataFrame(
+                {
+                    "a_id": pdf["a_id"][keep],
+                    "b_id": pdf["b_id"][keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    sub = _spread(emb).mapInPandas(
+        prep,
+        schema="vec_id long, embedding array<float>, nrm double, b0 int, b1 int",
+    )
+    out = None
+    for band in range(LSH_EMB_BANDS):
+        a, b = sub.alias("a"), sub.alias("b")
+        joined = a.join(
+            b,
+            (F.col(f"a.b{band}") == F.col(f"b.b{band}"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        pairs = joined.mapInPandas(
+            pair_cos, schema="a_id long, b_id long, cos_sim double"
+        )
+        out = pairs if out is None else out.union(pairs)
+    # identical pairs from both bands carry bit-identical cos_sim, so
+    # the distinct is an exact dedup (mirrors SQL UNION semantics)
+    return out.distinct()
