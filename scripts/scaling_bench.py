@@ -120,7 +120,7 @@ def main() -> None:
     p.add_argument("--levels", type=int, nargs=2, default=[2, 8])
     p.add_argument("--n-parts", type=int, default=128)
     p.add_argument("--base", default="/tmp/ocr_gang_scaling")
-    p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--repeats", type=int, default=7)
     p.add_argument("--skip-prep", action="store_true")
     args = p.parse_args()
 
@@ -129,12 +129,16 @@ def main() -> None:
         prep_input(args.n_docs, args.seed, args.base)
 
     # INTERLEAVED repeats (2,8,2,8,...) so host-level drift on this
-    # shared VM hits both levels alike.  Per level we report BEST-of-N
-    # (timeit-style min-wall): the host steals CPU in multi-minute
-    # windows that can depress an arbitrary whole run 3-5x, steal only
-    # ever subtracts, and the best run therefore estimates the machine's
-    # uncontended throughput.  All runs + per-run steal probes are
-    # disclosed alongside.
+    # shared VM hits both levels alike.  Selection discipline (ADVICE
+    # r1): never let the selection rule decide the pass/fail threshold.
+    # The HEADLINE efficiency uses the per-level MEDIAN; the best-of-N
+    # alternative is computed and disclosed alongside, together with the
+    # range over both defensible selections and every raw run + its
+    # steal probe.  Host CPU steal can depress an arbitrary whole run
+    # 3-5x for minutes, so medians need enough interleaved repeats to be
+    # stable — default 7.
+    import statistics
+
     by_level = {c: [] for c in args.levels}
     for i in range(args.repeats):
         for cpus in args.levels:
@@ -142,17 +146,24 @@ def main() -> None:
             r = run_level(cpus, args.base, args.n_parts, rep=i)
             print(json.dumps(r), flush=True)
             by_level[cpus].append(r)
+
     results = []
     for cpus in args.levels:
         runs = sorted(by_level[cpus], key=lambda r: r["docs_per_sec"])
-        best = runs[-1]
-        best["all_docs_per_sec"] = [r["docs_per_sec"] for r in runs]
-        best["all_steal_probe_sec"] = [r["steal_probe_sec"] for r in runs]
-        results.append(best)
+        rep = dict(runs[len(runs) // 2])  # median run's metadata
+        rep["median_docs_per_sec"] = round(
+            statistics.median(r["docs_per_sec"] for r in runs), 1
+        )
+        rep["best_docs_per_sec"] = runs[-1]["docs_per_sec"]
+        rep["all_docs_per_sec"] = [r["docs_per_sec"] for r in runs]
+        rep["all_steal_probe_sec"] = [r["steal_probe_sec"] for r in runs]
+        results.append(rep)
 
     lo, hi = results
     ratio = hi["cpus"] / lo["cpus"]
-    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    eff_median = (hi["median_docs_per_sec"] / lo["median_docs_per_sec"]) / ratio
+    eff_best = (hi["best_docs_per_sec"] / lo["best_docs_per_sec"]) / ratio
+    eff_lo, eff_hi = sorted([eff_median, eff_best])
     md = f"""# BENCH/BASELINE — measured numbers (this round)
 
 ## Scaling evidence (north_rule: >=0.8 efficiency from N to 4N)
@@ -160,25 +171,28 @@ def main() -> None:
 Same extraction job (jobs/extract_job.py, --mode parquet) on the SAME
 pre-generated input ({args.n_docs} docs, seed={args.seed}, skew 1%,
 media blobs), BLAS pinned to 1 thread, measured inside the job (session
-startup excluded).  Levels interleaved ({args.repeats}x each); BEST run
-per level reported (timeit-style min-wall: host CPU steal depresses
-arbitrary whole runs 3-5x for minutes — see the per-run steal probes —
-and steal only subtracts, so the best run estimates uncontended
-throughput).  All runs disclosed:
+startup excluded).  Levels interleaved ({args.repeats}x each) so host
+drift hits both alike.  **Headline = per-level MEDIAN**; best-of-N is
+disclosed as the alternative defensible selection, with the efficiency
+range across both.  All runs + per-run steal probes disclosed:
 
-| parallelism | wall (s) | docs/sec (best of {args.repeats}) | all runs | steal probes (s) |
+| parallelism | median docs/sec | best docs/sec | all runs | steal probes (s) |
 |---|---|---|---|---|
-| local[{lo['cpus']}] | {lo['wall_sec']} | {lo['docs_per_sec']} | {lo['all_docs_per_sec']} | {lo['all_steal_probe_sec']} |
-| local[{hi['cpus']}] | {hi['wall_sec']} | {hi['docs_per_sec']} | {hi['all_docs_per_sec']} | {hi['all_steal_probe_sec']} |
+| local[{lo['cpus']}] | {lo['median_docs_per_sec']} | {lo['best_docs_per_sec']} | {lo['all_docs_per_sec']} | {lo['all_steal_probe_sec']} |
+| local[{hi['cpus']}] | {hi['median_docs_per_sec']} | {hi['best_docs_per_sec']} | {hi['all_docs_per_sec']} | {hi['all_steal_probe_sec']} |
 
 **Scaling efficiency {lo['cpus']} -> {hi['cpus']} (x{ratio:.0f} cores):
-{eff:.3f}**  (target >= 0.8)
+median-selection {eff_median:.3f}, best-selection {eff_best:.3f},
+range [{eff_lo:.3f}, {eff_hi:.3f}]**  (target >= 0.8)
 
 Throughput metric (BASELINE.json): documents/sec end-to-end extraction
-= **{hi['docs_per_sec']} docs/sec at local[{hi['cpus']}]** on this
-corpus shape.
+= **{hi['median_docs_per_sec']} docs/sec (median) at
+local[{hi['cpus']}]** (best run: {hi['best_docs_per_sec']}) on this
+corpus shape.  Conditions: extraction measured inside the job at
+local[{hi['cpus']}], session startup excluded, no warm-up exclusion in
+this harness.
 
-Raw results:
+Raw results (median run's metadata per level):
 ```json
 {json.dumps(lo)}
 {json.dumps(hi)}
@@ -189,7 +203,7 @@ Reproduce: `python scripts/scaling_bench.py --n-docs {args.n_docs}`
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(f"scaling efficiency: {eff:.3f}")
+    print(f"scaling efficiency: median {eff_median:.3f} best {eff_best:.3f}")
     print("wrote BENCH/BASELINE.md")
 
 

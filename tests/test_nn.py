@@ -138,3 +138,30 @@ def test_lut_conv_bit_identical_to_dense():
     lut = _conv_lut(filters, biases)
     fast = cnn_forward_binary(imgs, lut)
     assert np.array_equal(dense, fast)
+
+
+# ---------------------------------------------------------------------------
+# T9/M5 — the XOR demo (sigmoid output path)
+# ---------------------------------------------------------------------------
+
+
+def test_xor_demo_converges():
+    """Reference main.c:23-157: 2-4-1 leaky-hidden sigmoid-output net,
+    per-sample Adam, epoch shuffle.  1500 epochs suffice with Adam (the
+    reference runs 10000); outputs must round to XOR."""
+    from ocr_gang_spark.kernels.xor import XOR_TARGETS, train_xor
+
+    net = train_xor(seed=7, epochs=1500)
+    preds = net.predict()
+    assert ([round(p) for p in preds] == XOR_TARGETS).all()
+    assert all(abs(p - t) < 0.1 for p, t in zip(preds, XOR_TARGETS))
+
+
+def test_sigmoid_matches_reference_form():
+    import numpy as np
+
+    from ocr_gang_spark.kernels.xor import sigmoid
+
+    xs = np.array([-5.0, -1.0, 0.0, 1.0, 5.0])
+    assert np.allclose(sigmoid(xs), 1.0 / (1.0 + np.exp(-xs)))
+    assert sigmoid(np.array([0.0]))[0] == 0.5
