@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .atlas import atlas, GLYPH_H, GLYPH_W
-from .kernels.bmp import decode_bmp, encode_bmp
+from .kernels.bmp import decode_media_blob, encode_bmp
+from .kernels.png import encode_png
 from .kernels.image_ops import binarize, glyph_to_matrix
 
 
@@ -43,28 +44,36 @@ def write_glyph_fixture_dir(base_dir: str, per_class: int = 4, seed: int = 5) ->
             m[1:-1, 1:-1] ^= rng.random((GLYPH_H - 2, GLYPH_W - 2)) < 0.05
             img = np.where(m, 40, 250).astype(np.uint8)
             rgb = np.repeat(img[:, :, None], 3, axis=2)
-            with open(os.path.join(sub, f"{ch}{i}.bmp"), "wb") as f:
-                f.write(encode_bmp(rgb))
+            # alternate formats — the reference's training dir mixes
+            # .png/.jpg/.bmp (tools.c:543-548 extension filter)
+            if i % 2:
+                with open(os.path.join(sub, f"{ch}{i}.png"), "wb") as f:
+                    f.write(encode_png(rgb))
+            else:
+                with open(os.path.join(sub, f"{ch}{i}.bmp"), "wb") as f:
+                    f.write(encode_bmp(rgb))
     return maj, mnr
 
 
 def load_glyph_directory(spark: SparkSession, path: str, is_uppercase: bool) -> DataFrame:
-    """S2 — one directory: binaryFile scan, filename label (case-coerced
-    per directory, tools.c:562-564), normalized 784-vector."""
+    """S2 — one directory: binaryFile scan with the reference's image
+    extension filter (tools.c:543-548), format-sniffing decode
+    (BMP/PNG), filename label (case-coerced per directory,
+    tools.c:562-564), normalized 784-vector."""
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bmp")
+        .option("pathGlobFilter", "*.{bmp,png,jpg}")
         .load(path)
         .select("path", "content")
     )
-    label = F.regexp_extract(F.col("path"), r"([A-Za-z])[0-9]+\.bmp$", 1)
+    label = F.regexp_extract(F.col("path"), r"([A-Za-z])[0-9]+\.(?:bmp|png|jpg)$", 1)
     label = F.upper(label) if is_uppercase else F.lower(label)
 
     def normalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mats = []
             for blob in pdf["content"]:
-                bw = binarize(decode_bmp(bytes(blob)))
+                bw = binarize(decode_media_blob(bytes(blob)))
                 mat = glyph_to_matrix(bw)
                 mats.append([] if mat is None else mat.ravel().tolist())
             yield pd.DataFrame({"path": pdf["path"], "label": pdf["label"], "pixels": mats})

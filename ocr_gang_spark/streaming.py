@@ -62,3 +62,139 @@ def windowed_event_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    out_table: str = "stream_sessions",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Stateful streaming sessionization via applyInPandasWithState —
+    the custom-stateful-operator surface (G2's run detection as a
+    stream).  Per user_id the state carries (last_ts_epoch, n_sessions,
+    n_events); a new session starts when the gap to the previous event
+    exceeds ``gap_seconds`` (same rule as the batch sessionize_events
+    query, which is the equivalence oracle in tests).
+
+    ``events_dir`` must contain time-partitioned event files whose
+    modification order follows event time (the file-stream source
+    processes oldest-mtime first), so state genuinely carries across
+    micro-batches; rows within a micro-batch are sorted in-kernel.
+    Emits an update row per (user, micro-batch); the latest row per
+    user (max n_events — monotone) is the final answer.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_sessions(key, pdfs, state: GroupState):
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            epoch = int(pd.Timestamp(ts).timestamp())
+            if last_ts is None or epoch - last_ts > gap_seconds:
+                n_sessions += 1
+            last_ts = epoch
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update_sessions,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_ts long, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # latest update per user: n_events grows monotonically
+    updates = spark.table(out_table)
+    w_latest = F.struct("n_events", "n_sessions").alias("s")
+    return (
+        updates.groupBy("user_id")
+        .agg(F.max(w_latest).alias("s"))
+        .select("user_id", F.col("s.n_sessions").alias("n_sessions"),
+                F.col("s.n_events").alias("n_events"))
+    )
+
+
+def write_time_split_events(spark: SparkSession, sf_dir: str, out_dir: str,
+                            n_files: int = 4) -> str:
+    """Split the events table into ``n_files`` disjoint time ranges,
+    one parquet file each, with mtimes increasing in time order — the
+    multi-micro-batch input sessionize_stream needs."""
+    import os
+    import time as _time
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    lo_e, hi_e = int(lo.timestamp()), int(hi.timestamp()) + 1
+    step = max(1, (hi_e - lo_e + n_files - 1) // n_files)
+    os.makedirs(out_dir, exist_ok=True)
+    for k in range(n_files):
+        part = events.where(
+            (F.unix_timestamp("ts") >= lo_e + k * step)
+            & (F.unix_timestamp("ts") < lo_e + (k + 1) * step)
+        )
+        path = os.path.join(out_dir, f"part{k:02d}")
+        part.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1e9 + k, 1e9 + k))
+        _time.sleep(0.01)
+    return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract entry: the streaming job under the value-hash gate
+# ---------------------------------------------------------------------------
+
+from itertools import count as _count  # noqa: E402
+
+from .queries import register  # noqa: E402
+
+_qid = _count()
+
+
+@register(
+    "stream_windowed_counts",
+    # Spark's window('1 hour').start is epoch-aligned == date_trunc hour
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming engine (file source -> watermark ->
+    windowed agg -> AvailableNow -> memory sink) under the driver's
+    value oracle: the finished stream result must hash-match the plain
+    SQL aggregation DuckDB runs over the same events."""
+    import tempfile
+
+    name = f"t_stream_wc_{next(_qid)}"
+    return windowed_event_counts_stream(
+        spark, sf_dir, checkpoint=tempfile.mkdtemp(prefix="ocrgang_stream_"),
+        out_table=name,
+    )

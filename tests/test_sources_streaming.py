@@ -61,3 +61,22 @@ def test_streaming_matches_batch(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     e = {tuple(r) for r in expected.collect()}
     assert g == e and len(g) > 0
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization over 4 time-ordered
+    micro-batches must equal the batch window/lag sessionize query —
+    state (last event time, counts) genuinely crosses batch boundaries
+    because each file holds a disjoint time range."""
+    from ocr_gang_spark.contract import queries
+    from ocr_gang_spark.streaming import sessionize_stream, write_time_split_events
+
+    events_dir = write_time_split_events(spark, SF, str(tmp_path / "ev"), n_files=4)
+    got = sessionize_stream(
+        spark, events_dir, checkpoint=str(tmp_path / "cp"),
+        out_table="t_stream_sessions",
+    )
+    expected = queries()["sessionize_events"](spark, SF)
+    g = {(r.user_id, r.n_sessions, r.n_events) for r in got.collect()}
+    e = {(r.user_id, r.n_sessions, r.n_events) for r in expected.collect()}
+    assert g == e and len(g) > 0
