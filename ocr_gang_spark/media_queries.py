@@ -1,0 +1,154 @@
+"""Driver-contract entries for the multimodal column surface.
+
+Images/audio/video ride as opaque binary columns; these queries decode
+them inside Arrow-batched kernels and are value-checked against
+committed expected parquets produced offline by the same pure-function
+blob generators (scripts/make_expected.py).  The audio/video sample
+sets are fixed (sf-independent) ref lists; the image-metadata query
+runs over the REAL media refs of the current corpus and its oracle
+derives the same ref set relationally from the documents view.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .queries import register
+from .synth import spans_from_testdata, synth_media
+
+_FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
+
+N_AUDIO = 128
+N_VIDEO = 64
+
+
+@register(
+    "media_metadata",
+    # the oracle reconstructs the corpus's media_ref set relationally
+    # (1 + doc_id % 2 media spans per doc, spans_from_testdata) and
+    # joins it against the committed per-ref metadata
+    f"""
+    WITH refs AS (
+      SELECT printf('m42-doc-%08d-%d', doc_id, i) AS media_ref
+      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS i)
+      WHERE i <= doc_id % 2 + 1)
+    SELECT f.media_ref, f.fmt, f.width, f.height, f.n_bytes
+    FROM read_parquet('{_FIXTURES}/expected_media_meta.parquet') f
+    JOIN refs USING (media_ref)
+    """,
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata for every media blob of the corpus — header sniff
+    only, no pixel decode (the scan pattern a catalog/stats pass uses at
+    100TB: bytes read independent of image size)."""
+    from .kernels.media_meta import sniff_media_meta
+
+    docs = spans_from_testdata(spark, sf_dir)
+    media = synth_media(spark, docs)
+
+    def meta(batches):
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["bytes"]):
+                fmt, w, h = sniff_media_meta(bytes(blob))
+                rows.append((ref, fmt, w, h, len(blob)))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "fmt", "width", "height", "n_bytes"]
+            )
+
+    return media.mapInPandas(
+        meta, schema="media_ref string, fmt string, width int, height int, n_bytes bigint"
+    )
+
+
+@register(
+    "audio_features",
+    f"SELECT audio_ref, fmt, n_samples, duration_s, rms, zcr "
+    f"FROM read_parquet('{_FIXTURES}/expected_audio.parquet')",
+)
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality: decode WAV PCM16 blobs and compute DSP features
+    (RMS, zero-crossing rate) in Arrow batches.  Fixed 128-ref sample
+    set (sf-independent), blobs a pure function of the ref."""
+
+    def feats(batches):
+        from .kernels.media_meta import (
+            audio_features as af,
+            decode_wav,
+            sniff_media_meta,
+            synth_audio_blob,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                ref = f"aud-{int(i):03d}"
+                blob = synth_audio_blob(ref)
+                fmt, _, _ = sniff_media_meta(blob)
+                rate, samples = decode_wav(blob)
+                n, dur, rms, zcr = af(samples, rate)
+                rows.append((ref, fmt, n, dur, rms, zcr))
+            yield pd.DataFrame(
+                rows,
+                columns=["audio_ref", "fmt", "n_samples", "duration_s", "rms", "zcr"],
+            )
+
+    parts = max(8, spark.sparkContext.defaultParallelism)
+    return spark.range(0, N_AUDIO, numPartitions=parts).mapInPandas(
+        feats,
+        schema="audio_ref string, fmt string, n_samples bigint, "
+        "duration_s double, rms double, zcr double",
+    )
+
+
+@register(
+    "video_frame_stats",
+    f"SELECT video_ref, n_frames, width, height, n_sampled, n_ink_sampled "
+    f"FROM read_parquet('{_FIXTURES}/expected_video.parquet')",
+)
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality: frame-sample every 2nd frame via the container's
+    offset index (decode cost proportional to frames KEPT — the access
+    pattern that matters at scale) and count ink pixels (integer-exact).
+    Fixed 64-ref sample set, blobs a pure function of the ref."""
+
+    def stats(batches):
+        import numpy as np
+
+        from .kernels.media_meta import (
+            sample_frames,
+            sniff_media_meta,
+            synth_video_blob,
+            video_frame_index,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                ref = f"vid-{int(i):03d}"
+                blob = synth_video_blob(ref)
+                _, w, h = sniff_media_meta(blob)
+                n_frames = len(video_frame_index(blob))
+                n_sampled = 0
+                n_ink = 0
+                for _idx, frame in sample_frames(blob, stride=2):
+                    n_sampled += 1
+                    n_ink += int(np.sum(frame[:, :, 0] == 0))
+                rows.append((ref, n_frames, w, h, n_sampled, n_ink))
+            yield pd.DataFrame(
+                rows,
+                columns=["video_ref", "n_frames", "width", "height",
+                         "n_sampled", "n_ink_sampled"],
+            )
+
+    parts = max(8, spark.sparkContext.defaultParallelism)
+    return spark.range(0, N_VIDEO, numPartitions=parts).mapInPandas(
+        stats,
+        schema="video_ref string, n_frames int, width int, height int, "
+        "n_sampled int, n_ink_sampled bigint",
+    )

@@ -136,6 +136,57 @@ def expected_augmentation_rows():
     return rows
 
 
+def expected_media_rows():
+    """Per-ref blob metadata + audio/video features, offline (pure
+    functions of the refs; the media_ref set is the union over tiers —
+    identical doc_id sets, so it dedupes to one)."""
+    from ocr_gang_spark.kernels.media_meta import (
+        audio_features,
+        decode_wav,
+        sample_frames,
+        sniff_media_meta,
+        synth_audio_blob,
+        synth_video_blob,
+        video_frame_index,
+    )
+    from ocr_gang_spark.media_queries import N_AUDIO, N_VIDEO
+    from ocr_gang_spark.synth import blob_for_ref
+
+    refs = set()
+    for sf_dir in SF_DIRS:
+        docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        for did in docs.column("doc_id").to_pylist():
+            for i in range(1, did % MEDIA_PER_DOC + 2):
+                refs.add(f"m{SEED}-doc-{did:08d}-{i}")
+    meta = []
+    for ref in sorted(refs):
+        blob = blob_for_ref(ref)
+        fmt, w, h = sniff_media_meta(blob)
+        meta.append((ref, fmt, w, h, len(blob)))
+
+    audio = []
+    for i in range(N_AUDIO):
+        ref = f"aud-{i:03d}"
+        blob = synth_audio_blob(ref)
+        fmt, _, _ = sniff_media_meta(blob)
+        rate, samples = decode_wav(blob)
+        n, dur, rms, zcr = audio_features(samples, rate)
+        audio.append((ref, fmt, n, dur, rms, zcr))
+
+    video = []
+    for i in range(N_VIDEO):
+        ref = f"vid-{i:03d}"
+        blob = synth_video_blob(ref)
+        _, w, h = sniff_media_meta(blob)
+        n_frames = len(video_frame_index(blob))
+        n_sampled = n_ink = 0
+        for _idx, frame in sample_frames(blob, stride=2):
+            n_sampled += 1
+            n_ink += int(np.sum(frame[:, :, 0] == 0))
+        video.append((ref, n_frames, w, h, n_sampled, n_ink))
+    return meta, audio, video
+
+
 def main() -> None:
     all_ext, all_seg, all_dump = [], [], []
     for sf_dir in SF_DIRS:
@@ -164,6 +215,47 @@ def main() -> None:
         compression="zstd",
     )
     print(f"wrote expected_augmentation.parquet ({len(aug_rows)} rows)")
+
+    meta, audio, video = expected_media_rows()
+    for name, rows, schema in [
+        (
+            "expected_media_meta",
+            meta,
+            pa.schema(
+                [("media_ref", pa.string()), ("fmt", pa.string()),
+                 ("width", pa.int32()), ("height", pa.int32()),
+                 ("n_bytes", pa.int64())]
+            ),
+        ),
+        (
+            "expected_audio",
+            audio,
+            pa.schema(
+                [("audio_ref", pa.string()), ("fmt", pa.string()),
+                 ("n_samples", pa.int64()), ("duration_s", pa.float64()),
+                 ("rms", pa.float64()), ("zcr", pa.float64())]
+            ),
+        ),
+        (
+            "expected_video",
+            video,
+            pa.schema(
+                [("video_ref", pa.string()), ("n_frames", pa.int32()),
+                 ("width", pa.int32()), ("height", pa.int32()),
+                 ("n_sampled", pa.int32()), ("n_ink_sampled", pa.int64())]
+            ),
+        ),
+    ]:
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {f.name: pa.array(cols[i], type=f.type) for i, f in enumerate(schema)},
+                schema=schema,
+            ),
+            os.path.join(FIXDIR, f"{name}.parquet"),
+            compression="zstd",
+        )
+        print(f"wrote {name}.parquet ({len(rows)} rows)")
 
     ext_schema = pa.schema(
         [

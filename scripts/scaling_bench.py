@@ -121,6 +121,11 @@ def main() -> None:
     p.add_argument("--n-parts", type=int, default=128)
     p.add_argument("--base", default="/tmp/ocr_gang_scaling")
     p.add_argument("--repeats", type=int, default=7)
+    p.add_argument("--min-quiet", type=int, default=5,
+                   help="quiet-window runs required per level")
+    p.add_argument("--quiet-probe", type=float, default=0.8,
+                   help="max mean steal-probe sec for a run to count as quiet")
+    p.add_argument("--max-rounds", type=int, default=15)
     p.add_argument("--skip-prep", action="store_true")
     args = p.parse_args()
 
@@ -139,21 +144,40 @@ def main() -> None:
     # stable — default 7.
     import statistics
 
+    # probe-gated quiet-window collection (ADVICE r1): interleave rounds
+    # until each level has >= min_quiet runs whose mean in-run steal
+    # probe is below --quiet-probe (host-quiet baseline ~0.2s; a probe
+    # multiples above it marks a window where the host stole the cores
+    # mid-run).  The gate is on the PROBE (an independent witness), not
+    # on the throughput being measured, so it cannot select the answer.
     by_level = {c: [] for c in args.levels}
-    for i in range(args.repeats):
+
+    def quiet(runs):
+        return [r for r in runs if r["steal_probe_sec"] <= args.quiet_probe]
+
+    i = 0
+    while i < args.max_rounds:
+        need = any(
+            len(quiet(by_level[c])) < args.min_quiet for c in args.levels
+        )
+        if i >= args.repeats and not need:
+            break
         for cpus in args.levels:
-            print(f"running local[{cpus}] (round {i + 1}/{args.repeats}) ...", flush=True)
+            print(f"running local[{cpus}] (round {i + 1}) ...", flush=True)
             r = run_level(cpus, args.base, args.n_parts, rep=i)
             print(json.dumps(r), flush=True)
             by_level[cpus].append(r)
+        i += 1
 
     results = []
     for cpus in args.levels:
         runs = sorted(by_level[cpus], key=lambda r: r["docs_per_sec"])
-        rep = dict(runs[len(runs) // 2])  # median run's metadata
+        q = quiet(runs) or runs  # fall back to all runs, disclosed below
+        rep = dict(q[len(q) // 2])  # median quiet run's metadata
         rep["median_docs_per_sec"] = round(
-            statistics.median(r["docs_per_sec"] for r in runs), 1
+            statistics.median(r["docs_per_sec"] for r in q), 1
         )
+        rep["n_quiet"] = len(quiet(runs))
         rep["best_docs_per_sec"] = runs[-1]["docs_per_sec"]
         rep["all_docs_per_sec"] = [r["docs_per_sec"] for r in runs]
         rep["all_steal_probe_sec"] = [r["steal_probe_sec"] for r in runs]
@@ -171,15 +195,18 @@ def main() -> None:
 Same extraction job (jobs/extract_job.py, --mode parquet) on the SAME
 pre-generated input ({args.n_docs} docs, seed={args.seed}, skew 1%,
 media blobs), BLAS pinned to 1 thread, measured inside the job (session
-startup excluded).  Levels interleaved ({args.repeats}x each) so host
-drift hits both alike.  **Headline = per-level MEDIAN**; best-of-N is
+startup excluded).  Levels interleaved so host drift hits both alike;
+rounds continue until each level has >= {args.min_quiet} QUIET runs
+(mean in-run steal probe <= {args.quiet_probe}s; quiet host baseline
+~0.2s — the probe is an independent witness, so the gate cannot select
+the answer).  **Headline = MEDIAN over quiet runs**; best-of-all-N is
 disclosed as the alternative defensible selection, with the efficiency
 range across both.  All runs + per-run steal probes disclosed:
 
-| parallelism | median docs/sec | best docs/sec | all runs | steal probes (s) |
-|---|---|---|---|---|
-| local[{lo['cpus']}] | {lo['median_docs_per_sec']} | {lo['best_docs_per_sec']} | {lo['all_docs_per_sec']} | {lo['all_steal_probe_sec']} |
-| local[{hi['cpus']}] | {hi['median_docs_per_sec']} | {hi['best_docs_per_sec']} | {hi['all_docs_per_sec']} | {hi['all_steal_probe_sec']} |
+| parallelism | median docs/sec (quiet) | n quiet | best docs/sec (all) | all runs | steal probes (s) |
+|---|---|---|---|---|---|
+| local[{lo['cpus']}] | {lo['median_docs_per_sec']} | {lo['n_quiet']} | {lo['best_docs_per_sec']} | {lo['all_docs_per_sec']} | {lo['all_steal_probe_sec']} |
+| local[{hi['cpus']}] | {hi['median_docs_per_sec']} | {hi['n_quiet']} | {hi['best_docs_per_sec']} | {hi['all_docs_per_sec']} | {hi['all_steal_probe_sec']} |
 
 **Scaling efficiency {lo['cpus']} -> {hi['cpus']} (x{ratio:.0f} cores):
 median-selection {eff_median:.3f}, best-selection {eff_best:.3f},
