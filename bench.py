@@ -34,10 +34,15 @@ HEADLINE = [
     "sessionize_events",
     "dedup_exact",
     "minhash_signatures",
+    "minhash_lsh_buckets",
     "simhash_signatures",
     "jaccard_candidate_pairs",
     "embedding_topk_cosine",
+    "embedding_near_dup_pairs",
+    "ann_ivf_probe_topk",
     "token_stats",
+    "augmentation_counts",
+    "media_metadata",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND

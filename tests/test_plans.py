@@ -77,6 +77,17 @@ def test_jaccard_rarity_filter_precedes_postings_collect(spark):
     assert plan.index("collect_list") < plan.index("LeftSemi")
 
 
+def test_ann_ivf_broadcasts_coarse_index(spark):
+    """The probed IVF search must broadcast the small sides (reps,
+    probe key, query vector) into the embeddings scan, never the
+    reverse."""
+    from ocr_gang_spark.textops import ann_ivf_probe_topk
+
+    plan = plan_of(ann_ivf_probe_topk(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_extraction_metrics_partial_aggregation(spark):
     """groupBy must show a map-side partial aggregate (HashAggregate
     appears above and below the exchange)."""
