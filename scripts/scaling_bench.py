@@ -51,6 +51,22 @@ def steal_probe() -> float:
     return round(time.time() - t0, 3)
 
 
+def wait_for_quiet(threshold: float, max_wait: float = 900, poll: float = 30):
+    """Pre-flight gate: hold the next round until the host looks quiet
+    (probe <= threshold) or max_wait elapses.  Concentrates measurement
+    into quiet windows instead of burning rounds during steal storms;
+    the in-run probe still decides whether the run counts as quiet."""
+    t0 = time.time()
+    while True:
+        p = steal_probe()
+        if p <= threshold:
+            return p
+        if time.time() - t0 >= max_wait:
+            return None
+        print(f"preflight probe {p:.2f}s > {threshold}s — waiting", flush=True)
+        time.sleep(poll)
+
+
 def run_level(cpus: int, base: str, n_parts: int, rep: int = 0) -> dict:
     # fresh output/checkpoint dirs per repeat — a leftover checkpoint dir
     # would make the run a resume no-op
@@ -125,7 +141,9 @@ def main() -> None:
                    help="quiet-window runs required per level")
     p.add_argument("--quiet-probe", type=float, default=0.8,
                    help="max mean steal-probe sec for a run to count as quiet")
-    p.add_argument("--max-rounds", type=int, default=15)
+    p.add_argument("--max-rounds", type=int, default=40)
+    p.add_argument("--preflight-wait", type=float, default=900,
+                   help="max seconds to wait for a quiet window before each round")
     p.add_argument("--skip-prep", action="store_true")
     args = p.parse_args()
 
@@ -162,6 +180,8 @@ def main() -> None:
         )
         if i >= args.repeats and not need:
             break
+        if need and args.preflight_wait > 0:
+            wait_for_quiet(args.quiet_probe * 0.75, max_wait=args.preflight_wait)
         for cpus in args.levels:
             print(f"running local[{cpus}] (round {i + 1}) ...", flush=True)
             r = run_level(cpus, args.base, args.n_parts, rep=i)
@@ -184,6 +204,7 @@ def main() -> None:
         results.append(rep)
 
     lo, hi = results
+    contaminated = min(lo["n_quiet"], hi["n_quiet"]) < args.min_quiet
     ratio = hi["cpus"] / lo["cpus"]
     eff_median = (hi["median_docs_per_sec"] / lo["median_docs_per_sec"]) / ratio
     eff_best = (hi["best_docs_per_sec"] / lo["best_docs_per_sec"]) / ratio
@@ -226,6 +247,18 @@ Raw results (median run's metadata per level):
 ```
 
 Reproduce: `python scripts/scaling_bench.py --n-docs {args.n_docs}`
+"""
+    if contaminated:
+        md += f"""
+> **WARNING — contended measurement window.** The harness could not
+> collect {args.min_quiet} quiet runs per level within {args.max_rounds}
+> rounds (quiet counts: local[{lo['cpus']}]={lo['n_quiet']},
+> local[{hi['cpus']}]={hi['n_quiet']}); the host stole CPU through the
+> whole window (see the probe columns — quiet baseline is ~0.2s).
+> Steal hits the higher-parallelism level harder, so the efficiency
+> above is a meaningless LOWER BOUND, not a property of the engine.
+> Treat the most recent quiet-window measurement in git history as the
+> standing number and re-run this harness in a quiet window.
 """
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
