@@ -298,6 +298,31 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N-gram shingles + Jaccard candidates
 # ---------------------------------------------------------------------------
 
+def _shingles_of(toks):
+    """3-gram shingle array from a MATERIALIZED token-array column.
+
+    `toks` must be a bound column reference, never the raw
+    `split(text, ' ')` expression: Catalyst does not CSE a
+    subexpression into a lambda body, so `element_at(split(...), i)`
+    inside the transform re-splits the whole text per element —
+    O(tokens x shingles) per row (measured 40us/shingle vs ~0.4us with
+    the one-projection materialization, the same trap
+    `_with_token_hashes` defeats for the minhash path)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @register(
     "ngram_shingle_stats",
     """
@@ -315,21 +340,14 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingling in-row; the dedup building block."""
     (docs,) = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    shingles = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
-        "doc_id",
-        F.size(shingles).cast("bigint").alias("n_shingles"),
-        F.size(F.array_distinct(shingles)).cast("bigint").alias("n_distinct_shingles"),
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", _shingles_of(F.col("toks")).alias("sh"))
+        .select(
+            "doc_id",
+            F.size("sh").cast("bigint").alias("n_shingles"),
+            F.size(F.array_distinct("sh")).cast("bigint").alias("n_distinct_shingles"),
+        )
     )
 
 
@@ -360,22 +378,6 @@ def jaccard_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via shared *rare* shingles (frequency-capped
     inverted index join — the scale-path trick that avoids O(n^2))."""
     (docs,) = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    shingles = F.array_distinct(
-        F.when(
-            n >= 3,
-            F.transform(
-                F.sequence(F.lit(1), n - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
     # inverted index with the rarity filter BEFORE the postings
     # aggregation (skew safety at 100x: a stop-word-like shingle present
     # in millions of docs would otherwise materialize its whole postings
@@ -385,12 +387,24 @@ def jaccard_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregations and the semi-join hash-partition on shingle.  The
     # pairs are then generated IN-ROW from the sorted postings list (the
     # naive a JOIN rare JOIN b plan recomputed the explode three times
-    # and was ~10x slower at sf0.01).  The shingle array is materialized
-    # in its own projection first: size() + explode() of the raw
-    # expression sit in separate Project/Generate nodes that Catalyst
-    # does not CSE, so a one-step select would build the array twice.
-    e = _spread(docs).select("doc_id", shingles.alias("sh")).select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    # and was ~10x slower at sf0.01).  The token and shingle arrays are
+    # materialized in their own projections first: size() + explode() of
+    # the raw expression sit in separate Project/Generate nodes that
+    # Catalyst does not CSE, so a one-step select would build the array
+    # twice — and the split-inside-lambda trap (_shingles_of docstring)
+    # would re-split the text once per shingle element.  explode_outer
+    # + explicit null filter rather than explode: a plain explode makes
+    # Catalyst synthesize a size(sh)>0 pre-filter and push it below the
+    # materializing projections, re-substituting the full
+    # split-inside-lambda expression at the scan (measured 8s/level on
+    # 5000 docs); the null filter sits on the generator OUTPUT column,
+    # which nothing can push through.
+    e = (
+        _spread(docs)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", F.array_distinct(_shingles_of(F.col("toks"))).alias("sh"))
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
     )
     rare = (
         e.groupBy("shingle")
@@ -657,6 +671,13 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with seeded +-1 coefficients, identical literals in both engines.
 # Sign sums are fixed-order +-e_k chains => bit-identical doubles.
 LSH_EMB_BANDS, LSH_EMB_BITS = 2, 8
+# Near-dup cosine threshold.  Production near-dup detection runs ~0.9,
+# but the synthetic embeddings are near-orthogonal random vectors (max
+# pairwise cos ~0.5), so 0.9 would make every tier's output — and the
+# driver's value oracle — vacuously empty.  0.25 yields 86/83/1426 rows
+# at sf0.001/0.01/0.1: the whole pipeline (bucketing, pairing, the
+# float chains, the threshold filter) stays under a non-trivial hash.
+NEAR_DUP_COS = 0.25
 _hp_rng = np.random.default_rng(0xE1B)
 HYPERPLANES = (
     _hp_rng.integers(0, 2, size=(LSH_EMB_BANDS * LSH_EMB_BITS, EMB_DIM)) * 2 - 1
@@ -687,7 +708,7 @@ def _near_dup_duck() -> str:
     band_pairs = " UNION ".join(
         f"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS cos_sim
             FROM sub a JOIN sub b ON a.b{band} = b.b{band} AND a.vec_id < b.vec_id
-            WHERE {cos} > 0.9"""
+            WHERE {cos} > {NEAR_DUP_COS}"""
         for band in range(LSH_EMB_BANDS)
     )
     buckets = ", ".join(
@@ -708,18 +729,27 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and its silent vec_id cap): each vector gets a sign-bucket per band
     (8 seeded hyperplanes -> 256 buckets), candidate pairs join only
     within a shared bucket, and the two bands' pair sets union (LSH
-    multi-band recall; a cos>0.9 pair agrees on a band's 8 signs with
-    high probability).  Full corpus, no caps; at 100TB the bucket join
+    multi-band recall; a high-cos pair agrees on a band's 8 signs with
+    high probability; threshold NEAR_DUP_COS, see its comment).  Full corpus, no caps; at 100TB the bucket join
     shuffles on the bucket key exactly like the minhash banding.
 
-    The float math runs in Arrow-batched mapInPandas kernels whose
+    The float math runs in Arrow-batched Python kernels whose
     accumulation loops go strictly left-to-right over the 64 dims --
     bit-identical to the oracle SQL's explicit expression chains (a
     16x64-term JVM expression tree falls out of whole-stage codegen and
-    interprets ~30x slower).  mapInPandas rather than a scalar
-    pandas_udf on purpose: Catalyst re-evaluates a pandas-UDF output
-    when a filter on it is pushed below the projection, doubling every
-    Python stage; the in-kernel threshold keeps it one evaluation."""
+    interprets ~30x slower).
+
+    Shape (one shuffle, one grouped kernel): each vector emits one row
+    per band keyed (band, bucket); candidates then form INSIDE each
+    bucket group via applyInPandas, so an embedding crosses the network
+    once per band -- O(vectors x dim) traffic -- instead of riding
+    every candidate pair through a self-join (O(pairs x dim), plus the
+    prep stage re-running once per join side).  Within a group the
+    pairwise dots are a dim-ordered outer-product accumulation (same
+    summation order as the scalar chains => bit-identical doubles),
+    blocked at 2048x2048 rows so the score matrix stays bounded no matter
+    how hot a bucket gets; group vectors themselves are n x dim,
+    bounded by the LSH bit-width chosen for the corpus size."""
 
     hp = np.ascontiguousarray(np.array(HYPERPLANES, dtype=np.float64).T)  # (64, 16)
     powers = 1 << np.arange(LSH_EMB_BITS, dtype=np.int64)
@@ -747,53 +777,65 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    def pair_cos(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a = np.stack(
-                [np.asarray(v, dtype=np.float32) for v in pdf["ea"]]
-            ).astype(np.float64)
-            b = np.stack(
-                [np.asarray(v, dtype=np.float32) for v in pdf["eb"]]
-            ).astype(np.float64)
-            dot = np.zeros(a.shape[0])
-            for k in range(EMB_DIM):
-                dot += a[:, k] * b[:, k]
-            cos = dot / (np.sqrt(pdf["na"].to_numpy()) * np.sqrt(pdf["nb"].to_numpy()))
-            keep = cos > 0.9
-            yield pd.DataFrame(
-                {
-                    "a_id": pdf["a_id"][keep],
-                    "b_id": pdf["b_id"][keep],
-                    "cos_sim": cos[keep],
-                }
+    B = 2048  # pair-block edge: caps the per-block score matrix at ~32 MB
+
+    def bucket_pairs(pdf):
+        pdf = pdf.sort_values("vec_id", kind="stable")
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"a_id": pd.Series(dtype="int64"),
+                 "b_id": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
             )
+        e = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+        ).astype(np.float64)
+        rt = np.sqrt(pdf["nrm"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n, B):
+            ei = e[i0 : i0 + B]
+            for j0 in range(i0, n, B):
+                ej = e[j0 : j0 + B]
+                dot = np.zeros((ei.shape[0], ej.shape[0]))
+                for k in range(EMB_DIM):  # same order as the SQL chain
+                    dot += ei[:, k, None] * ej[None, :, k]
+                cos = dot / (rt[i0 : i0 + B, None] * rt[None, j0 : j0 + B])
+                ii, jj = np.nonzero(cos > NEAR_DUP_COS)
+                keep = (jj + j0) > (ii + i0)  # strict upper triangle: a_id < b_id
+                ii, jj = ii[keep], jj[keep]
+                out_a.append(ids[ii + i0])
+                out_b.append(ids[jj + j0])
+                out_c.append(cos[ii, jj])
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_c),
+            }
+        )
 
     (emb,) = load(spark, sf_dir, "embeddings")
     sub = _spread(emb).mapInPandas(
         prep,
         schema="vec_id long, embedding array<float>, nrm double, b0 int, b1 int",
     )
-    out = None
-    for band in range(LSH_EMB_BANDS):
-        a, b = sub.alias("a"), sub.alias("b")
-        joined = a.join(
-            b,
-            (F.col(f"a.b{band}") == F.col(f"b.b{band}"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        ).select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
-            F.col("a.nrm").alias("na"),
-            F.col("b.nrm").alias("nb"),
-        )
-        pairs = joined.mapInPandas(
-            pair_cos, schema="a_id long, b_id long, cos_sim double"
-        )
-        out = pairs if out is None else out.union(pairs)
-    # identical pairs from both bands carry bit-identical cos_sim, so
-    # the distinct is an exact dedup (mirrors SQL UNION semantics)
-    return out.distinct()
+    cand = sub.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("b0").alias("bucket")),
+                F.struct(F.lit(1).alias("band"), F.col("b1").alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select("vec_id", "embedding", "nrm", "bb.band", "bb.bucket")
+    pairs = cand.groupBy("band", "bucket").applyInPandas(
+        bucket_pairs, schema="a_id long, b_id long, cos_sim double"
+    )
+    # a pair found by both bands carries bit-identical cos_sim from the
+    # identical accumulation, so distinct() is an exact dedup (mirrors
+    # the oracle's UNION semantics)
+    return pairs.distinct()
