@@ -41,6 +41,8 @@ HEADLINE = [
     "embedding_near_dup_pairs",
     "ann_ivf_probe_topk",
     "token_stats",
+    "bpe_token_stats",
+    "rolling_fingerprint",
     "augmentation_counts",
     "media_metadata",
 ]

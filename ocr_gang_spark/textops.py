@@ -531,6 +531,114 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A BPE-ish pre-tokenizer: the GPT-2 pattern family's shape (optional
+# leading space + letter run | digit run | punctuation run) minus the
+# lookarounds, which RE2 (DuckDB) does not support.  The alternatives
+# are prefix-disjoint, so Java-regex (Spark) and RE2 leftmost-first
+# matching produce identical token streams.
+_BPE_PAT = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@register(
+    "bpe_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(text, '{_BPE_PAT}') AS bt
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(bt) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(bt)) AS BIGINT) AS n_distinct_bpe,
+           CAST(list_sum(list_transform(bt, x -> length(x))) AS BIGINT) AS sum_bpe_len
+    FROM t
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-style token counting with a BPE-ish regex tokenizer
+    (complements the whitespace tokenizer in `token_stats`); in-row,
+    no shuffle.  The token array is materialized in its own projection
+    (split-in-lambda trap, see _shingles_of)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)").alias("bt"),
+        )
+        .select(
+            "doc_id",
+            F.size("bt").cast("bigint").alias("n_bpe_tokens"),
+            F.size(F.array_distinct("bt")).cast("bigint").alias("n_distinct_bpe"),
+            F.aggregate(
+                F.col("bt"), F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+            ).alias("sum_bpe_len"),
+        )
+    )
+
+
+# Rolling-hash fingerprinting (Rabin-Karp over 4-token windows): each
+# window's polynomial hash h = ((t0*B + t1)*B + t2)*B + t3 (mod M) over
+# the md5 token hashes, reduced per step so intermediates stay < 2^36
+# (no int64 overflow in either engine).  B=31, M=2^31-1.
+_RFP_B, _RFP_M, _RFP_W = 31, 2147483647, 4
+
+
+def _rfp_duck() -> str:
+    t = [f"(hl[i+{k}] % {_RFP_M})" for k in range(_RFP_W)]
+    h = t[0]
+    for k in range(1, _RFP_W):
+        h = f"(({h} * {_RFP_B} + {t[k]}) % {_RFP_M})"
+    return f"""
+    WITH {_HL_CTE_DUCK},
+    w AS (SELECT doc_id,
+                 CASE WHEN len(hl) >= {_RFP_W}
+                      THEN list_transform(range(1, len(hl) - {_RFP_W - 2}), i -> {h})
+                      ELSE CAST([] AS BIGINT[]) END AS wh
+          FROM hl_t)
+    SELECT doc_id,
+           CAST(len(wh) AS BIGINT) AS n_windows,
+           CAST(len(list_distinct(wh)) AS BIGINT) AS n_distinct_windows,
+           list_min(wh) AS fp_min,
+           CASE WHEN len(wh) > 0 THEN list_sum(wh) % {_RFP_M} ELSE NULL END AS fp_sum
+    FROM w
+    """
+
+
+@register("rolling_fingerprint", _rfp_duck())
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via rolling window hashes (the winnowing
+    building block): per-doc min / sum / distinct-count of the 4-token
+    Rabin-Karp hashes.  In-row over the materialized token-hash array —
+    zero shuffle; integer-exact across engines."""
+    (docs,) = load(spark, sf_dir, "documents")
+    hl = F.col("hl")
+
+    def whash(i):
+        h = F.element_at(hl, i) % _RFP_M
+        for k in range(1, _RFP_W):
+            h = (h * _RFP_B + F.element_at(hl, i + k) % _RFP_M) % _RFP_M
+        return h
+
+    n = F.size(hl)
+    wh = F.when(
+        n >= _RFP_W, F.transform(F.sequence(F.lit(1), n - (_RFP_W - 1)), whash)
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        _with_token_hashes(docs)
+        .select("doc_id", wh.alias("wh"))
+        .select(
+            "doc_id",
+            F.size("wh").cast("bigint").alias("n_windows"),
+            F.size(F.array_distinct("wh")).cast("bigint").alias("n_distinct_windows"),
+            F.array_min("wh").alias("fp_min"),
+            F.when(
+                F.size("wh") > 0,
+                F.aggregate(
+                    F.col("wh"), F.lit(0).cast("bigint"), lambda a, x: a + x
+                )
+                % _RFP_M,
+            ).alias("fp_sum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search (brute-force baseline + per-label ANN + near-dup)
 # ---------------------------------------------------------------------------
