@@ -77,6 +77,33 @@ def test_jaccard_rarity_filter_precedes_postings_collect(spark):
     assert plan.index("collect_list") < plan.index("LeftSemi")
 
 
+def test_jaccard_splits_text_once_per_branch(spark):
+    """CSE guard: the shingle pipeline must split the text exactly once
+    per scan branch.  Catalyst neither CSEs subexpressions into lambda
+    bodies nor stops the explode's synthesized size()>0 pre-filter from
+    being pushed (and re-inlined) below the materializing projections —
+    both regressions reintroduce an O(tokens x shingles)-per-row
+    re-split that measured ~7x on the whole query."""
+    from ocr_gang_spark.textops import jaccard_candidate_pairs
+
+    plan = plan_of(jaccard_candidate_pairs(spark, SF), mode="formatted")
+    # two scan branches (postings side + rarity side) => exactly two
+    # split calls in the whole plan
+    assert plan.count("split(text") == 2, plan.count("split(text")
+
+
+def test_near_dup_is_grouped_not_self_joined(spark):
+    """The LSH near-dup must pair within bucket GROUPS (one grouped
+    Python stage after one shuffle), never via embedding-carrying
+    self-joins: a join re-runs the Python prep per side and ships
+    O(pairs x dim) through the exchange."""
+    from ocr_gang_spark.textops import embedding_near_dup_pairs
+
+    plan = plan_of(embedding_near_dup_pairs(spark, SF), mode="simple")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+
+
 def test_ann_ivf_broadcasts_coarse_index(spark):
     """The probed IVF search must broadcast the small sides (reps,
     probe key, query vector) into the embeddings scan, never the
