@@ -56,8 +56,8 @@ def encode_media_blob(rgb: np.ndarray) -> bytes:
 def decode_media_blob(data: bytes) -> np.ndarray:
     """Decode a media blob with format autodetect (the Spark analog of
     the reference's IMG_Load sniffing, our_sdl.c:20-31): raw BMP ('BM'
-    magic), PNG, zlib-wrapped BMP (0x78 first byte), or JPEG (clear
-    error — no DCT decoder without codec libs).  Raises ValueError on
+    magic), PNG, JPEG (hand-rolled baseline grayscale codec, jpeg.py),
+    or zlib-wrapped BMP (0x78 first byte).  Raises ValueError on
     anything else."""
     if data[:2] == b"BM":
         return decode_bmp(data)
@@ -66,7 +66,10 @@ def decode_media_blob(data: bytes) -> np.ndarray:
 
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
-        raise ValueError("JPEG decode unsupported (no codec libraries; see png.py)")
+        from .jpeg import decode_jpeg_gray
+
+        gray = decode_jpeg_gray(data)
+        return np.ascontiguousarray(np.repeat(gray[:, :, None], 3, axis=2))
     if data[:1] == b"\x78":
         return decode_bmp(zlib.decompress(data))
     raise ValueError("unknown media blob format")

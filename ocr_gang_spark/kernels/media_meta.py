@@ -7,7 +7,7 @@ are chosen to be fully decodable with stdlib + NumPy — every path is
 REAL (no stubbed decodes):
 
 * image metadata — header sniffing for the blob formats the pipeline
-  carries (BMP / zlib-BMP / PNG), without decoding pixel data;
+  carries (BMP / zlib-BMP / PNG / JPEG), without decoding pixel data;
 * audio — canonical WAV (RIFF PCM16 mono), ~60 lines of struct codec;
   features are plain DSP (RMS, zero-crossing rate);
 * video — a minimal framed container ("OGVF": magic, frame count,
@@ -16,8 +16,9 @@ REAL (no stubbed decodes):
   the access pattern that matters at scale (decode cost proportional
   to frames *kept*, not frames stored).
 
-JPEG/H.264-class formats would need codec libraries; their blobs are
-detected and rejected with a clear error (see bmp.decode_media_blob).
+Baseline grayscale JPEG is hand-rolled in jpeg.py (encoder + decoder);
+H.264-class video codecs would need real libraries and stay out of
+scope — the OGVF container models the framed-access pattern instead.
 """
 
 from __future__ import annotations
@@ -50,7 +51,13 @@ def sniff_media_meta(blob: bytes) -> Tuple[str, int, int]:
         w, h = struct.unpack_from("<ii", head, 18)
         return "bmp-zlib", int(w), abs(int(h))
     if blob[:2] == b"\xff\xd8":
-        return "jpeg", -1, -1  # detected, not decodable here
+        from .jpeg import jpeg_dims
+
+        try:
+            h, w = jpeg_dims(blob)
+        except (ValueError, struct.error):
+            return "jpeg", -1, -1  # detected; header truncated/foreign
+        return "jpeg", w, h
     if blob[:4] == b"OGVF":
         n_frames, w, h = struct.unpack_from("<III", blob, 4)
         return "ogvf", int(w), int(h)

@@ -13,9 +13,9 @@ row filters (None/Sub/Up/Average/Paeth).  The encoder emits color type
 page bitmaps are vertically repetitive), which also keeps the decode
 fast path fully vectorized.
 
-JPEG remains out of scope: a conformant DCT decoder is far outside
-"~100 LoC with stdlib" and no codec lib exists here; ``decode_media_blob``
-raises a clear ValueError on the JPEG magic instead of mis-decoding.
+Baseline grayscale JPEG is hand-rolled in the sibling ``jpeg.py``
+(encoder + Huffman/DCT decoder); ``decode_media_blob`` dispatches the
+JPEG magic there.
 """
 
 from __future__ import annotations

@@ -30,6 +30,7 @@ from pyspark.sql import types as T
 
 from .atlas import page_for_ref, random_text
 from .kernels.bmp import encode_media_blob
+from .kernels.jpeg import encode_jpeg_gray
 from .kernels.png import encode_png
 
 SPAN_STRUCT = T.StructType(
@@ -156,13 +157,20 @@ def synth_media(spark: SparkSession, docs: DataFrame, partitions: int | None = N
 
 def blob_for_ref(ref: str) -> bytes:
     """Render + encode one media blob.  Deterministic format mix: ~1/4
-    of refs encode as PNG (the autodetect decode path must run under
-    every pipeline test and driver query, mirroring the reference's
-    mixed BMP/PNG sample set), the rest as zlib-wrapped BMP."""
+    of refs encode as PNG, ~1/16 as baseline grayscale JPEG, the rest
+    as zlib-wrapped BMP — the full autodetect decode surface
+    (reference's IMG_Load handles BMP/PNG/JPG) runs under every
+    pipeline test and driver query.  The JPEG slice is deliberately
+    thin: its entropy decode is a sequential Python loop (~10ms/page vs
+    ~4ms for the whole OCR of a lossless page), and q92 reconstruction
+    is binarize-exact on this corpus (pinned by tests/test_jpeg.py), so
+    extraction output is bit-identical across the mix."""
     rgb = page_for_ref(ref)[1]
     digest = hashlib.sha256(("fmt:" + ref).encode()).digest()
     if digest[0] % 4 == 0:
         return encode_png(rgb, level=1)
+    if digest[0] % 16 == 1:
+        return encode_jpeg_gray(np.ascontiguousarray(rgb[:, :, 0]), 92)
     return encode_media_blob(rgb)
 
 
