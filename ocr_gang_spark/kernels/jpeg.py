@@ -128,37 +128,28 @@ def _quality_table(quality: int) -> np.ndarray:
     return np.clip(q, 1, 255)
 
 
-class _BitWriter:
-    def __init__(self):
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def put(self, code: int, length: int) -> None:
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.nbits -= 8
-            self.buf.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.buf.append(0x00)
-
-    def flush(self) -> bytes:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.put((1 << pad) - 1, pad)  # pad with 1-bits
-        return bytes(self.buf)
-
-
-def _magnitude(v: int):
-    """(category, value-bits) for a DC diff / AC coefficient."""
-    if v == 0:
-        return 0, 0
-    a = v if v > 0 else -v
-    size = a.bit_length()
-    bits = v if v > 0 else v + (1 << size) - 1  # one's complement for <0
-    return size, bits
+def _pack_fields(vals, lens) -> bytes:
+    """Vectorized MSB-first bit packing of (value, bit-length) fields,
+    1-padded to a byte boundary, with 0xFF byte stuffing.  The encoder
+    emits ~20k fields per noisy page; a per-symbol Python bit writer
+    measured 4.7us/field — this packs the whole stream in a handful of
+    NumPy passes instead."""
+    lens = np.asarray(lens, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.uint64)
+    starts = np.cumsum(lens) - lens
+    total = int(starts[-1] + lens[-1]) if len(lens) else 0
+    reps = np.repeat(np.arange(len(lens)), lens)
+    offs = np.arange(total) - np.repeat(starts, lens)
+    shift = (lens[reps] - 1 - offs).astype(np.uint64)
+    bits = ((vals[reps] >> shift) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, dtype=np.uint8)])
+    raw = np.packbits(bits)
+    stuff = np.nonzero(raw == 0xFF)[0]
+    if len(stuff):
+        raw = np.insert(raw, stuff + 1, 0)
+    return raw.tobytes()
 
 
 def encode_jpeg_gray(img: np.ndarray, quality: int = 92) -> bytes:
@@ -177,37 +168,44 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 92) -> bytes:
     quant = np.round(coef / q).astype(np.int64)
     zz = quant.reshape(nh * nw, 64)[:, ZIGZAG]  # scan order per block
 
-    bw = _BitWriter()
+    # Field generation: plain-int Python over NONZERO coefficients only
+    # (appends into parallel lists), then one vectorized packing pass.
+    dc_enc, ac_enc, zrl, eob = _DC_ENC, _AC_ENC, _AC_ENC[0xF0], _AC_ENC[0x00]
+    vals: list = []
+    lens: list = []
     prev_dc = 0
-    for blk in zz:
-        diff = int(blk[0]) - prev_dc
-        prev_dc = int(blk[0])
-        size, bits = _magnitude(diff)
-        code, length = _DC_ENC[size]
-        bw.put(code, length)
+    nz_b, nz_k = np.nonzero(zz[:, 1:])
+    nz_splits = np.searchsorted(nz_b, np.arange(1, zz.shape[0]))
+    nz_k_list = np.split(nz_k + 1, nz_splits)
+    for blk, nz in zip(zz.tolist(), nz_k_list):
+        diff = blk[0] - prev_dc
+        prev_dc = blk[0]
+        size = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        code, length = dc_enc[size]
+        vals.append(code)
+        lens.append(length)
         if size:
-            bw.put(bits, size)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
+            vals.append(diff if diff > 0 else diff + (1 << size) - 1)
+            lens.append(size)
+        prev = 0
+        for k in nz.tolist():
+            run = k - prev - 1
+            prev = k
             while run >= 16:
-                code, length = _AC_ENC[0xF0]  # ZRL
-                bw.put(code, length)
+                vals.append(zrl[0])
+                lens.append(zrl[1])
                 run -= 16
-            size, bits = _magnitude(v)
-            code, length = _AC_ENC[(run << 4) | size]
-            bw.put(code, length)
-            bw.put(bits, size)
-            run = 0
-        if last < 63:
-            code, length = _AC_ENC[0x00]  # EOB
-            bw.put(code, length)
-    entropy = bw.flush()
+            v = blk[k]
+            size = v.bit_length() if v > 0 else (-v).bit_length()
+            code, length = ac_enc[(run << 4) | size]
+            vals.append(code)
+            lens.append(length)
+            vals.append(v if v > 0 else v + (1 << size) - 1)
+            lens.append(size)
+        if prev < 63:
+            vals.append(eob[0])
+            lens.append(eob[1])
+    entropy = _pack_fields(vals, lens)
 
     qzz = q.reshape(64)[ZIGZAG].astype(np.uint8)  # DQT stores scan order
     out = bytearray()
