@@ -101,8 +101,10 @@ def test_media_blob_autodetects_png():
     assert np.array_equal(decode_media_blob(encode_png(page)), page)
 
 
-def test_jpeg_magic_is_a_clear_error():
-    with pytest.raises(ValueError, match="JPEG"):
+def test_truncated_jpeg_is_a_clear_error():
+    # the JPEG magic now dispatches to kernels/jpeg.py; garbage after
+    # the magic must still fail loudly, never mis-decode
+    with pytest.raises(ValueError):
         decode_media_blob(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
@@ -120,11 +122,15 @@ def test_interlaced_rejected():
         decode_png(data)
 
 
-def test_synth_blob_mix_contains_both_formats():
+def test_synth_blob_mix_contains_all_formats():
     from ocr_gang_spark.synth import blob_for_ref
 
     fmts = set()
-    for i in range(24):
+    for i in range(64):
         b = blob_for_ref(f"m42-doc-{i:08d}-1")
-        fmts.add("png" if b[:8] == _MAGIC else "bmp")
-    assert fmts == {"png", "bmp"}
+        fmts.add(
+            "png" if b[:8] == _MAGIC
+            else "jpeg" if b[:2] == b"\xff\xd8"
+            else "bmp"
+        )
+    assert fmts == {"png", "jpeg", "bmp"}
