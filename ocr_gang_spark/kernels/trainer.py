@@ -21,10 +21,13 @@ reference ``TrainNetwork`` loop (training.c:148-280) structurally:
   early stop after 30 epochs without val improvement (:265-269),
   best-val weights kept (:246-252) — T7.
 
-Deviation (documented): the reference updates per sample; we update per
-minibatch (the batched-kernel analog — per-sample SGD is inherently
-serial, SURVEY.md §2.5 T4) and gate convergence on 100% train AND val
-accuracy, since the fixture contract is exact classification.
+The FIXTURE trainer updates per minibatch (the batched-kernel analog —
+per-sample SGD is inherently serial, SURVEY.md §2.5 T4) and gates
+convergence on 100% train AND val accuracy, since the fixture contract
+is exact classification.  The reference's exact per-sample granularity
+— including its skip-row Adam moment freezing and training dropout 0.3
+— is implemented faithfully by ``ReferenceSGDNet`` /
+``train_ocr_per_sample`` below (T4 parity path, pinned by tests).
 
 Training is an offline fixture-generating step (scripts/make_fixtures.py),
 not part of the Spark pipeline.
@@ -284,3 +287,187 @@ def _adam_state(a: _Adam) -> dict:
         "t": a.t, "b1t": a.b1t, "b2t": a.b2t,
         "m": [m.copy() for m in a.m], "v": [v.copy() for v in a.v],
     }
+
+
+class ReferenceSGDNet:
+    """T4 at the reference's exact per-sample granularity
+    (back_propagation, network.c:268-371).
+
+    This is the un-batched reference update, reproduced to the branch
+    level — one Adam step per SAMPLE — including the semantics the
+    minibatch fixture trainer above cannot express:
+
+    * **skip-row moment freezing**: hidden-weight rows with
+      ``input[i] == 0.0`` (network.c:345) and output-weight rows with
+      ``hidden[h] == 0.0`` (network.c:315) skip the whole Adam update,
+      so their m/v moments do NOT decay that step — unlike a batched
+      step, which decays every moment every step;
+    * **training dropout 0.3** (network.c:199, OCR ``O > 1`` branch):
+      Bernoulli keep ``rand()/RAND_MAX > rate`` with inverted scaling
+      applied to the activations (network.c:229-240) AND again to
+      ``delta_hidden`` (network.c:296-298) — the double-scale quirk is
+      reproduced as-is, not "fixed";
+    * ``delta_input`` for the CNN computed from the PRE-update hidden
+      weights (network.c:301-309 runs before the weight updates);
+    * init = He-uniform hidden (bias 0.01), Xavier-uniform output
+      (bias 0), per initialization() network.c:152-200.
+
+    Documented deviation: the RNG is ``np.random.Generator`` rather
+    than C ``rand()`` (the reference seeds with ``srand(time)``,
+    main.c:161, so its exact stream is non-reproducible anyway).
+    """
+
+    def __init__(
+        self,
+        n_inputs: int = FLATTEN_SIZE,
+        hidden: int = HIDDEN,
+        outputs: int = OUTPUTS,
+        seed: int = TRAIN_SEED,
+        eta: float = 0.001,
+    ):
+        rng = np.random.default_rng(seed)
+        self.rng = rng
+        self.w1 = _he_uniform(rng, n_inputs, (n_inputs, hidden))
+        self.b1 = np.full(hidden, 0.01)  # anti-dead-ReLU bias, network.c:169-171
+        xav = np.sqrt(6.0 / (hidden + outputs))  # tools.c:203-207
+        self.w2 = rng.uniform(-xav, xav, (hidden, outputs))
+        self.b2 = np.zeros(outputs)
+        self.eta = eta
+        self.dropout_rate = 0.3 if outputs > 1 else 0.0  # network.c:199
+        self.is_training = True
+        self.t = 0
+        self.b1t = self.b2t = 1.0
+        self.m_w1, self.v_w1 = np.zeros_like(self.w1), np.zeros_like(self.w1)
+        self.m_b1, self.v_b1 = np.zeros_like(self.b1), np.zeros_like(self.b1)
+        self.m_w2, self.v_w2 = np.zeros_like(self.w2), np.zeros_like(self.w2)
+        self.m_b2, self.v_b2 = np.zeros_like(self.b2), np.zeros_like(self.b2)
+
+    def forward(self, x: np.ndarray):
+        """forward_pass (network.c:204-265), single sample."""
+        pre = x @ self.w1 + self.b1
+        hid = np.where(pre > 0, pre, 0.01 * pre)  # leaky relu tools.c:154-158
+        if self.is_training and self.dropout_rate > 0.0:
+            keep = (self.rng.random(hid.shape) > self.dropout_rate).astype(np.float64)
+            self.dropout_mask = keep
+            hid = hid * keep / (1.0 - self.dropout_rate)  # network.c:229-240
+        probs = softmax((hid @ self.w2 + self.b2)[None, :])[0]
+        return pre, hid, probs
+
+    def _adam_row(self, w, m, v, grad, rows, eta: float) -> None:
+        """Adam over a row subset; skipped rows freeze weights AND moments."""
+        m[rows] = 0.9 * m[rows] + 0.1 * grad[rows]
+        v[rows] = 0.999 * v[rows] + 0.001 * grad[rows] * grad[rows]
+        m_hat = m[rows] / (1.0 - self.b1t)
+        v_hat = v[rows] / (1.0 - self.b2t)
+        w[rows] -= eta * m_hat / (np.sqrt(v_hat) + 1e-8)
+
+    def train_step(self, x: np.ndarray, goal_idx: int):
+        """One per-sample forward + back_propagation; returns
+        ``(delta_input, probs)`` — delta_input is what the reference loop
+        feeds to cnn_backward (training.c:235), probs is the training
+        forward's output (the reference counts epoch accuracy from this
+        same pass, training.c:230-231)."""
+        pre, hid, probs = self.forward(x)
+
+        delta_out = probs.copy()
+        delta_out[goal_idx] -= 1.0  # softmax+CE, network.c:284-285
+        delta_hid = (self.w2 @ delta_out) * np.where(pre > 0, 1.0, 0.01)
+        if self.is_training and self.dropout_rate > 0.0:
+            # gradient masked AND re-scaled — the reference's double
+            # application of the inverted-dropout scale (network.c:296-298)
+            delta_hid *= self.dropout_mask / (1.0 - self.dropout_rate)
+        # delta_input BEFORE any update (network.c:301-309)
+        delta_input = self.w1 @ delta_hid
+
+        self.t += 1
+        self.b1t *= 0.9
+        self.b2t *= 0.999
+
+        # output weights: rows with hid==0 (dropped or ReLU-dead) skipped
+        self._adam_row(self.w2, self.m_w2, self.v_w2,
+                       np.outer(hid, delta_out), hid != 0.0, self.eta)
+        self._adam_row(self.b2[None], self.m_b2[None], self.v_b2[None],
+                       delta_out[None], np.array([True]), self.eta)
+        # hidden weights: rows with input==0 skipped (network.c:345)
+        self._adam_row(self.w1, self.m_w1, self.v_w1,
+                       np.outer(x, delta_hid), x != 0.0, self.eta)
+        self._adam_row(self.b1[None], self.m_b1[None], self.v_b1[None],
+                       delta_hid[None], np.array([True]), self.eta)
+        return delta_input, probs
+
+
+def train_ocr_per_sample(
+    seed: int = TRAIN_SEED,
+    max_epochs: int = 60,
+    n_noise: int = 2,
+    patience: int = PATIENCE,
+):
+    """TrainNetwork (training.c:148-280) at reference granularity: the
+    per-sample CNN+MLP joint loop — cnn_forward → forward_pass →
+    back_propagation → cnn_backward(delta_input, eta*0.1) per sample —
+    with epoch shuffle (T3), LR ×0.8 every 50 epochs, early stop, and
+    save-best-on-val (T7).  Small-dataset miniature used by tests to pin
+    the per-sample path; the committed fixture weights come from the
+    batched trainer above (speed — documented deviation there).
+
+    Returns ``(net, filters, conv_biases, best_val, history)``.
+    """
+    rng = np.random.default_rng(seed + 7)
+    base = class_matrices()
+    xs = [base]
+    ys = [np.arange(OUTPUTS)]
+    if n_noise:
+        nx, ny = noisy_class_matrices(n_noise, seed=seed + 8, rate_lo=0.02, rate_hi=0.08)
+        xs.append(nx)
+        ys.append(ny)
+    x, y = np.concatenate(xs), np.concatenate(ys)
+    val_x, val_y = base, np.arange(OUTPUTS)
+
+    net = ReferenceSGDNet(seed=seed)
+    filters = _he_uniform(rng, CONV_SIZE * CONV_SIZE, (NUM_FILTERS, CONV_SIZE, CONV_SIZE))
+    conv_biases = np.zeros(NUM_FILTERS)
+    cnn_adam = _Adam([filters, conv_biases])
+
+    best = None
+    best_val = -1.0
+    without_improvement = 0
+    history = []
+    n = x.shape[0]
+
+    def val_accuracy() -> float:
+        net.is_training = False  # set_training_mode(net, 0), training.c:134
+        flat, _, _ = cnn_forward_train(val_x, filters, conv_biases)
+        hid = flat @ net.w1 + net.b1
+        hid = np.where(hid > 0, hid, 0.01 * hid)
+        acc = float(np.mean(np.argmax(hid @ net.w2 + net.b2, axis=1) == val_y))
+        net.is_training = True  # training.c:144
+        return acc
+
+    for epoch in range(max_epochs):
+        perm = net.rng.permutation(n)  # shuffle(indices), training.c:209
+        correct = 0
+        for idx in perm:
+            flat, conv, midx = cnn_forward_train(x[idx][None], filters, conv_biases)
+            delta_input, probs = net.train_step(flat[0], int(y[idx]))
+            fg, bg = cnn_backward_grads(x[idx][None], conv, midx, delta_input[None])
+            cnn_adam.step([filters, conv_biases], [fg, bg], net.eta * 0.1)
+            if np.argmax(probs) == y[idx]:
+                correct += 1
+        val_acc = val_accuracy()
+        history.append((correct / n, val_acc))
+        if val_acc > best_val:
+            best_val = val_acc
+            without_improvement = 0
+            best = [p.copy() for p in (net.w1, net.b1, net.w2, net.b2, filters, conv_biases)]
+        else:
+            without_improvement += 1
+        if (epoch + 1) % LR_DECAY_PERIOD == 0 and net.eta > 1e-5:
+            net.eta *= 0.8  # training.c:259-262
+        if without_improvement >= patience:
+            break
+        if val_acc == 1.0:
+            break
+
+    if best is not None:
+        net.w1, net.b1, net.w2, net.b2, filters, conv_biases = best
+    return net, filters, conv_biases, best_val, history

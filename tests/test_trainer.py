@@ -39,3 +39,99 @@ def test_margin_beyond_renderer_noise(weights):
 
 def test_canonical_classes_exact(weights):
     assert "".join(classify(class_matrices(), weights)) == "".join(CLASS_CHARS)
+
+
+# ---------------------------------------------------------------------------
+# T4 per-sample parity path (ReferenceSGDNet / train_ocr_per_sample):
+# the reference's exact update granularity — back_propagation
+# (network.c:268-371) one Adam step per sample — including the skip-row
+# moment freezing and training-dropout semantics the batched fixture
+# trainer cannot express.
+# ---------------------------------------------------------------------------
+
+from ocr_gang_spark.kernels.trainer import (  # noqa: E402
+    ReferenceSGDNet,
+    train_ocr_per_sample,
+)
+
+
+def _small_net(dropout: float = 0.0) -> ReferenceSGDNet:
+    net = ReferenceSGDNet(n_inputs=6, hidden=4, outputs=3, seed=11)
+    net.dropout_rate = dropout
+    return net
+
+
+def test_persample_zero_input_rows_freeze_weights_and_moments():
+    """network.c:345 `if (in_i == 0.0) continue` skips the WHOLE Adam
+    update for that hidden-weight row — weights and m/v moments stay
+    frozen (a batched step would decay every moment every step)."""
+    net = _small_net()
+    x = np.array([0.5, 0.0, 1.25, 0.0, 2.0, 0.75])
+    w1_before = net.w1.copy()
+    net.train_step(x, 1)  # prime nonzero moments everywhere touched
+    net.train_step(np.full(6, 0.3), 2)  # now every row has moments
+    m_before, v_before, w_before = net.m_w1.copy(), net.v_w1.copy(), net.w1.copy()
+    net.train_step(x, 0)
+    zero_rows = x == 0.0
+    assert np.array_equal(net.w1[zero_rows], w_before[zero_rows])
+    assert np.array_equal(net.m_w1[zero_rows], m_before[zero_rows])
+    assert np.array_equal(net.v_w1[zero_rows], v_before[zero_rows])
+    assert not np.array_equal(net.w1[~zero_rows], w_before[~zero_rows])
+    assert not np.array_equal(net.m_w1[~zero_rows], m_before[~zero_rows])
+    # hidden BIAS updates unconditionally (network.c:361-370)
+    assert net.w1 is not None and not np.array_equal(w1_before, net.w1)
+
+
+def test_persample_dropout_freezes_dropped_output_rows():
+    """Dropped neurons (hid == 0 after masking) skip the output-weight
+    Adam update (network.c:315 `if (hid_h == 0.0) continue`), and
+    delta_hidden is masked AND re-scaled by 1/(1-rate) on top of the
+    forward scaling (network.c:296-298) — reproduced, not 'fixed'."""
+    net = _small_net(dropout=0.5)
+    x = np.array([0.5, 0.3, 1.25, 0.7, 2.0, 0.75])
+    import copy
+
+    for trial in range(20):
+        m_before, w_before = net.m_w2.copy(), net.w2.copy()
+        # replicate the mask the step will draw by copying the bit stream
+        rng_copy = copy.deepcopy(net.rng)
+        pre = x @ net.w1 + net.b1
+        mask = (rng_copy.random(pre.shape) > net.dropout_rate).astype(float)
+        net.train_step(x, trial % 3)
+        dropped = mask == 0.0
+        if dropped.any() and (~dropped).any():
+            assert np.array_equal(net.w2[dropped], w_before[dropped])
+            assert np.array_equal(net.m_w2[dropped], m_before[dropped])
+            assert not np.array_equal(net.w2[~dropped], w_before[~dropped])
+            return
+    raise AssertionError("no trial produced a mixed dropout mask")
+
+
+def test_persample_delta_input_matches_preupdate_math():
+    """delta_input must be computed from the PRE-update hidden weights
+    (network.c:301-309 runs before any Adam update) and equal
+    W1 @ (dRelu-gated backprop of the softmax+CE delta)."""
+    net = _small_net()
+    x = np.array([0.5, -0.3, 1.25, 0.7, -2.0, 0.75])
+    w1, b1, w2, b2 = (p.copy() for p in (net.w1, net.b1, net.w2, net.b2))
+    delta_input, probs = net.train_step(x, 2)
+    pre = x @ w1 + b1
+    hid = np.where(pre > 0, pre, 0.01 * pre)
+    z = hid @ w2 + b2
+    e = np.exp(z - z.max())
+    p = e / e.sum()
+    assert np.allclose(p, probs)
+    dout = p.copy()
+    dout[2] -= 1.0
+    dhid = (w2 @ dout) * np.where(pre > 0, 1.0, 0.01)
+    assert np.allclose(delta_input, w1 @ dhid)
+
+
+def test_persample_ocr_training_converges():
+    """TrainNetwork-shaped per-sample CNN+MLP loop (training.c:148-280)
+    reaches val accuracy 1.0 on the glyph miniature — T4 at reference
+    granularity actually trains, dropout 0.3 and all."""
+    net, filters, conv_biases, best_val, history = train_ocr_per_sample(max_epochs=25)
+    assert best_val == 1.0
+    assert net.dropout_rate == 0.3  # network.c:199 (O > 1)
+    assert len(history) <= 25
