@@ -152,3 +152,41 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="video_ref string, n_frames int, width int, height int, "
         "n_sampled int, n_ink_sampled bigint",
     )
+
+
+N_PDF = 96
+
+
+@register(
+    "pdf_layout_spans",
+    f"SELECT pdf_ref, page, line_no, x, y, text "
+    f"FROM read_parquet('{_FIXTURES}/expected_pdf.parquet')",
+)
+def pdf_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout parse (north_rule): stdlib-only PDF object scan +
+    page-tree walk + content-stream text extraction with the pinned
+    layout spec (kernels/pdf.py) — one row per text line with its
+    text-space (x, y).  Fixed 96-ref sample set, blobs a pure function
+    of the ref (plain and FlateDecode streams, Tj/TJ/hex/escape mix)."""
+
+    def extract(batches):
+        from .kernels.pdf import extract_pdf_layout, synth_pdf_blob
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                ref = f"pdf-{int(i):03d}"
+                for page, line_no, x, y, text in extract_pdf_layout(
+                    synth_pdf_blob(ref)
+                ):
+                    rows.append((ref, page, line_no, x, y, text))
+            yield pd.DataFrame(
+                rows, columns=["pdf_ref", "page", "line_no", "x", "y", "text"]
+            )
+
+    parts = max(8, spark.sparkContext.defaultParallelism)
+    return spark.range(0, N_PDF, numPartitions=parts).mapInPandas(
+        extract,
+        schema="pdf_ref string, page int, line_no int, x double, y double, "
+        "text string",
+    )

@@ -187,6 +187,20 @@ def expected_media_rows():
     return meta, audio, video
 
 
+def expected_pdf_rows():
+    """Offline run of the PDF layout kernel over the fixed 96-ref sample
+    set (pure functions of the refs; sf-independent)."""
+    from ocr_gang_spark.kernels.pdf import extract_pdf_layout, synth_pdf_blob
+    from ocr_gang_spark.media_queries import N_PDF
+
+    rows = []
+    for i in range(N_PDF):
+        ref = f"pdf-{i:03d}"
+        for page, line_no, x, y, text in extract_pdf_layout(synth_pdf_blob(ref)):
+            rows.append((ref, page, line_no, x, y, text))
+    return rows
+
+
 def main() -> None:
     all_ext, all_seg, all_dump = [], [], []
     for sf_dir in SF_DIRS:
@@ -256,6 +270,28 @@ def main() -> None:
             compression="zstd",
         )
         print(f"wrote {name}.parquet ({len(rows)} rows)")
+
+    pdf_rows = expected_pdf_rows()
+    pdf_schema = pa.schema(
+        [
+            ("pdf_ref", pa.string()),
+            ("page", pa.int32()),
+            ("line_no", pa.int32()),
+            ("x", pa.float64()),
+            ("y", pa.float64()),
+            ("text", pa.string()),
+        ]
+    )
+    cols = list(zip(*pdf_rows))
+    pq.write_table(
+        pa.table(
+            {f.name: pa.array(cols[i], type=f.type) for i, f in enumerate(pdf_schema)},
+            schema=pdf_schema,
+        ),
+        os.path.join(FIXDIR, "expected_pdf.parquet"),
+        compression="zstd",
+    )
+    print(f"wrote expected_pdf.parquet ({len(pdf_rows)} rows)")
 
     ext_schema = pa.schema(
         [
