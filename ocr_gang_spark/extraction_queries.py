@@ -216,3 +216,76 @@ def extraction_span_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_spans")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "main_content_blocks",
+    # the wrap template is relationally fixed: h1 + (doc_id%3+1) nav
+    # links + content <p> + a too-short <p> + footer = 5 + doc_id%3
+    # blocks, of which exactly the corpus-text <p> survives the
+    # pinned DOM heuristics (outside chrome, >=5 words, link density 0)
+    """
+    SELECT doc_id,
+           text AS main_text,
+           CAST(5 + doc_id % 3 AS INT) AS n_blocks,
+           CAST(1 AS INT) AS n_content,
+           CAST(doc_id % 3 + 1 AS INT) AS nav_blocks
+    FROM documents
+    """,
+)
+def main_content_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-heuristic boilerplate classification (north_rule: 'DOM
+    heuristics'): wrap each document's text in a deterministic chrome
+    template (header/h1, doc_id%3+1 nav links, a too-short paragraph,
+    a link-dense footer), then run kernels/dom_heuristics.py block
+    classification — the heuristic must keep exactly the corpus-text
+    paragraph and reject every chrome block."""
+    from .kernels.dom_heuristics import classify_blocks, extract_main_content
+
+    (docs,) = load(spark, sf_dir, "documents")
+
+    links = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int")),
+            lambda i: F.concat(
+                F.lit('<li><a href="/p'), i, F.lit('">go to page '), i,
+                F.lit("</a></li>"),
+            ),
+        ),
+    )
+    html = F.concat(
+        F.lit('<header><h1>Site <a href="/">Home</a></h1></header><nav><ul>'),
+        links,
+        F.lit("</ul></nav><div><p>"),
+        F.col("text"),
+        F.lit('</p><p>too short</p></div><footer><p>(c) corp '
+              '<a href="/t">terms</a> <a href="/y">privacy</a></p></footer>'),
+    )
+    wrapped = docs.select("doc_id", html.alias("html"))
+
+    def classify(batches):
+        for pdf in batches:
+            rows = []
+            for did, h in zip(pdf["doc_id"], pdf["html"]):
+                blocks = classify_blocks(h)
+                rows.append(
+                    (
+                        did,
+                        extract_main_content(h),
+                        len(blocks),
+                        sum(1 for b in blocks if b.is_content),
+                        sum(1 for b in blocks if b.container == "nav"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "main_text", "n_blocks", "n_content",
+                         "nav_blocks"],
+            )
+
+    return wrapped.mapInPandas(
+        classify,
+        schema="doc_id long, main_text string, n_blocks int, n_content int, "
+        "nav_blocks int",
+    )

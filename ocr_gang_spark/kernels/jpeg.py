@@ -25,6 +25,7 @@ plumbing.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -222,10 +223,17 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 92) -> bytes:
     return bytes(out)
 
 
-def _decode_lut(bits, vals):
-    """16-bit prefix lookup: peek 16 bits -> (symbol, code length)."""
-    sym = np.zeros(1 << 16, dtype=np.int16)
-    ln = np.zeros(1 << 16, dtype=np.int8)
+@functools.lru_cache(maxsize=32)
+def _decode_lut(bits: bytes, vals: bytes):
+    """16-bit prefix lookup: peek 16 bits -> packed (symbol << 8 | code
+    length) as a plain Python list (scalar list indexing beats numpy
+    scalar indexing ~3x in the sequential decode loop; one fused table
+    means one index per symbol).  Memoized on the raw DHT bytes — real
+    corpora overwhelmingly reuse the Annex K tables, so the 65536-entry
+    build (and its ndarray->list conversion, ~2.6ms) happens once per
+    distinct table, not once per image."""
+    sym = np.zeros(1 << 16, dtype=np.int32)
+    ln = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
@@ -237,7 +245,7 @@ def _decode_lut(bits, vals):
             code += 1
             k += 1
         code <<= 1
-    return sym, ln
+    return ((sym << 8) | ln).tolist()
 
 
 def _parse_headers(data: bytes, qtables: dict, htables: dict):
@@ -275,9 +283,9 @@ def _parse_headers(data: bytes, qtables: dict, htables: dict):
             b = 0
             while b < len(body):
                 cls, tid = body[b] >> 4, body[b] & 0xF
-                bits = list(body[b + 1 : b + 17])
+                bits = bytes(body[b + 1 : b + 17])
                 n = sum(bits)
-                vals = list(body[b + 17 : b + 17 + n])
+                vals = bytes(body[b + 17 : b + 17 + n])
                 htables[(cls, tid)] = _decode_lut(bits, vals)
                 b += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
@@ -332,53 +340,65 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
 
     # Entropy decode: inherently sequential, so the loop is tuned for
     # CPython — inlined MSB-first bit window (acc/nbits ints, no method
-    # calls), Huffman tables as plain lists (scalar list indexing beats
-    # numpy scalar indexing ~3x), coefficients into a flat Python list.
-    dc_sym, dc_len = (t.tolist() for t in htables[(0, dc_id)])
-    ac_sym, ac_len = (t.tolist() for t in htables[(1, ac_id)])
+    # calls), one fused memoized Huffman list per table (symbol<<8|len,
+    # a single list index per symbol), 32-bit accumulator refills, and
+    # coefficients into a flat Python list.
+    dc_tab = htables[(0, dc_id)]
+    ac_tab = htables[(1, ac_id)]
     nh, nw = (h + 7) // 8, (w + 7) // 8
     nblocks = nh * nw
     out = [0] * (nblocks * 64)
-    pad = entropy + b"\xff\xff\xff\xff"  # spec pad bits are 1s
+    pad = entropy + b"\xff" * 8  # spec pad bits are 1s
+    npad = len(entropy)
     acc = nbits = p = 0
     prev_dc = 0
     try:
         for base in range(0, nblocks * 64, 64):
-            while nbits < 16:
-                acc = (acc << 8) | pad[p]
-                p += 1
-                nbits += 8
-            acc &= (1 << nbits) - 1
-            pk = acc >> (nbits - 16)
-            size = dc_sym[pk]
-            length = dc_len[pk]
+            if nbits < 16:
+                if p >= npad + 4:
+                    raise ValueError("truncated entropy stream")
+                acc = ((acc << 32) | int.from_bytes(pad[p : p + 4], "big")) & (
+                    (1 << (nbits + 32)) - 1
+                )
+                p += 4
+                nbits += 32
+            e = dc_tab[acc >> (nbits - 16)]
+            length = e & 0xFF
             if length == 0:
                 raise ValueError("corrupt entropy stream (DC)")
+            size = e >> 8
             nbits -= length
+            acc &= (1 << nbits) - 1
             if size:
-                while nbits < size:
-                    acc = (acc << 8) | pad[p]
-                    p += 1
-                    nbits += 8
-                acc &= (1 << nbits) - 1
+                if nbits < size:
+                    if p >= npad + 4:
+                        raise ValueError("truncated entropy stream")
+                    acc = (acc << 32) | int.from_bytes(pad[p : p + 4], "big")
+                    p += 4
+                    nbits += 32
                 v = acc >> (nbits - size)
                 nbits -= size
+                acc &= (1 << nbits) - 1
                 # T.81 EXTEND: value bits -> signed coefficient
                 prev_dc += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
             out[base] = prev_dc
             k = 1
             while k < 64:
-                while nbits < 16:
-                    acc = (acc << 8) | pad[p]
-                    p += 1
-                    nbits += 8
-                acc &= (1 << nbits) - 1
-                pk = acc >> (nbits - 16)
-                rs = ac_sym[pk]
-                length = ac_len[pk]
+                if nbits < 16:
+                    if p >= npad + 4:
+                        raise ValueError("truncated entropy stream")
+                    acc = ((acc << 32) | int.from_bytes(pad[p : p + 4], "big")) & (
+                        (1 << (nbits + 32)) - 1
+                    )
+                    p += 4
+                    nbits += 32
+                e = ac_tab[acc >> (nbits - 16)]
+                length = e & 0xFF
                 if length == 0:
                     raise ValueError("corrupt entropy stream (AC)")
+                rs = e >> 8
                 nbits -= length
+                acc &= (1 << nbits) - 1
                 if rs == 0x00:  # EOB
                     break
                 if rs == 0xF0:  # ZRL
@@ -388,13 +408,15 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 size = rs & 0xF
                 if k > 63:
                     raise ValueError("AC run past block end")
-                while nbits < size:
-                    acc = (acc << 8) | pad[p]
-                    p += 1
-                    nbits += 8
-                acc &= (1 << nbits) - 1
+                if nbits < size:
+                    if p >= npad + 4:
+                        raise ValueError("truncated entropy stream")
+                    acc = (acc << 32) | int.from_bytes(pad[p : p + 4], "big")
+                    p += 4
+                    nbits += 32
                 v = acc >> (nbits - size)
                 nbits -= size
+                acc &= (1 << nbits) - 1
                 out[base + k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
                 k += 1
     except IndexError:
