@@ -45,6 +45,8 @@ HEADLINE = [
     "rolling_fingerprint",
     "augmentation_counts",
     "media_metadata",
+    "pdf_layout_spans",
+    "main_content_blocks",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND
