@@ -43,6 +43,7 @@ HEADLINE = [
     "token_stats",
     "bpe_token_stats",
     "rolling_fingerprint",
+    "winnow_fingerprints",
     "augmentation_counts",
     "media_metadata",
     "pdf_layout_spans",

@@ -947,3 +947,106 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical accumulation, so distinct() is an exact dedup (mirrors
     # the oracle's UNION semantics)
     return pairs.distinct()
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003): slide a window of
+# WINNOW_W consecutive rolling hashes and keep each window's minimum,
+# ties broken by the RIGHTMOST occurrence (the paper's rule); identical
+# selections from overlapping windows dedupe to one fingerprint.
+# Selection stays in-row (zero shuffle); (pos, hash) pairs are packed
+# into one int64 (pos * 2^31 + h, both < 2^31) so the distinct step is a
+# primitive-array dedupe in both engines.
+WINNOW_W = 4
+_WIN_PACK = 1 << 31
+
+
+def _winnow_duck() -> str:
+    t = [f"(hl[i+{k}] % {_RFP_M})" for k in range(_RFP_W)]
+    h = t[0]
+    for k in range(1, _RFP_W):
+        h = f"(({h} * {_RFP_B} + {t[k]}) % {_RFP_M})"
+    return f"""
+    WITH {_HL_CTE_DUCK},
+    w AS (SELECT doc_id,
+                 CASE WHEN len(hl) >= {_RFP_W}
+                      THEN list_transform(range(1, len(hl) - {_RFP_W - 2}), i -> {h})
+                      ELSE CAST([] AS BIGINT[]) END AS wh
+          FROM hl_t),
+    sel AS (SELECT doc_id, wh,
+                   CASE WHEN len(wh) >= {WINNOW_W}
+                        THEN list_distinct(list_transform(
+                             range(1, len(wh) - {WINNOW_W - 2}),
+                             i -> (i + {WINNOW_W}
+                                   - list_position(
+                                       list_reverse(list_slice(wh, i, i + {WINNOW_W - 1})),
+                                       list_min(list_slice(wh, i, i + {WINNOW_W - 1}))))
+                                  * {_WIN_PACK}
+                                  + list_min(list_slice(wh, i, i + {WINNOW_W - 1}))))
+                        ELSE CAST([] AS BIGINT[]) END AS fp
+            FROM w)
+    SELECT doc_id,
+           CAST(len(fp) AS BIGINT) AS n_fp,
+           CAST(len(wh) AS BIGINT) AS n_windows,
+           list_min(list_transform(fp, k -> k % {_WIN_PACK})) AS fp_min,
+           CASE WHEN len(fp) > 0
+                THEN list_sum(list_transform(fp, k -> k % {_WIN_PACK})) % {_RFP_M}
+                ELSE NULL END AS fp_sum
+    FROM sel
+    """
+
+
+@register("winnow_fingerprints", _winnow_duck())
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: per-doc count / min / mod-sum of
+    the deduped window-min selections over the Rabin-Karp rolling
+    hashes.  The guaranteed-coverage dedup sketch for 100TB corpora —
+    every shared substring of length >= w + ngram - 1 produces at least
+    one shared fingerprint, at ~2/(w+1) the hash volume."""
+    (docs,) = load(spark, sf_dir, "documents")
+    hl = F.col("hl")
+
+    def whash(i):
+        h = F.element_at(hl, i) % _RFP_M
+        for k in range(1, _RFP_W):
+            h = (h * _RFP_B + F.element_at(hl, i + k) % _RFP_M) % _RFP_M
+        return h
+
+    n = F.size(hl)
+    wh = F.when(
+        n >= _RFP_W, F.transform(F.sequence(F.lit(1), n - (_RFP_W - 1)), whash)
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    def pick(i):
+        sl = F.slice(F.col("wh"), i, WINNOW_W)
+        m = F.array_min(sl)
+        rpos = F.array_position(F.reverse(sl), m)  # 1-based from the right
+        return (i + F.lit(WINNOW_W) - rpos) * _WIN_PACK + m
+
+    nw = F.size("wh")
+    fp = F.when(
+        nw >= WINNOW_W,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), nw - (WINNOW_W - 1)), pick)),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    return (
+        _with_token_hashes(docs)
+        .select("doc_id", wh.alias("wh"))
+        .select("doc_id", "wh", fp.alias("fp"))
+        .select(
+            "doc_id",
+            F.size("fp").cast("bigint").alias("n_fp"),
+            F.size("wh").cast("bigint").alias("n_windows"),
+            F.array_min(F.transform(F.col("fp"), lambda k: k % _WIN_PACK)).alias(
+                "fp_min"
+            ),
+            F.when(
+                F.size("fp") > 0,
+                F.aggregate(
+                    F.transform(F.col("fp"), lambda k: k % _WIN_PACK),
+                    F.lit(0).cast("bigint"),
+                    lambda a, x: a + x,
+                )
+                % _RFP_M,
+            ).alias("fp_sum"),
+        )
+    )
