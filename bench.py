@@ -57,7 +57,7 @@ HEADLINE = [
 # SPARK_GRAFT_CPUS does not lift the cap (round-1 lesson: the driver's
 # local[32] run recorded 82 docs/s for an engine that does ~687 at
 # local[8]).  Override knob for experiments: SPARK_GRAFT_EXTRACT_CPUS.
-HEADLINE_EXTRACT = ["ocr_extract_spans"]
+HEADLINE_EXTRACT = ["ocr_extract_spans", "hough_deskew"]
 EXTRACT_CPUS = 8
 
 

@@ -60,6 +60,10 @@ def main() -> None:
     p.add_argument("--weights-mlp", default=None)
     p.add_argument("--weights-cnn", default=None)
     p.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True)
+    # optional Hough deskew before OCR (pipeline.deskew_page) — off by
+    # default: the acceptance invariant is equality with the reference
+    # binary, which has no deskew; a no-op on straight pages either way
+    p.add_argument("--deskew", action="store_true")
     args = p.parse_args()
 
     spark = build_session(args.cpus)
@@ -100,6 +104,7 @@ def main() -> None:
     result = run_extraction(
         spark, docs, media, args.output, args.checkpoint,
         n_parts=args.n_parts, run_id=args.run_id, weights_bc=weights_bc,
+        deskew=args.deskew,
     )
     wall = time.time() - t0
     print(

@@ -79,6 +79,7 @@ def run_extraction(
     n_parts: int = 64,
     run_id: str | None = None,
     weights_bc=None,
+    deskew: bool = False,
 ) -> RunResult:
     """One (possibly resuming) extraction run.
 
@@ -104,7 +105,9 @@ def run_extraction(
     if len(done_ids) >= n_parts or (done_ids and remaining.isEmpty()):
         return RunResult(run_id, 0, 0, int((time.time() - t0) * 1000))
 
-    extracted = extract_documents(remaining.drop("part_id"), media, weights_bc)
+    extracted = extract_documents(
+        remaining.drop("part_id"), media, weights_bc, deskew=deskew
+    )
     # per-doc span stats become plain columns so the lineage pass can
     # read 3 small columns instead of re-exploding the spans arrays
     out = with_part_id(extracted, n_parts).select(

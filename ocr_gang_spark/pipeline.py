@@ -81,7 +81,30 @@ def extract_text_spans(spans: DataFrame) -> DataFrame:
     )
 
 
-def extract_media_spans(spans: DataFrame, media: DataFrame, weights_bc) -> DataFrame:
+def deskew_page(rgb):
+    """Optional pre-OCR deskew (kernels/preproc.py): estimate the skew
+    on the binarized page and rotate it out.  Returns the INPUT array
+    unchanged when the Hough estimate is exactly 0.0 — on an already
+    straight page the stage is a no-op by construction, so enabling it
+    cannot perturb the exact-match acceptance path.  Binarize-idempotent:
+    feeding the rotated {0,255} image back through the OCR kernel's
+    binarize reproduces it bit-for-bit."""
+    import numpy as np
+
+    from .kernels.image_ops import binarize
+    from .kernels.preproc import hough_skew_deg, rotate_nn
+
+    bw = binarize(rgb)
+    skew = hough_skew_deg(bw)
+    if skew == 0.0:
+        return rgb
+    fixed = rotate_nn(bw, -skew, fill=255)
+    return np.repeat(fixed[:, :, None], 3, axis=2)
+
+
+def extract_media_spans(
+    spans: DataFrame, media: DataFrame, weights_bc, deskew: bool = False
+) -> DataFrame:
     """kind='media' branch: resolve blobs, OCR them in Arrow batches.
 
     The blob join stays a shuffle join on purpose: at 10^12-doc scale the
@@ -117,6 +140,8 @@ def extract_media_spans(spans: DataFrame, media: DataFrame, weights_bc) -> DataF
             blobs = pdf["bytes"]
             idx = [i for i, b in enumerate(blobs) if b is not None]
             pages = [decode_media_blob(bytes(blobs.iloc[i])) for i in idx]
+            if deskew:
+                pages = [deskew_page(p) for p in pages]
             texts = ocr_pages_to_text(pages, w) if pages else []
             out = [None] * len(pdf)
             for i, t in zip(idx, texts):
@@ -162,14 +187,20 @@ def extract_documents(
     media: DataFrame,
     weights_bc=None,
     spark: SparkSession | None = None,
+    deskew: bool = False,
 ) -> DataFrame:
-    """Full pipeline: documents + media -> documents with extracted spans."""
+    """Full pipeline: documents + media -> documents with extracted spans.
+
+    ``deskew=True`` inserts the optional Hough deskew stage before OCR
+    (no-op on straight pages; see deskew_page) — off by default because
+    the acceptance invariant is equality with the reference binary,
+    which has no deskew."""
     if weights_bc is None:
         spark = spark or docs.sparkSession
         weights_bc = broadcast_weights(spark)
     spans = explode_spans(docs)
     text_out = extract_text_spans(spans)
-    media_out = extract_media_spans(spans, media, weights_bc)
+    media_out = extract_media_spans(spans, media, weights_bc, deskew=deskew)
     return reassemble(text_out.unionByName(media_out))
 
 

@@ -119,6 +119,25 @@ def expected_rows_for(sf_dir: str):
     return ext, seg, dump
 
 
+def expected_preproc_rows_for(sf_dir: str):
+    """Offline NumPy run of the preprocessing kernels (Otsu / Hough
+    deskew / connected components) over the SAME decoded blobs the
+    Spark queries see — preproc_queries.preproc_rows_for_blob is shared
+    verbatim, so the fixture is exact by construction including the
+    lossy-JPEG decode branch."""
+    from ocr_gang_spark.preproc_queries import preproc_rows_for_blob
+    from ocr_gang_spark.synth import blob_for_ref
+
+    key = corpus_key_of(sf_dir)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    rows = []
+    for did in docs.column("doc_id").to_pylist():
+        for i in range(1, did % MEDIA_PER_DOC + 2):
+            ref = f"m{SEED}-doc-{did:08d}-{i}"
+            rows.append((key,) + preproc_rows_for_blob(ref, blob_for_ref(ref)))
+    return rows
+
+
 def expected_augmentation_rows():
     """Offline NumPy run of the T2 kernels over the 52-class atlas —
     the value oracle for the distributed augmentation_counts query
@@ -209,6 +228,33 @@ def main() -> None:
         all_ext += e
         all_seg += s
         all_dump += d
+
+    pre_rows = []
+    for sf_dir in SF_DIRS:
+        pre_rows += expected_preproc_rows_for(sf_dir)
+    pre_schema = pa.schema(
+        [
+            ("corpus_key", pa.string()),
+            ("media_ref", pa.string()),
+            ("otsu_t", pa.int32()),
+            ("ink_otsu", pa.int64()),
+            ("ink_fixed", pa.int64()),
+            ("applied_deg", pa.float64()),
+            ("detected_deg", pa.float64()),
+            ("n_cc", pa.int32()),
+            ("max_area", pa.int64()),
+        ]
+    )
+    cols = list(zip(*pre_rows))
+    pq.write_table(
+        pa.table(
+            {f.name: pa.array(cols[i], type=f.type) for i, f in enumerate(pre_schema)},
+            schema=pre_schema,
+        ),
+        os.path.join(FIXDIR, "expected_preproc.parquet"),
+        compression="zstd",
+    )
+    print(f"wrote expected_preproc.parquet ({len(pre_rows)} rows)")
 
     aug_rows = expected_augmentation_rows()
     aug_schema = pa.schema(
