@@ -44,10 +44,6 @@ HEADLINE = [
     "bpe_token_stats",
     "rolling_fingerprint",
     "winnow_fingerprints",
-    "augmentation_counts",
-    "media_metadata",
-    "pdf_layout_spans",
-    "main_content_blocks",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND
@@ -57,7 +53,14 @@ HEADLINE = [
 # SPARK_GRAFT_CPUS does not lift the cap (round-1 lesson: the driver's
 # local[32] run recorded 82 docs/s for an engine that does ~687 at
 # local[8]).  Override knob for experiments: SPARK_GRAFT_EXTRACT_CPUS.
-HEADLINE_EXTRACT = ["ocr_extract_spans", "hough_deskew"]
+HEADLINE_EXTRACT = [
+    "ocr_extract_spans",
+    "hough_deskew",
+    "media_metadata",
+    "augmentation_counts",
+    "pdf_layout_spans",
+    "main_content_blocks",
+]
 EXTRACT_CPUS = 8
 
 
