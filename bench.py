@@ -60,6 +60,7 @@ HEADLINE_EXTRACT = [
     "augmentation_counts",
     "pdf_layout_spans",
     "main_content_blocks",
+    "stream_extraction_spans",
 ]
 EXTRACT_CPUS = 8
 

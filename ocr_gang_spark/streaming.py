@@ -169,11 +169,15 @@ def write_time_split_events(spark: SparkSession, sf_dir: str, out_dir: str,
 # Driver-contract entry: the streaming job under the value-hash gate
 # ---------------------------------------------------------------------------
 
+import os as _os  # noqa: E402
 from itertools import count as _count  # noqa: E402
 
 from .queries import register  # noqa: E402
 
 _qid = _count()
+_FIXTURES = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "fixtures"
+)
 
 
 @register(
@@ -197,4 +201,107 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts_stream(
         spark, sf_dir, checkpoint=tempfile.mkdtemp(prefix="ocrgang_stream_"),
         out_table=name,
+    )
+
+
+def extraction_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    media: DataFrame,
+    work_dir: str,
+    n_files: int = 3,
+) -> DataFrame:
+    """Run the extraction pipeline as a Structured Streaming job.
+
+    The documents land in ``n_files`` parquet files that a file-stream
+    source consumes one per micro-batch (maxFilesPerTrigger=1,
+    Trigger.AvailableNow); each micro-batch runs the SAME
+    pipeline.extract_documents as the batch flagship inside
+    ``foreachBatch`` and appends to a parquet sink.  Documents are the
+    unit of work (their spans travel together in one row), so batch
+    boundaries cannot split a document — streamed output is batch
+    output, row for row.  At scale this is the continuous-ingest shape:
+    new corpus partitions arrive, each micro-batch extracts and appends,
+    the stream checkpoint replaces the batch job's part_id ledger.
+
+    Returns the extracted documents read back from the sink.  The
+    number of micro-batches actually run is written to
+    ``work_dir/batches`` (one marker file per foreachBatch call).
+    """
+    import os
+
+    from .pipeline import broadcast_weights, extract_documents
+    from .synth import DOCUMENTS_SCHEMA
+
+    in_dir = os.path.join(work_dir, "in")
+    media_dir = os.path.join(work_dir, "media")
+    out_dir = os.path.join(work_dir, "out")
+    cp_dir = os.path.join(work_dir, "cp")
+    marker_dir = os.path.join(work_dir, "batches")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    # stage the stream input + the static media side as parquet (the
+    # static side is read fresh per micro-batch — parquet, not a
+    # re-synthesized plan)
+    docs.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+    media.write.mode("overwrite").parquet(media_dir)
+    media_p = spark.read.parquet(media_dir)
+    weights_bc = broadcast_weights(spark)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        extract_documents(batch_df, media_p, weights_bc).write.mode(
+            "append"
+        ).parquet(out_dir)
+        open(os.path.join(marker_dir, f"b{batch_id:05d}"), "w").close()
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+@register(
+    "stream_extraction_spans",
+    # the SAME committed expected-output fixture the batch flagship
+    # hash-matches: streamed extraction must be value-identical to it
+    f"""
+    SELECT doc_id, pos, kind, text, media_ref, "offset"
+    FROM read_parquet('{_FIXTURES}/expected_extraction.parquet')
+    WHERE corpus_key = (SELECT CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT)
+                        AS VARCHAR) FROM documents)
+    """,
+)
+def stream_extraction_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship-as-a-stream: the extraction pipeline driven by the real
+    streaming engine (file source, multi-micro-batch AvailableNow,
+    foreachBatch) over the same corpus as ocr_extract_spans — and
+    value-checked against the same committed expected-output parquet,
+    so the driver pins streamed == batch == renderer-constructed truth."""
+    import tempfile
+
+    from .synth import spans_from_testdata, synth_media
+
+    docs = spans_from_testdata(spark, sf_dir)
+    media = synth_media(spark, docs)
+    work = tempfile.mkdtemp(prefix="ocrgang_stream_ext_")
+    out = extraction_stream(spark, docs, media, work)
+    return (
+        out.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+        .select(
+            "doc_id",
+            "pos",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
     )

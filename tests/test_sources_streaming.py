@@ -80,3 +80,26 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     g = {(r.user_id, r.n_sessions, r.n_events) for r in got.collect()}
     e = {(r.user_id, r.n_sessions, r.n_events) for r in expected.collect()}
     assert g == e and len(g) > 0
+
+
+def test_extraction_stream_multi_batch_matches_batch(spark, tmp_path):
+    """The flagship as a stream: >=2 genuine micro-batches, and the
+    streamed output equals the batch pipeline's row for row (documents
+    are the unit of work, so batch boundaries cannot split one)."""
+    import os
+
+    from ocr_gang_spark.pipeline import broadcast_weights, extract_documents
+    from ocr_gang_spark.streaming import extraction_stream
+    from ocr_gang_spark.synth import synth_documents, synth_media
+
+    docs = synth_documents(spark, 24, seed=7, skew_frac=0.0)
+    media = synth_media(spark, docs)
+    out = extraction_stream(spark, docs, media, str(tmp_path), n_files=3)
+
+    markers = os.listdir(tmp_path / "batches")
+    assert len(markers) >= 2, markers
+
+    batch = extract_documents(docs, media, broadcast_weights(spark))
+    got = {r.doc_id: [tuple(s) for s in r.spans] for r in out.collect()}
+    want = {r.doc_id: [tuple(s) for s in r.spans] for r in batch.collect()}
+    assert got == want and len(got) == 24
