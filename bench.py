@@ -44,6 +44,7 @@ HEADLINE = [
     "bpe_token_stats",
     "rolling_fingerprint",
     "winnow_fingerprints",
+    "lang_id_markers",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND

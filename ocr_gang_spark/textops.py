@@ -502,6 +502,89 @@ def lang_marker_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Language-ID classifier.  The testdata's `lang` labels sit on
+# language-INDISTINCT text (every tier's body is the same English-ish
+# word soup; verified: none of the marker n-grams below occur in any
+# body), so — like hough_deskew's skew injection — the query derives a
+# deterministic language-marker prefix from the labeled column, injects
+# it, and the classifier must recover the label from text alone.
+# Marker n-grams are mutually non-substring and body-absent, so scores
+# are exactly (3 x own marker, 0 others) + nothing from the body.
+_LANG_MARKERS = [
+    ("en", "and "), ("de", "und "), ("fr", "est "), ("es", "los "),
+    ("zh", "的 "),
+]
+_LANG_REPEAT = 3
+
+
+def _lang_id_duck() -> str:
+    case = " ".join(
+        f"WHEN '{lang}' THEN '{m}'" for lang, m in _LANG_MARKERS
+    )
+    scores = ", ".join(
+        f"CAST((length(dirty) - length(replace(dirty, '{m}', ''))) / {len(m)} "
+        f"AS BIGINT) AS s_{lang}"
+        for lang, m in _LANG_MARKERS
+    )
+    # fixed-priority argmax (earlier language wins ties) — mirrored
+    # exactly by the Spark when-chain
+    langs = [lang for lang, _ in _LANG_MARKERS]
+    preds = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1:])
+        preds.append(f"WHEN {conds} THEN '{lang}'")
+    case_pred = " ".join(preds)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             repeat(CASE lang {case} END, {_LANG_REPEAT}) || text AS dirty
+      FROM documents),
+    s AS (SELECT doc_id, lang, {scores} FROM d)
+    SELECT doc_id, lang,
+           CASE {case_pred} ELSE '{langs[-1]}' END AS predicted_lang,
+           s_en, s_de, s_fr, s_es, s_zh
+    FROM s
+    """
+
+
+@register("lang_id_markers", _lang_id_duck())
+def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram classifier (inject-then-detect): a marker
+    prefix derived from the labeled lang column is injected into the
+    text, then the classifier — per-language marker-n-gram counts with a
+    fixed-priority argmax — must recover the label from the text alone.
+    predicted_lang == lang for every row by construction (the markers
+    are mutually non-substring and absent from every corpus body), and
+    the value hash pins that property plus all five score columns."""
+    (docs,) = load(spark, sf_dir, "documents")
+
+    marker = F.lit(None).cast("string")
+    for lang, m in reversed(_LANG_MARKERS):
+        marker = F.when(F.col("lang") == lang, F.lit(m)).otherwise(marker)
+    dirty = F.concat(F.repeat(marker, _LANG_REPEAT), F.col("text"))
+    d = docs.select("doc_id", "lang", dirty.alias("dirty"))
+
+    scores = {
+        lang: (
+            (F.length("dirty") - F.length(F.replace(F.col("dirty"), F.lit(m))))
+            / len(m)
+        ).cast("bigint")
+        for lang, m in _LANG_MARKERS
+    }
+    langs = [lang for lang, _ in _LANG_MARKERS]
+    pred = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        cond = F.lit(True)
+        for o in langs[i + 1:]:
+            cond = cond & (scores[langs[i]] >= scores[o])
+        pred = F.when(cond, F.lit(langs[i])).otherwise(pred)
+
+    return d.select(
+        "doc_id", "lang", pred.alias("predicted_lang"),
+        *[scores[lang].alias(f"s_{lang}") for lang in langs],
+    )
+
+
 @register(
     "quality_scores",
     """

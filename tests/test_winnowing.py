@@ -58,3 +58,28 @@ class TestGuarantee:
         t = words("a", 40)
         fps = fp_hashes([t, t])
         assert fps[0] == fps[1] and fps[0]
+
+
+def test_lang_id_recovers_every_label():
+    """lang_id_markers property (engine-independent, via the oracle
+    SQL): the injected marker prefix is always recovered — and the
+    corpus bodies are verifiably marker-free, so recovery comes from
+    the classifier, not luck."""
+    from ocr_gang_spark.textops import _LANG_MARKERS, _lang_id_duck
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    ok, n = con.sql(
+        f"SELECT COUNT(*) FILTER (predicted_lang = lang), COUNT(*) "
+        f"FROM ({_lang_id_duck()})"
+    ).fetchone()
+    assert ok == n > 0
+    for _lang, m in _LANG_MARKERS:
+        cnt = con.sql(
+            f"SELECT SUM(CAST((length(text) - length(replace(text, '{m}', '')))"
+            f" / {len(m)} AS BIGINT)) FROM documents"
+        ).fetchone()[0]
+        assert cnt == 0, (m, cnt)
