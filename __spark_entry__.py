@@ -6,6 +6,14 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 insensitive value-hash).  The queries are engineered for exact value
 matches (decimal-exact sums, md5-based hashing, fixed-order float
 folds) — see ocr_gang_spark/queries.py and textops.py.
+
+Oracle determinism rules (pinned by tests/test_oracle_dtypes.py):
+every oracle column whose Spark counterpart is integral must bind as a
+DuckDB integer type no wider than BIGINT.  DuckDB widens silently —
+``list_sum`` over BIGINT returns HUGEINT, and a NULL-able HUGEINT
+column NULL-lifts to float64 at fetch, which breaks the driver's value
+hash even when both engines agree value-for-value.  Wrap any list_sum
+or wide arithmetic in ``CAST(... AS BIGINT)``.
 """
 
 from __future__ import annotations

@@ -679,7 +679,9 @@ def _rfp_duck() -> str:
            CAST(len(wh) AS BIGINT) AS n_windows,
            CAST(len(list_distinct(wh)) AS BIGINT) AS n_distinct_windows,
            list_min(wh) AS fp_min,
-           CASE WHEN len(wh) > 0 THEN list_sum(wh) % {_RFP_M} ELSE NULL END AS fp_sum
+           CASE WHEN len(wh) > 0
+                THEN CAST(list_sum(wh) % {_RFP_M} AS BIGINT)
+                ELSE NULL END AS fp_sum
     FROM w
     """
 
@@ -1072,7 +1074,8 @@ def _winnow_duck() -> str:
            CAST(len(wh) AS BIGINT) AS n_windows,
            list_min(list_transform(fp, k -> k % {_WIN_PACK})) AS fp_min,
            CASE WHEN len(fp) > 0
-                THEN list_sum(list_transform(fp, k -> k % {_WIN_PACK})) % {_RFP_M}
+                THEN CAST(list_sum(list_transform(fp, k -> k % {_WIN_PACK}))
+                          % {_RFP_M} AS BIGINT)
                 ELSE NULL END AS fp_sum
     FROM sel
     """
