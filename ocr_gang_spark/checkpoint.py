@@ -26,6 +26,7 @@ the table abstraction.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from dataclasses import dataclass
@@ -62,6 +63,36 @@ def completed_parts(spark: SparkSession, checkpoint_dir: str, n_parts: int) -> D
         return spark.createDataFrame([], "part_id int")
 
 
+# Underscore-prefixed so Spark's parquet reader ignores it inside
+# checkpoint_dir.  On a real cluster this lives behind the Hadoop FS API
+# (or as Iceberg table properties); local-FS json is the sandbox stand-in.
+MANIFEST_NAME = "_run_manifest.json"
+
+
+def _check_run_manifest(checkpoint_dir: str, opts: dict) -> None:
+    """Pin output-affecting options across resumes (ADVICE r2): the first
+    run records them next to the done-part ledger; a resume with a
+    different value would silently mix e.g. deskewed and non-deskewed
+    parts in one output directory, so refuse instead."""
+    path = os.path.join(checkpoint_dir, MANIFEST_NAME)
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        diff = {k: (prev.get(k), v) for k, v in opts.items() if prev.get(k) != v}
+        if diff:
+            raise ValueError(
+                f"refusing to resume: run manifest {path} pins "
+                + ", ".join(f"{k}={old!r} but this run passes {new!r}" for k, (old, new) in diff.items())
+                + "; clear the checkpoint and output directories to rerun with new options"
+            )
+        return
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(opts, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
 @dataclass
 class RunResult:
     run_id: str
@@ -88,6 +119,7 @@ def run_extraction(
     parts are extracted, written idempotently, measured, and marked done.
     """
     run_id = run_id or f"run-{int(time.time() * 1000)}"
+    _check_run_manifest(checkpoint_dir, {"deskew": bool(deskew)})
     weights_bc = weights_bc or broadcast_weights(spark)
     t0 = time.time()
 

@@ -54,7 +54,7 @@ TJ_SPACE_GAP = 180.0  # thousandths of an em; gap wider than this = word break
 # object-level parsing
 # --------------------------------------------------------------------------
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_RE = re.compile(rb"stream\r?\n")
 _REF_RE = re.compile(rb"^\s*(\d+)\s+\d+\s+R", re.DOTALL)
 
@@ -63,8 +63,42 @@ def _scan_objects(blob: bytes) -> Dict[int, bytes]:
     """Index every indirect object body by object number (xref ignored —
     see module docstring).  Later duplicates win, matching incremental-
     update semantics where the newest revision appends overriding
-    objects."""
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(blob)}
+    objects.
+
+    Stream-aware single forward pass: for objects that carry a stream,
+    the payload is sized by the resolved /Length (falling back to the
+    next 'endstream' keyword), so FlateDecode bytes that happen to
+    contain 'endobj' cannot truncate the object and 'N G obj' byte
+    sequences inside the payload cannot mint phantom objects — consumed
+    payload bytes are never re-scanned.  Indirect /Length refs resolve
+    against the objects seen so far (writers emit the length object
+    before the stream that uses it; a forward ref just falls back to
+    the endstream scan)."""
+    objs: Dict[int, bytes] = {}
+    n = len(blob)
+    pos = 0
+    while pos < n:
+        m = _OBJ_HDR_RE.search(blob, pos)
+        if m is None:
+            break
+        body_start = m.end()
+        eo = blob.find(b"endobj", body_start)
+        sm = _STREAM_RE.search(blob, body_start, eo if eo >= 0 else n)
+        if sm is not None:
+            data_start = sm.end()
+            head = _dict_body(blob[body_start : sm.start()])
+            length = _resolve_int(_dict_value(head, b"Length"), objs)
+            es = -1
+            if length is not None and data_start + length <= n:
+                es = blob.find(b"endstream", data_start + length)
+            if es < 0:
+                es = blob.find(b"endstream", data_start)
+            tail = es + len(b"endstream") if es >= 0 else data_start
+            eo = blob.find(b"endobj", tail)
+        body_end = eo if eo >= 0 else n
+        objs[int(m.group(1))] = blob[body_start:body_end]
+        pos = body_end + len(b"endobj") if eo >= 0 else n
+    return objs
 
 
 def _dict_body(obj: bytes) -> bytes:
@@ -283,7 +317,10 @@ def _tokenize(data: bytes):
                         break
                 else:
                     j += 1
-            i = j
+            # A lone trailing '<' (blob truncated mid-token) enters this
+            # branch with j == i and the scan loop never running; force
+            # progress so a wedged byte can't spin an executor task forever.
+            i = max(j, i + 1)
         elif (0x30 <= c <= 0x39) or c in b"+-.":
             j = i + 1
             while j < n and ((0x30 <= data[j] <= 0x39) or data[j] in b"."):

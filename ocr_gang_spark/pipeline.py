@@ -84,11 +84,15 @@ def extract_text_spans(spans: DataFrame) -> DataFrame:
 def deskew_page(rgb):
     """Optional pre-OCR deskew (kernels/preproc.py): estimate the skew
     on the binarized page and rotate it out.  Returns the INPUT array
-    unchanged when the Hough estimate is exactly 0.0 — on an already
-    straight page the stage is a no-op by construction, so enabling it
-    cannot perturb the exact-match acceptance path.  Binarize-idempotent:
-    feeding the rotated {0,255} image back through the OCR kernel's
-    binarize reproduces it bit-for-bit."""
+    unchanged when the Hough estimate is exactly 0.0 — a no-op whenever
+    the estimate is 0.0.  0.0 wins only via the smallest-|angle|
+    tie-break, so "straight page => 0.0" is a property of the corpus,
+    not of the estimator; it is pinned across a 50-page atlas sample by
+    tests/test_preproc.py::TestHoughDeskew::test_straight_corpus_sample_all_zero,
+    which is what licenses enabling deskew on the exact-match acceptance
+    path for this corpus.  Binarize-idempotent: feeding the rotated
+    {0,255} image back through the OCR kernel's binarize reproduces it
+    bit-for-bit."""
     import numpy as np
 
     from .kernels.image_ops import binarize

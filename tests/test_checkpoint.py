@@ -105,3 +105,23 @@ def test_killed_run_resumes_to_identical_output(spark, corpus, tmp_path):
 
     got = spans_by_doc(load_output(spark, out).drop("part_id"))
     assert got == expected
+
+
+def test_resume_with_different_deskew_refused(spark, corpus, tmp_path):
+    """Output-affecting options are pinned in the run manifest: a resume
+    with a different --deskew would silently mix deskewed and
+    non-deskewed parts in one output directory (ADVICE r2)."""
+    docs, media = corpus
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    bc = broadcast_weights(spark)
+
+    run_extraction(spark, docs.limit(6), media, out, cp, n_parts=N_PARTS,
+                   run_id="r1", weights_bc=bc, deskew=False)
+    with pytest.raises(ValueError, match="deskew"):
+        run_extraction(spark, docs, media, out, cp, n_parts=N_PARTS,
+                       run_id="r2", weights_bc=bc, deskew=True)
+    # same options resume normally and pick up the remaining docs (those
+    # whose part_id was not completed by the 6-doc first run)
+    r3 = run_extraction(spark, docs, media, out, cp, n_parts=N_PARTS,
+                        run_id="r3", weights_bc=bc, deskew=False)
+    assert r3.n_docs > 0 and r3.n_docs <= N_DOCS - 6

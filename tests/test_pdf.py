@@ -84,6 +84,16 @@ class TestContentStream:
     def test_empty_and_whitespace_lines_dropped(self):
         assert lines_text(b"BT ( ) Tj T* () Tj ET") == []
 
+    def test_trailing_lone_lt_terminates(self):
+        # a blob truncated on a lone '<' used to wedge the tokenizer in
+        # the inline-dict branch (scan loop makes no progress at n-1)
+        assert lines_text(b"BT (x) Tj ET <") == ["x"]
+        assert lines_text(b"<") == []
+        assert lines_text(b"BT (x) Tj <<") == ["x"]
+
+    def test_unterminated_inline_dict_terminates(self):
+        assert lines_text(b"BT (x) Tj << /MCID 0") == ["x"]
+
 
 class TestObjects:
     def _min_pdf(self, contents: bytes, flate: bool = False,
@@ -125,6 +135,20 @@ class TestObjects:
             b"/Length 16", b"/Length 99999"
         )
         assert extract_pdf_text(blob) == "fallback"
+
+    def test_stream_payload_endobj_does_not_truncate_object(self):
+        # stream bytes routinely contain 'endobj' / 'N G obj' sequences
+        # once compressed; the scanner must size the payload by /Length,
+        # not by the first apparent keyword inside it
+        content = b"BT (endobj 9 0 obj endstreamish) Tj ET"
+        blob = self._min_pdf(content)
+        assert extract_pdf_text(blob) == "endobj 9 0 obj endstreamish"
+
+    def test_stream_payload_obj_header_mints_no_phantom(self):
+        blob = self._min_pdf(b"BT (see 9 0 obj <<>> endobj here) Tj ET")
+        objs = _scan_objects(blob)
+        assert 9 not in objs
+        assert set(objs) == {1, 2, 3, 4}
 
     def test_page_order_follows_kids_not_object_number(self):
         # two pages listed in reverse object order in /Kids

@@ -152,6 +152,19 @@ class TestHoughDeskew:
     def test_empty_page(self):
         assert hough_skew_deg(np.full((10, 10), 255, np.uint8)) == 0.0
 
+    def test_straight_corpus_sample_all_zero(self):
+        # pipeline.deskew_page's no-op-on-straight-pages guarantee rests
+        # on the estimate being exactly 0.0 (the smallest-|angle|
+        # tie-break): pin it across a corpus sample so a scoring change
+        # that starts rotating straight pages fails loudly (ADVICE r2)
+        nonzero = []
+        for i in range(50):
+            _, page = page_for_ref(f"m42-doc-{i:08d}-1")
+            s = hough_skew_deg(binarize(page))
+            if s != 0.0:
+                nonzero.append((i, s))
+        assert not nonzero, f"straight pages estimated skewed: {nonzero}"
+
 
 class TestComponents:
     def test_single_pixel(self):
