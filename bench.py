@@ -23,6 +23,7 @@ os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 os.environ.setdefault("MKL_NUM_THREADS", "1")
 
 from ocr_gang_spark.contract import queries as contract_queries  # noqa: E402
+from ocr_gang_spark.hostprobe import QUIET_PROBE_SEC, ProbeSampler  # noqa: E402
 from ocr_gang_spark.pipeline import broadcast_weights, extract_documents  # noqa: E402
 from ocr_gang_spark.session import get_spark  # noqa: E402
 from ocr_gang_spark.synth import synth_documents, synth_media  # noqa: E402
@@ -73,9 +74,11 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # 10k docs (~30k media blobs): large enough that per-job fixed costs
-    # (planning, commit, metrics) do not dominate the docs/sec headline
-    n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "10000"))
+    # 40k docs (~120k media blobs): the measured ~12.6s fixed share
+    # (planning, commit, metrics) stays under 10% of the timed run even
+    # at contended throughput, so docs/sec reflects the engine, not the
+    # job envelope (VERDICT r2 #3)
+    n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     extract_cpus = int(
@@ -110,14 +113,19 @@ def main() -> None:
         materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    # flagship synthetic-corpus extraction (docs/sec — the BASELINE metric)
+    # flagship synthetic-corpus extraction (docs/sec — the BASELINE
+    # metric), with the steal probe sampled DURING the timed run so a
+    # contended measurement window is visible in the JSON itself
+    # (VERDICT r2 #3: BENCH_r02's 153.5 docs/s vs the quiet-window 707.9
+    # baseline was uninterpretable without a probe trace)
     bc = broadcast_weights(spark)
     docs_p = spark.read.parquet(f"{tmp}/docs")
     media_p = spark.read.parquet(f"{tmp}/media")
     materialize(extract_documents(docs_p.limit(64), media_p, bc))  # worker warm-up
-    t0 = time.time()
-    materialize(extract_documents(docs_p, media_p, bc))
-    dt = time.time() - t0
+    with ProbeSampler() as ps:
+        t0 = time.time()
+        materialize(extract_documents(docs_p, media_p, bc))
+        dt = time.time() - t0
     timings["extract_synth"] = round(dt, 3)
     docs_per_sec = round(n_synth / dt, 2)
 
@@ -138,6 +146,15 @@ def main() -> None:
                 "extract_warmup_excluded": True,
                 "synth_docs": n_synth,
                 "extract_docs_per_sec": docs_per_sec,
+                # host-contention evidence for the docs/sec number: mean/
+                # max of the single-core steal probe sampled during the
+                # timed run; quiet=false means the window was contended
+                # and the number underestimates the engine (compare
+                # BENCH/BASELINE.md's quiet-window figures)
+                "probe_mean": ps.mean,
+                "probe_max": ps.max,
+                "quiet": ps.quiet,
+                "quiet_probe_threshold_sec": QUIET_PROBE_SEC,
             }
         )
     )

@@ -20,6 +20,9 @@ import sys
 import time
 
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, ROOT)
+
+from ocr_gang_spark.hostprobe import steal_probe  # noqa: E402
 
 
 def prep_input(n_docs: int, seed: int, base: str) -> None:
@@ -35,20 +38,6 @@ docs.write.mode("overwrite").parquet({base!r} + "/docs")
 spark.stop()
 """
     subprocess.run([sys.executable, "-c", code], check=True, cwd=ROOT, env=env)
-
-
-def steal_probe() -> float:
-    """Seconds for a fixed single-core NumPy loop — a host-contention
-    probe.  On an unloaded guest this is constant; host CPU steal
-    inflates it, so each run's probe documents how contended its
-    measurement window was."""
-    import numpy as np
-
-    a = np.random.default_rng(0).random(2_000_000)
-    t0 = time.time()
-    for _ in range(40):
-        a = np.sqrt(a * a + 1.0)
-    return round(time.time() - t0, 3)
 
 
 def wait_for_quiet(threshold: float, max_wait: float = 900, poll: float = 30):
