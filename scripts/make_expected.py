@@ -76,6 +76,144 @@ def corpus_key_of(sf_dir: str) -> str:
     return str(total)
 
 
+# ---------------------------------------------------------------------------
+# Generation-time independence gate (VERDICT r2 #4).
+#
+# Most image fixtures are offline runs of the SAME kernel functions the
+# Spark queries call, so the driver hash pins determinism + plumbing, not
+# kernel correctness.  To break that circularity where cheap, every
+# CROSSCHECK_EVERY-th document's refs are re-derived here through
+# INDEPENDENT brute-force implementations (textbook O(256n) Otsu, Python
+# flood-fill components, loop-based line/glyph run scans — the same code
+# families as tests/test_preproc.py / test_image_ops.py) and generation
+# FAILS LOUDLY on any disagreement.  The cross-derived ref lists are
+# recorded in fixtures/expected_crosscheck.json; see FIXTURES.md.
+# ---------------------------------------------------------------------------
+
+CROSSCHECK_EVERY = 10  # every 10th doc's refs re-derived independently
+
+
+def _brute_otsu(gray: np.ndarray) -> int:
+    """Textbook O(256*n) Otsu: maximize w0*w1*(mu0-mu1)^2, first max
+    (independent of the kernel's histogram-cumsum implementation)."""
+    vals = gray.ravel().astype(np.float64)
+    n = vals.size
+    best_t, best_s = 0, -1.0
+    for t in range(256):
+        c0 = vals[vals <= t]
+        c1 = vals[vals > t]
+        if c0.size == 0 or c1.size == 0:
+            continue
+        s = (c0.size / n) * (c1.size / n) * (c0.mean() - c1.mean()) ** 2
+        if s > best_s + 1e-12:
+            best_s, best_t = s, t
+    return best_t
+
+
+def _brute_component_areas(ink: np.ndarray) -> list:
+    """8-connectivity flood-fill component areas (independent of the
+    kernel's run-based union-find)."""
+    ink = ink.copy()
+    h, w = ink.shape
+    areas = []
+    for y in range(h):
+        for x in range(w):
+            if ink[y, x]:
+                area = 1
+                stack = [(y, x)]
+                ink[y, x] = False
+                while stack:
+                    cy, cx = stack.pop()
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            ny, nx = cy + dy, cx + dx
+                            if 0 <= ny < h and 0 <= nx < w and ink[ny, nx]:
+                                ink[ny, nx] = False
+                                stack.append((ny, nx))
+                                area += 1
+                areas.append(area)
+    return areas
+
+
+def _brute_line_boxes(bw: np.ndarray):
+    """Loop-scan maximal runs of rows containing ink — the independent
+    form of runs_of_nonmarker(row_marker_mask(bw))."""
+    boxes, y0 = [], None
+    for y in range(bw.shape[0]):
+        has_ink = bool((bw[y, :] == 0).any())
+        if has_ink and y0 is None:
+            y0 = y
+        elif not has_ink and y0 is not None:
+            boxes.append((y0, y))
+            y0 = None
+    if y0 is not None:
+        boxes.append((y0, bw.shape[0]))
+    return boxes
+
+
+def _brute_glyph_count(bloc: np.ndarray) -> int:
+    """Loop-scan count of maximal ink-column runs in a line bloc (the
+    glyph count; the space rule is separate and not re-derived here)."""
+    n, in_run = 0, False
+    for x in range(bloc.shape[1]):
+        has_ink = bool((bloc[:, x] == 0).any())
+        if has_ink and not in_run:
+            n += 1
+        in_run = has_ink
+    return n
+
+
+def crosscheck_preproc_row(ref: str, row: tuple) -> None:
+    """Re-derive one expected_preproc row via the brute implementations;
+    raises AssertionError (failing generation) on any mismatch."""
+    from ocr_gang_spark.kernels.bmp import decode_media_blob
+    from ocr_gang_spark.kernels.preproc import gray_intdiv
+    from ocr_gang_spark.preproc_queries import DESKEW_STEP_DEG
+    from ocr_gang_spark.synth import blob_for_ref
+
+    (_ref, otsu_t, ink_otsu, ink_fixed, applied, detected, n_cc, max_area) = row
+    gray = gray_intdiv(decode_media_blob(blob_for_ref(ref)))
+    t = _brute_otsu(gray)
+    assert t == otsu_t, f"{ref}: brute otsu {t} != kernel {otsu_t}"
+    assert int(np.sum(gray <= t)) == ink_otsu, f"{ref}: ink_otsu mismatch"
+    assert int(np.sum(gray < 180)) == ink_fixed, f"{ref}: ink_fixed mismatch"
+    areas = _brute_component_areas(gray < 180)
+    assert len(areas) == n_cc, f"{ref}: brute n_cc {len(areas)} != {n_cc}"
+    assert (max(areas) if areas else 0) == max_area, f"{ref}: max_area mismatch"
+    # independent truth for the deskew row is the INJECTED angle: the
+    # estimate must recover it to grid resolution WHEN the estimator's
+    # design assumptions hold.  Surveyed across the corpus, every miss
+    # is a single-text-line page — the sum-of-squares row-profile
+    # criterion needs the periodic structure of multiple lines (single
+    # lines: errors up to 1.25 deg; multi-line pages: all within one
+    # 0.25 deg grid step).  Tiny pages are additionally exempt because
+    # the rotation moves edge pixels by under a pixel (26x27 at
+    # 1.75 deg: 0.4 px).  Preconditions: >= 2 text lines AND >= 2 px
+    # edge displacement; under them the strict grid-step tolerance.
+    import math
+
+    h, w = gray.shape
+    bw_ink = gray < 180
+    row_has_ink = bw_ink.any(axis=1)
+    n_lines = int(np.sum(np.diff(np.r_[0, row_has_ink.astype(np.int8), 0]) == 1))
+    displacement = max(h, w) / 2.0 * math.sin(math.radians(abs(applied)))
+    if n_lines >= 2 and displacement >= 2.0:
+        assert abs(detected - applied) <= DESKEW_STEP_DEG + 1e-9, (
+            f"{ref}: detected {detected} vs applied {applied}"
+        )
+
+
+def crosscheck_segmentation(ref: str, bw: np.ndarray, seg_rows: list) -> None:
+    """Re-derive one page's line boxes + glyph counts via loop scans;
+    seg_rows are this ref's (corpus_key, ref, li, y0, y1, n_glyphs,
+    n_spaces) tuples."""
+    boxes = _brute_line_boxes(bw)
+    assert len(boxes) == len(seg_rows), f"{ref}: line count mismatch"
+    for (y0, y1), r in zip(boxes, seg_rows):
+        assert (y0, y1) == (r[3], r[4]), f"{ref}: line box {(y0, y1)} != {(r[3], r[4])}"
+        assert _brute_glyph_count(bw[y0:y1, :]) == r[5], f"{ref}: glyph count mismatch"
+
+
 def expected_rows_for(sf_dir: str):
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_rows = corpus_key_of(sf_dir)
@@ -83,6 +221,7 @@ def expected_rows_for(sf_dir: str):
     texts = docs.column("text").to_pylist()
 
     ext, seg, dump = [], [], []
+    crosschecked = []
     for did, text in zip(ids, texts):
         doc_id = f"doc-{did:08d}"
         n_media = did % MEDIA_PER_DOC + 1
@@ -93,13 +232,18 @@ def expected_rows_for(sf_dir: str):
             ext.append((n_rows, doc_id, i, "media", expected_text, ref, i))
 
             bw = binarize(page)
+            ref_seg = []
             for li, (y0, y1) in enumerate(runs_of_nonmarker(row_marker_mask(bw))):
                 items = char_items(col_marker_mask(bw[y0:y1, :]))
-                seg.append(
+                ref_seg.append(
                     (n_rows, ref, li, int(y0), int(y1),
                      sum(1 for it in items if it[0] == "glyph"),
                      sum(1 for it in items if it[0] == "space"))
                 )
+            seg.extend(ref_seg)
+            if did % CROSSCHECK_EVERY == 0:
+                crosscheck_segmentation(ref, bw, ref_seg)
+                crosschecked.append(ref)
 
             # G9 SaveMatrix analog: the FIRST glyph matrix of the page as
             # 28 lines of '0'/'1' (reference segmentation.c:373-386 dumps
@@ -116,7 +260,7 @@ def expected_rows_for(sf_dir: str):
                 else None
             )
             dump.append((n_rows, ref, txt))
-    return ext, seg, dump
+    return ext, seg, dump, crosschecked
 
 
 def expected_preproc_rows_for(sf_dir: str):
@@ -131,11 +275,16 @@ def expected_preproc_rows_for(sf_dir: str):
     key = corpus_key_of(sf_dir)
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     rows = []
+    crosschecked = []
     for did in docs.column("doc_id").to_pylist():
         for i in range(1, did % MEDIA_PER_DOC + 2):
             ref = f"m{SEED}-doc-{did:08d}-{i}"
-            rows.append((key,) + preproc_rows_for_blob(ref, blob_for_ref(ref)))
-    return rows
+            row = preproc_rows_for_blob(ref, blob_for_ref(ref))
+            rows.append((key,) + row)
+            if did % CROSSCHECK_EVERY == 0:
+                crosscheck_preproc_row(ref, row)
+                crosschecked.append(ref)
+    return rows, crosschecked
 
 
 def expected_augmentation_rows():
@@ -222,16 +371,54 @@ def expected_pdf_rows():
 
 def main() -> None:
     all_ext, all_seg, all_dump = [], [], []
+    seg_crosschecked = []
     for sf_dir in SF_DIRS:
-        e, s, d = expected_rows_for(sf_dir)
-        print(f"{sf_dir}: {len(e)} extraction rows, {len(s)} box rows, {len(d)} dumps")
+        e, s, d, xc = expected_rows_for(sf_dir)
+        print(f"{sf_dir}: {len(e)} extraction rows, {len(s)} box rows, "
+              f"{len(d)} dumps, {len(xc)} refs cross-derived")
         all_ext += e
         all_seg += s
         all_dump += d
+        seg_crosschecked += xc
 
     pre_rows = []
+    pre_crosschecked = []
     for sf_dir in SF_DIRS:
-        pre_rows += expected_preproc_rows_for(sf_dir)
+        r, xc = expected_preproc_rows_for(sf_dir)
+        pre_rows += r
+        pre_crosschecked += xc
+
+    import json
+
+    with open(os.path.join(FIXDIR, "expected_crosscheck.json"), "w") as f:
+        json.dump(
+            {
+                "policy": f"every {CROSSCHECK_EVERY}th document's refs re-derived "
+                          "via independent brute-force implementations at fixture "
+                          "generation time; generation fails on disagreement",
+                "preproc": {
+                    "checked": ["otsu_t (textbook O(256n))",
+                                "ink_otsu/ink_fixed (direct count)",
+                                "n_cc/max_area (Python flood fill)",
+                                "detected_deg recovers applied_deg to one grid "
+                                "step on pages with >= 2 text lines and >= 2px "
+                                "edge displacement (the estimator's design "
+                                "assumptions; single-line and tiny pages are "
+                                "exempt and the exemption is disclosed here)"],
+                    "refs": sorted(set(pre_crosschecked)),
+                },
+                "segmentation": {
+                    "checked": ["line boxes (loop scan of inky-row runs)",
+                                "n_glyphs (loop scan of inky-column runs)"],
+                    "refs": sorted(set(seg_crosschecked)),
+                },
+            },
+            f,
+            indent=1,
+        )
+    print(f"cross-derived {len(set(pre_crosschecked))} preproc refs, "
+          f"{len(set(seg_crosschecked))} segmentation refs "
+          "-> fixtures/expected_crosscheck.json")
     pre_schema = pa.schema(
         [
             ("corpus_key", pa.string()),
