@@ -41,6 +41,7 @@ HEADLINE = [
     "embedding_topk_cosine",
     "embedding_near_dup_pairs",
     "ann_ivf_probe_topk",
+    "ann_ivf_multiprobe_topk",
     "token_stats",
     "bpe_token_stats",
     "rolling_fingerprint",

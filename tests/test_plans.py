@@ -115,6 +115,18 @@ def test_ann_ivf_broadcasts_coarse_index(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ann_ivf_multiprobe_broadcasts_coarse_index(spark):
+    """Multi-probe IVF keeps the probe-one shape at every fan-out: the
+    centroid ranking (coarse index), probe keys, query vector, and the
+    k-row exact set for the recall column are ALL broadcast — the
+    embeddings relation is never shuffled as a join side."""
+    from ocr_gang_spark.textops import ann_ivf_multiprobe_topk
+
+    plan = plan_of(ann_ivf_multiprobe_topk(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_extraction_metrics_partial_aggregation(spark):
     """groupBy must show a map-side partial aggregate (HashAggregate
     appears above and below the exchange)."""
