@@ -38,6 +38,7 @@ HEADLINE = [
     "minhash_lsh_buckets",
     "simhash_signatures",
     "jaccard_candidate_pairs",
+    "dedup_pipeline_decisions",
     "embedding_topk_cosine",
     "embedding_near_dup_pairs",
     "ann_ivf_probe_topk",

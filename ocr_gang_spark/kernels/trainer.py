@@ -476,6 +476,7 @@ def train_ocr_per_sample(
 def train_fixture_weights_per_sample(
     seed: int = TRAIN_SEED,
     max_epochs: int = MAX_EPOCHS,
+    verbose: bool = False,
 ) -> OcrWeights:
     """Fixture-quality training at the REFERENCE's granularity: the
     per-sample CNN+MLP joint loop (training.c:148-280 — cnn_forward →
@@ -490,14 +491,20 @@ def train_fixture_weights_per_sample(
     cnnwb.txt (VERDICT r2 #1 closed); `train_fixture_weights` above is
     retained as the fast batched cross-check used by tests."""
     x, y = _build_dataset(seed)
+    # per-sample Adam with dropout needs more robustness signal than the
+    # batched trainer to clear the same noise gate: double the flip-noise
+    # share of the dataset (an extra 32 instances/class, fresh seed)
+    nx2, ny2 = noisy_class_matrices(
+        N_NOISE, seed=seed + 11, rate_lo=NOISE_LO, rate_hi=NOISE_HI
+    )
+    x, y = np.concatenate([x, nx2]), np.concatenate([y, ny2])
     n = x.shape[0]
-    # validation HARDER than the acceptance gate (24/class at noise up
-    # to 0.18 vs the gate's 8/class at 0.16): save-best can never
-    # improve margins after the first perfect epoch (val_acc > best_val
-    # is false at 1.0), so the margin must come from making the perfect
-    # epoch itself harder to reach
+    # validation at the acceptance gate's noise level but 3x the gate's
+    # instance count: save-best can never improve margins after the
+    # first perfect epoch (val_acc > best_val is false at 1.0), so the
+    # margin must come from making the perfect epoch harder to reach
     val_x, val_y = noisy_class_matrices(
-        24, seed=seed + 2, rate_lo=VAL_NOISE_LO, rate_hi=NOISE_HI
+        24, seed=seed + 2, rate_lo=VAL_NOISE_LO, rate_hi=VAL_NOISE_HI
     )
 
     rng = np.random.default_rng(seed + 7)
@@ -552,11 +559,14 @@ def train_fixture_weights_per_sample(
             net.eta *= 0.8  # training.c:259-262
         if without_improvement >= PATIENCE:
             break
+        if verbose:
+            print(f"epoch {epoch}: train {train_acc:.4f} val {val_acc:.4f} "
+                  f"eta {net.eta:.5f}", flush=True)
         # fixture-time convergence gate: clean-training-forward accuracy
         # is dropout-noised per-sample, so the streak gates on val only
         if val_acc == 1.0 and train_acc >= 0.99:
             perfect_streak += 1
-            if perfect_streak >= 2:
+            if perfect_streak >= 3:
                 break
         else:
             perfect_streak = 0

@@ -92,6 +92,19 @@ def test_jaccard_splits_text_once_per_branch(spark):
     assert plan.count("split(text") == 2, plan.count("split(text")
 
 
+def test_dedup_pipeline_bucket_bound_precedes_collect(spark):
+    """The end-to-end dedup pipeline must bound bucket state BEFORE
+    materializing postings: the 2..DEDUP_MAX_BUCKET size filter shows as
+    a LeftSemi join *below* the collect_list aggregate (treeString
+    prints parents before children), so a degenerate bucket can never
+    reach a collect_list buffer or emit O(bucket^2) pairs."""
+    from ocr_gang_spark.textops import dedup_pipeline_decisions
+
+    plan = plan_of(dedup_pipeline_decisions(spark, SF), mode="simple")
+    assert "collect_list" in plan and "LeftSemi" in plan
+    assert plan.index("collect_list") < plan.index("LeftSemi")
+
+
 def test_near_dup_is_grouped_not_self_joined(spark):
     """The LSH near-dup must pair within bucket GROUPS (one grouped
     Python stage after one shuffle), never via embedding-carrying
