@@ -53,6 +53,46 @@ def windowed_event_counts_stream(
     return spark.table(out_table)
 
 
+def windowed_event_counts_stream_append(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    out_table: str = "stream_counts_append",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Append-mode variant where the watermark's DROP semantics are
+    live (in ``complete`` mode above the watermark never drops — every
+    window stays in state).  Reads all parquet files under
+    ``events_dir`` one per micro-batch, so a later file's events that
+    fall ``watermark`` behind the max event time of an earlier batch
+    are dropped on arrival, and a window is emitted exactly once, when
+    the watermark passes its end (late-data contract pinned by
+    tests/test_sources_streaming.py::test_watermark_drops_late_events —
+    VERDICT r2 #8)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(out_table)
+
+
 def windowed_event_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch equivalent the streaming result must match exactly."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -63,6 +63,76 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert g == e and len(g) > 0
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermark late-data contract (VERDICT r2 #8): an event arriving
+    more than the watermark delay behind the observed max event time is
+    DROPPED; an out-of-order event still inside the delay is ACCEPTED.
+    The batch query (no watermark) counts both, so if the watermark
+    silently stopped dropping, the streamed window-0 count would equal
+    the batch count and this test fails."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from ocr_gang_spark.streaming import windowed_event_counts_stream_append
+
+    def mk(ts_list, start_id):
+        return pd.DataFrame({
+            "event_id": pd.array(range(start_id, start_id + len(ts_list)), dtype="int64"),
+            "ts": pd.to_datetime(ts_list),
+            "user_id": pd.array([1] * len(ts_list), dtype="int64"),
+            "event_type": ["click"] * len(ts_list),
+            "value": [1.0] * len(ts_list),
+            "props": ["{}"] * len(ts_list),
+        })
+
+    events_dir = tmp_path / "late_ev"
+    events_dir.mkdir()
+    # batch A: 3 on-time window-0 events + a 05:00 event that advances
+    # the watermark to 03:00 (max ts - 2h)
+    a = mk(["2024-01-01 00:10", "2024-01-01 00:20", "2024-01-01 00:30",
+            "2024-01-01 05:00"], 1)
+    # batch B: advances the watermark to 07:00, finalizing and emitting
+    # window 0 (empirically the late filter lags the reported watermark
+    # by one batch, so the drop must be provoked a batch later)
+    b = mk(["2024-01-01 09:00"], 10)
+    # batch C: 00:40 is hours behind the watermark and its window was
+    # already emitted+evicted -> DROPPED; 06:30 is out-of-order (behind
+    # batch B's 09:00) but within the 2h delay -> ACCEPTED, and its
+    # window [06:00,07:00) finalizes at the final 07:30 watermark
+    c = mk(["2024-01-01 00:40", "2024-01-01 06:30", "2024-01-01 09:30"], 20)
+    now = _time.time()
+    for i, frame in enumerate([a, b, c]):
+        path = str(events_dir / f"part-{i}.parquet")
+        # pandas defaults to ns-precision INT64 timestamps which Spark's
+        # parquet reader refuses; coerce to micros
+        frame.to_parquet(path, index=False, coerce_timestamps="us")
+        os.utime(path, (now + i, now + i))  # deterministic batch order
+
+    got = windowed_event_counts_stream_append(
+        spark, str(events_dir), checkpoint=str(tmp_path / "cp_late"),
+        out_table="t_late_counts",
+    )
+    counts = {r["window_start"].hour: r["n_events"] for r in got.collect()}
+
+    batch = spark.read.parquet(str(events_dir))
+    from pyspark.sql import functions as F
+    batch_counts = {
+        r["w"]["start"].hour: r["n"]
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n")).collect()
+    }
+
+    assert batch_counts[0] == 4  # batch sees all 4 incl. the late one
+    assert counts[0] == 3, f"late event not dropped: {counts}"  # stream drops it
+    assert counts[6] == 1, f"in-watermark out-of-order event lost: {counts}"
+    assert counts[5] == 1
+    # hour-9 windows never finalize (watermark stops at 07:30) so
+    # append mode must not have emitted them
+    assert 9 not in counts
+
+
 def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionization over 4 time-ordered
     micro-batches must equal the batch window/lag sessionize query —
