@@ -107,7 +107,11 @@ def deskew_page(rgb):
 
 
 def extract_media_spans(
-    spans: DataFrame, media: DataFrame, weights_bc, deskew: bool = False
+    spans: DataFrame,
+    media: DataFrame,
+    weights_bc,
+    deskew: bool = False,
+    skew_treatment: bool = True,
 ) -> DataFrame:
     """kind='media' branch: resolve blobs, OCR them in Arrow batches.
 
@@ -124,6 +128,14 @@ def extract_media_spans(
       targets), capping a compute-bound stage at a handful of tasks;
     * the join is hinted SHUFFLE_HASH: sort-merge would sort blob-sized
       rows for no benefit.
+
+    ``skew_treatment=False`` is the BENCH-ONLY counterfactual
+    (scripts/skew_bench.py): the OCR stage re-partitions by doc_id
+    after the join, so a media-heavy document's blobs pile into one
+    task — the naive whole-document-per-task shape whose straggler
+    cost the media_ref hashing above is designed to avoid.  Results
+    are identical either way (the reassembly groups by doc_id); only
+    the task-time distribution differs.
     """
     spark = spans.sparkSession
     n_tasks = max(
@@ -137,6 +149,8 @@ def extract_media_spans(
         .join(media.repartition(n_tasks, "media_ref").hint("shuffle_hash"),
               "media_ref", "left")
     )
+    if not skew_treatment:
+        media_spans = media_spans.repartition(n_tasks, "doc_id")
 
     def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w = weights_bc.value

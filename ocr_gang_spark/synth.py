@@ -107,8 +107,14 @@ def synth_doc_spans(seed: int, doc_id: str, skew_frac: float = 0.01,
 
 def synth_documents(spark: SparkSession, n_docs: int, seed: int = 42,
                     skew_frac: float = 0.01, media_prob: float = 0.4,
-                    max_spans: int = 8, partitions: int | None = None) -> DataFrame:
-    """documents(doc_id, spans) generated on the executors."""
+                    max_spans: int = 8, partitions: int | None = None,
+                    heavy_spans: tuple = (50, 200)) -> DataFrame:
+    """documents(doc_id, spans) generated on the executors.
+
+    ``heavy_spans`` sizes the skewed tier's media-span count; the skew
+    bench narrows ``skew_frac`` and widens ``heavy_spans`` to model the
+    real straggler shape (a handful of huge hot keys) rather than many
+    moderately-heavy keys that hash-average away."""
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
 
@@ -119,7 +125,8 @@ def synth_documents(spark: SparkSession, n_docs: int, seed: int = 42,
                 {
                     "doc_id": doc_ids,
                     "spans": [
-                        synth_doc_spans(seed, d, skew_frac, media_prob, max_spans)
+                        synth_doc_spans(seed, d, skew_frac, media_prob,
+                                        max_spans, heavy_spans)
                         for d in doc_ids
                     ],
                 }
