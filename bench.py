@@ -45,6 +45,7 @@ HEADLINE = [
     "ann_ivf_multiprobe_topk",
     "token_stats",
     "bpe_token_stats",
+    "quality_filter_decisions",
     "rolling_fingerprint",
     "winnow_fingerprints",
     "lang_id_markers",

@@ -818,6 +818,82 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style composite quality filter (Rae et al. 2021 §A1.1, public):
+# word-count bounds, mean-word-length bounds, a stopword-presence rule,
+# and a repetition rule (distinct-token ratio).  Thresholds are tuned so
+# the synthetic corpus genuinely splits (both keep and drop occur at
+# every tier); each rule is a pure in-row expression in both engines, so
+# the whole filter is one scan with zero shuffles — the shape that holds
+# at 100 TB.
+_QF_MIN_WORDS, _QF_MAX_WORDS = 30, 90
+_QF_MIN_MWL, _QF_MAX_MWL = 3.0, 10.0
+_QF_MIN_DISTINCT = 0.5
+_QF_STOPWORD = "the"
+
+
+def _qf_duck() -> str:
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len,
+             (' ' || text || ' ') LIKE '% {_QF_STOPWORD} %' AS has_stopword,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, has_stopword, distinct_ratio,
+           (n_words BETWEEN {_QF_MIN_WORDS} AND {_QF_MAX_WORDS})
+             AND mean_word_len BETWEEN {_QF_MIN_MWL} AND {_QF_MAX_MWL}
+             AND has_stopword AND distinct_ratio >= {_QF_MIN_DISTINCT} AS keep,
+           concat_ws(',',
+             CASE WHEN n_words NOT BETWEEN {_QF_MIN_WORDS} AND {_QF_MAX_WORDS}
+                  THEN 'word_count' END,
+             CASE WHEN mean_word_len NOT BETWEEN {_QF_MIN_MWL} AND {_QF_MAX_MWL}
+                  THEN 'mean_word_len' END,
+             CASE WHEN NOT has_stopword THEN 'stopword' END,
+             CASE WHEN distinct_ratio < {_QF_MIN_DISTINCT} THEN 'repetition' END
+           ) AS drop_reasons
+    FROM s
+    """
+
+
+@register("quality_filter_decisions", _qf_duck())
+def quality_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop quality filter over the documents table with
+    per-document failure reasons — the Gopher-rule pipeline stage an LLM
+    training corpus runs before dedup.  All four rules are in-row
+    integer/double arithmetic on identical expressions in both engines
+    (no transcendentals), so the cross-engine value hash is exact."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("bigint")
+    mwl = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+           .cast("double") / n_words)
+    has_stop = F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(
+        f"% {_QF_STOPWORD} %")
+    dr = F.size(F.array_distinct(toks)).cast("double") / n_words
+    ok_words = n_words.between(_QF_MIN_WORDS, _QF_MAX_WORDS)
+    ok_mwl = mwl.between(_QF_MIN_MWL, _QF_MAX_MWL)
+    ok_dr = dr >= _QF_MIN_DISTINCT
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        has_stop.alias("has_stopword"),
+        dr.alias("distinct_ratio"),
+        (ok_words & ok_mwl & has_stop & ok_dr).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(~ok_words, F.lit("word_count")),
+            F.when(~ok_mwl, F.lit("mean_word_len")),
+            F.when(~has_stop, F.lit("stopword")),
+            F.when(~ok_dr, F.lit("repetition")),
+        ).alias("drop_reasons"),
+    )
+
+
 # A BPE-ish pre-tokenizer: the GPT-2 pattern family's shape (optional
 # leading space + letter run | digit run | punctuation run) minus the
 # lookarounds, which RE2 (DuckDB) does not support.  The alternatives

@@ -150,3 +150,16 @@ def test_extraction_metrics_partial_aggregation(spark):
     df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
     plan = plan_of(df, mode="simple")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_quality_filter_is_single_scan_no_shuffle(spark):
+    """The composite quality filter must stay one codegen'd scan+project
+    with a pruned ReadSchema — any Exchange here means a refactor turned
+    a 100TB-safe in-row filter into a shuffle."""
+    from ocr_gang_spark.textops import quality_filter_decisions
+
+    plan = plan_of(quality_filter_decisions(spark, SF))
+    assert "Exchange" not in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
