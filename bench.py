@@ -49,6 +49,7 @@ HEADLINE = [
     "rolling_fingerprint",
     "winnow_fingerprints",
     "lang_id_markers",
+    "stream_dedup_events",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND

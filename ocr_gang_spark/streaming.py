@@ -205,6 +205,90 @@ def write_time_split_events(spark: SparkSession, sf_dir: str, out_dir: str,
     return out_dir
 
 
+def write_events_with_dups(spark: SparkSession, sf_dir: str, out_dir: str,
+                           n_files: int = 4, every: int = 20,
+                           dup_delay_s: int = 601) -> str:
+    """Time-split events into ``n_files`` micro-batch files and inject a
+    DUPLICATE of every ``every``-th event into the NEXT file (ts shifted
+    +``dup_delay_s``), so streaming dedup state must genuinely cross
+    micro-batch boundaries to suppress them.  Deterministic: dup
+    placement is a pure function of event_id."""
+    import os
+    import time as _time
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    lo_e, hi_e = int(lo.timestamp()), int(hi.timestamp()) + 1
+    step = max(1, (hi_e - lo_e + n_files - 1) // n_files)
+    os.makedirs(out_dir, exist_ok=True)
+    for k in range(n_files):
+        in_slice = (
+            (F.unix_timestamp("ts") >= lo_e + k * step)
+            & (F.unix_timestamp("ts") < lo_e + (k + 1) * step)
+        )
+        part = events.where(in_slice)
+        if k > 0:
+            prev_slice = (
+                (F.unix_timestamp("ts") >= lo_e + (k - 1) * step)
+                & (F.unix_timestamp("ts") < lo_e + k * step)
+            )
+            dups = (
+                events.where(prev_slice & (F.col("event_id") % every == 0))
+                .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {dup_delay_s} SECONDS"))
+            )
+            part = part.unionByName(dups)
+        path = os.path.join(out_dir, f"part{k:02d}")
+        part.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1e9 + k, 1e9 + k))
+        _time.sleep(0.01)
+    return out_dir
+
+
+def dedup_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    out_table: str = "stream_dedup",
+    watermark: str = "744 hours",
+) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` —
+    the incremental-ingest analog of the batch dedup_exact query: the
+    first-seen row per event_id is emitted, later duplicates are
+    suppressed for as long as the watermark keeps their state alive.
+    The driver query sizes ``watermark`` to the full corpus span so
+    retention is total and the output equals the original events
+    exactly; the eviction->readmission caveat (a duplicate arriving
+    after its key's state aged out IS re-emitted) is pinned separately
+    in tests/test_sources_streaming.py."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        # ts stays in the output: the kept row must be the FIRST-seen
+        # (original) occurrence, not the +601s duplicate — the value
+        # hash catches a wrong survivor, not just a wrong count
+        .select("event_id", "ts", "user_id", "event_type",
+                F.col("value").cast("double").alias("value"))
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(out_table)
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract entry: the streaming job under the value-hash gate
 # ---------------------------------------------------------------------------
@@ -241,6 +325,34 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts_stream(
         spark, sf_dir, checkpoint=tempfile.mkdtemp(prefix="ocrgang_stream_"),
         out_table=name,
+    )
+
+
+@register(
+    "stream_dedup_events",
+    # the stream suppresses every injected duplicate and keeps the
+    # first-seen (original) row, so the finished result is exactly the
+    # original events table's rows on these columns
+    """
+    SELECT event_id, ts, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup under the driver's value oracle:
+    events are re-split into 4 time-ordered micro-batch files with a
+    duplicate of every 20th event injected into the NEXT file (+601s),
+    then deduped cross-batch with dropDuplicatesWithinWatermark.  The
+    finished stream must hash-equal the original events table — wrong
+    survivor, missed dup, or a dropped original all break the hash."""
+    import tempfile
+
+    name = f"t_stream_dedup_{next(_qid)}"
+    work = tempfile.mkdtemp(prefix="ocrgang_sdedup_")
+    events_dir = write_events_with_dups(spark, sf_dir, f"{work}/ev")
+    return dedup_events_stream(
+        spark, events_dir, checkpoint=f"{work}/cp", out_table=name,
     )
 
 

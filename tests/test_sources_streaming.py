@@ -133,6 +133,65 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert 9 not in counts
 
 
+def test_stream_dedup_readmits_after_state_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's documented weaker guarantee: a
+    duplicate arriving AFTER its key's state aged out of the watermark
+    window is re-emitted.  The driver query avoids this by sizing the
+    watermark to the corpus span; this pins the caveat so the guarantee
+    is never silently overstated."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from ocr_gang_spark.streaming import dedup_events_stream
+
+    def mk(rows, start_id=1):
+        ids, tss = zip(*rows)
+        return pd.DataFrame({
+            "event_id": pd.array(ids, dtype="int64"),
+            "ts": pd.to_datetime(list(tss)),
+            "user_id": pd.array([1] * len(rows), dtype="int64"),
+            "event_type": ["click"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        })
+
+    d = tmp_path / "dedup_ev"
+    d.mkdir()
+    files = [
+        mk([(1, "2024-01-01 00:00"), (2, "2024-01-01 00:10")]),
+        # advances the watermark to 08:00 — id 1's state (kept for the
+        # 2h delay past its event time) is now expirable
+        mk([(3, "2024-01-01 10:00")]),
+        # filler batch: state cleanup lags the watermark by one batch
+        # (same empirical lag as the late-data filter above), so id 1's
+        # entry is physically removed during THIS batch
+        mk([(4, "2024-01-01 10:15")]),
+        # duplicate of id 1, in-watermark ts, arriving after eviction
+        mk([(1, "2024-01-01 09:00")]),
+    ]
+    now = _time.time()
+    for i, frame in enumerate(files):
+        sub = d / f"part{i:02d}"
+        sub.mkdir()
+        path = str(sub / "data.parquet")
+        frame.to_parquet(path, index=False, coerce_timestamps="us")
+        os.utime(path, (now + i, now + i))
+
+    got = dedup_events_stream(
+        spark, str(d), checkpoint=str(tmp_path / "cp_dedup"),
+        out_table="t_dedup_readmit", watermark="2 hours",
+    )
+    rows = got.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["event_id"], []).append(r["ts"].hour)
+    assert by_id[2] == [0] and by_id[3] == [10] and by_id[4] == [10]
+    # the caveat: id 1 appears TWICE (original + post-eviction dup)
+    assert sorted(by_id[1]) == [0, 9], f"readmission caveat drifted: {by_id}"
+
+
 def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionization over 4 time-ordered
     micro-batches must equal the batch window/lag sessionize query —
