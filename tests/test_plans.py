@@ -152,6 +152,38 @@ def test_extraction_metrics_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_bucketed_media_join_shuffles_only_probe_side(spark, tmp_path):
+    """write_bucketed persists the media_ref hash partitioning, so a
+    later join reads buckets in place: the plan must carry exactly ONE
+    Exchange (probe side) and scan the bucketed table as bucketed."""
+    from pyspark.sql import functions as F
+
+    from ocr_gang_spark.bucketing import bucketed_table, write_bucketed
+
+    docs = synth_documents(spark, 60, seed=7)
+    media = synth_media(spark, docs)
+    try:
+        write_bucketed(media, "t_media_bucketed", "media_ref", 8,
+                       path=str(tmp_path / "media_bucketed"))
+        spans = (
+            explode_spans(docs)
+            .where(F.col("kind") == "media")
+            .select("doc_id", "media_ref")
+        )
+        # force a shuffle join (the test table is broadcast-small)
+        joined = spans.hint("merge").join(
+            bucketed_table(spark, "t_media_bucketed"), "media_ref"
+        )
+        # simple mode prints each node once (formatted repeats nodes in
+        # the detail section, double-counting); Bucketed flag only shows
+        # in formatted mode
+        simple = plan_of(joined, mode="simple")
+        assert simple.count("Exchange") == 1, simple
+        assert "Bucketed: true" in plan_of(joined)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_media_bucketed")
+
+
 def test_quality_filter_is_single_scan_no_shuffle(spark):
     """The composite quality filter must stay one codegen'd scan+project
     with a pruned ReadSchema — any Exchange here means a refactor turned
