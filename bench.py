@@ -63,6 +63,7 @@ HEADLINE_EXTRACT = [
     "ocr_extract_spans",
     "hough_deskew",
     "media_metadata",
+    "media_resize_stats",
     "augmentation_counts",
     "pdf_layout_spans",
     "main_content_blocks",

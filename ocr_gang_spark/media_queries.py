@@ -25,6 +25,7 @@ _FIXTURES = os.path.join(
 
 N_AUDIO = 128
 N_VIDEO = 64
+RESIZE_W, RESIZE_H = 64, 48  # fixed thumbnail dims (media_resize_stats)
 
 
 @register(
@@ -63,6 +64,57 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return media.mapInPandas(
         meta, schema="media_ref string, fmt string, width int, height int, n_bytes bigint"
+    )
+
+
+@register(
+    "media_resize_stats",
+    # same relational ref-set reconstruction as media_metadata, joined
+    # to the committed per-ref resize fixture (generation-time
+    # crosschecked against the textbook double loop on every 10th doc;
+    # fixtures/expected_crosscheck.json "resize")
+    f"""
+    WITH refs AS (
+      SELECT printf('m42-doc-%08d-%d', doc_id, i) AS media_ref
+      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS i)
+      WHERE i <= doc_id % 2 + 1)
+    SELECT f.media_ref, f.src_w, f.src_h, f.ink_src, f.ink_thumb
+    FROM read_parquet('{_FIXTURES}/expected_resize.parquet') f
+    JOIN refs USING (media_ref)
+    """,
+)
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize as a first-class multimodal op: decode each media
+    blob, binarize, NN-resample (K3 floor indexing, resize1) to the
+    fixed 64x48 thumbnail, and emit integer-exact ink counts before and
+    after.  Per-blob Arrow-batched kernel, no shuffle — the thumbnail /
+    training-input standardization pass of a 100TB corpus."""
+    from .kernels.bmp import decode_media_blob
+    from .kernels.image_ops import binarize, resize1
+
+    docs = spans_from_testdata(spark, sf_dir)
+    media = synth_media(spark, docs)
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["bytes"]):
+                bw = binarize(decode_media_blob(bytes(blob)))
+                thumb = resize1(bw, RESIZE_W, RESIZE_H)
+                rows.append(
+                    (ref, bw.shape[1], bw.shape[0],
+                     int(np.sum(bw == 0)), int(np.sum(thumb == 0)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "src_w", "src_h", "ink_src", "ink_thumb"]
+            )
+
+    return media.mapInPandas(
+        stats,
+        schema="media_ref string, src_w int, src_h int, "
+               "ink_src bigint, ink_thumb bigint",
     )
 
 

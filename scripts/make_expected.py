@@ -317,7 +317,7 @@ def expected_media_rows():
         synth_video_blob,
         video_frame_index,
     )
-    from ocr_gang_spark.media_queries import N_AUDIO, N_VIDEO
+    from ocr_gang_spark.media_queries import N_AUDIO, N_VIDEO, RESIZE_H, RESIZE_W
     from ocr_gang_spark.synth import blob_for_ref
 
     refs = set()
@@ -352,7 +352,34 @@ def expected_media_rows():
             n_sampled += 1
             n_ink += int(np.sum(frame[:, :, 0] == 0))
         video.append((ref, n_frames, w, h, n_sampled, n_ink))
-    return meta, audio, video
+
+    # thumbnail resize stats (media_resize_stats): decode + binarize +
+    # K3 floor-index NN resample to the fixed 64x48 thumbnail.  Every
+    # CROSSCHECK_EVERY-th doc's refs are re-derived through the textbook
+    # double loop dst[y][x] = src[y*sy//dy][x*sx//dx] — generation fails
+    # on disagreement with the vectorized kernel.
+    from ocr_gang_spark.kernels.bmp import decode_media_blob
+    from ocr_gang_spark.kernels.image_ops import binarize, resize1
+
+    resize = []
+    resize_crosschecked = []
+    for ref in sorted(refs):
+        bw = binarize(decode_media_blob(blob_for_ref(ref)))
+        thumb = resize1(bw, RESIZE_W, RESIZE_H)
+        did = int(ref.split("-")[2])
+        if did % CROSSCHECK_EVERY == 0:
+            sy, sx = bw.shape
+            brute = np.empty((RESIZE_H, RESIZE_W), dtype=bw.dtype)
+            for y in range(RESIZE_H):
+                for x in range(RESIZE_W):
+                    brute[y, x] = bw[y * sy // RESIZE_H, x * sx // RESIZE_W]
+            assert np.array_equal(brute, thumb), f"resize crosscheck failed: {ref}"
+            resize_crosschecked.append(ref)
+        resize.append(
+            (ref, bw.shape[1], bw.shape[0],
+             int(np.sum(bw == 0)), int(np.sum(thumb == 0)))
+        )
+    return meta, audio, video, resize, resize_crosschecked
 
 
 def expected_pdf_rows():
@@ -463,8 +490,26 @@ def main() -> None:
     )
     print(f"wrote expected_augmentation.parquet ({len(aug_rows)} rows)")
 
-    meta, audio, video = expected_media_rows()
+    meta, audio, video, resize, resize_xc = expected_media_rows()
+    with open(os.path.join(FIXDIR, "expected_crosscheck.json")) as f:
+        xc_doc = json.load(f)
+    xc_doc["resize"] = {
+        "checked": ["64x48 thumbnail equals the textbook double-loop "
+                    "dst[y][x] = src[y*sy//dy][x*sx//dx]"],
+        "refs": sorted(set(resize_xc)),
+    }
+    with open(os.path.join(FIXDIR, "expected_crosscheck.json"), "w") as f:
+        json.dump(xc_doc, f, indent=1)
     for name, rows, schema in [
+        (
+            "expected_resize",
+            resize,
+            pa.schema(
+                [("media_ref", pa.string()), ("src_w", pa.int32()),
+                 ("src_h", pa.int32()), ("ink_src", pa.int64()),
+                 ("ink_thumb", pa.int64())]
+            ),
+        ),
         (
             "expected_media_meta",
             meta,
