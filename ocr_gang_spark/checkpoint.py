@@ -119,7 +119,13 @@ def run_extraction(
     parts are extracted, written idempotently, measured, and marked done.
     """
     run_id = run_id or f"run-{int(time.time() * 1000)}"
-    _check_run_manifest(checkpoint_dir, {"deskew": bool(deskew)})
+    # n_parts is output-affecting too: the ledger ignores done entries
+    # from a different n_parts (full reprocess), but dynamic partition
+    # overwrite only replaces the NEW part_id dirs — stale dirs from the
+    # old partitioning would silently duplicate documents in the output
+    _check_run_manifest(
+        checkpoint_dir, {"deskew": bool(deskew), "n_parts": int(n_parts)}
+    )
     weights_bc = weights_bc or broadcast_weights(spark)
     t0 = time.time()
 

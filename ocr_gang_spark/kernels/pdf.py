@@ -83,7 +83,17 @@ def _scan_objects(blob: bytes) -> Dict[int, bytes]:
             break
         body_start = m.end()
         eo = blob.find(b"endobj", body_start)
-        sm = _STREAM_RE.search(blob, body_start, eo if eo >= 0 else n)
+        # the stream keyword is only legitimate immediately after the
+        # object's dictionary (PDF 32000 7.3.8: "dictionary ...
+        # stream"), so require ...>> [ws] stream — a 'stream' byte
+        # sequence inside a string literal or other body content must
+        # NOT trigger the payload scan (it would swallow every object
+        # up to someone else's 'endstream')
+        sm = None
+        for cand in _STREAM_RE.finditer(blob, body_start, eo if eo >= 0 else n):
+            if blob[body_start:cand.start()].rstrip().endswith(b">>"):
+                sm = cand
+                break
         if sm is not None:
             data_start = sm.end()
             head = _dict_body(blob[body_start : sm.start()])

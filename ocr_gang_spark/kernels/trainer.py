@@ -402,6 +402,26 @@ class ReferenceSGDNet:
         return delta_input, probs
 
 
+def _per_sample_epoch(net, cnn_adam, filters, conv_biases, x, y) -> int:
+    """ONE epoch of the reference-granularity joint loop
+    (training.c:209-237): shuffle (T3), then per sample cnn_forward →
+    forward_pass → back_propagation → cnn_backward at eta*0.1.  Shared
+    verbatim by the miniature trainer below and the fixture trainer —
+    the step sequence that pins the C semantics exists exactly once.
+    Returns the number of correctly classified training samples."""
+    n = x.shape[0]
+    perm = net.rng.permutation(n)  # shuffle(indices), training.c:209
+    correct = 0
+    for idx in perm:
+        flat, conv, midx = cnn_forward_train(x[idx][None], filters, conv_biases)
+        delta_input, probs = net.train_step(flat[0], int(y[idx]))
+        fg, bg = cnn_backward_grads(x[idx][None], conv, midx, delta_input[None])
+        cnn_adam.step([filters, conv_biases], [fg, bg], net.eta * 0.1)
+        if np.argmax(probs) == y[idx]:
+            correct += 1
+    return correct
+
+
 def train_ocr_per_sample(
     seed: int = TRAIN_SEED,
     max_epochs: int = 60,
@@ -451,15 +471,7 @@ def train_ocr_per_sample(
         return acc
 
     for epoch in range(max_epochs):
-        perm = net.rng.permutation(n)  # shuffle(indices), training.c:209
-        correct = 0
-        for idx in perm:
-            flat, conv, midx = cnn_forward_train(x[idx][None], filters, conv_biases)
-            delta_input, probs = net.train_step(flat[0], int(y[idx]))
-            fg, bg = cnn_backward_grads(x[idx][None], conv, midx, delta_input[None])
-            cnn_adam.step([filters, conv_biases], [fg, bg], net.eta * 0.1)
-            if np.argmax(probs) == y[idx]:
-                correct += 1
+        correct = _per_sample_epoch(net, cnn_adam, filters, conv_biases, x, y)
         val_acc = val_accuracy()
         history.append((correct / n, val_acc))
         if val_acc > best_val:
@@ -537,15 +549,7 @@ def train_fixture_weights_per_sample(
         return acc
 
     for epoch in range(max_epochs):
-        perm = net.rng.permutation(n)  # shuffle(indices), training.c:209
-        correct = 0
-        for idx in perm:
-            flat, conv, midx = cnn_forward_train(x[idx][None], filters, conv_biases)
-            delta_input, probs = net.train_step(flat[0], int(y[idx]))
-            fg, bg = cnn_backward_grads(x[idx][None], conv, midx, delta_input[None])
-            cnn_adam.step([filters, conv_biases], [fg, bg], net.eta * 0.1)
-            if np.argmax(probs) == y[idx]:
-                correct += 1
+        correct = _per_sample_epoch(net, cnn_adam, filters, conv_biases, x, y)
         train_acc = correct / n
         val_acc = accuracy(val_x, val_y)
         if val_acc > best_val:

@@ -178,11 +178,20 @@ def sessionize_stream(
     )
 
 
-def write_time_split_events(spark: SparkSession, sf_dir: str, out_dir: str,
-                            n_files: int = 4) -> str:
-    """Split the events table into ``n_files`` disjoint time ranges,
-    one parquet file each, with mtimes increasing in time order — the
-    multi-micro-batch input sessionize_stream needs."""
+def _slice_pred(lo_e: int, step: int, k: int):
+    return (
+        (F.unix_timestamp("ts") >= lo_e + k * step)
+        & (F.unix_timestamp("ts") < lo_e + (k + 1) * step)
+    )
+
+
+def _write_time_sliced(spark: SparkSession, sf_dir: str, out_dir: str,
+                       n_files: int, extra_rows=None) -> str:
+    """Shared micro-batch-file writer: split events into ``n_files``
+    disjoint time slices, one parquet file each, mtimes increasing in
+    time order (the file-stream source processes oldest-mtime first).
+    ``extra_rows(k, events, lo_e, step)`` may return a DataFrame to
+    union into slice ``k`` (e.g. injected duplicates)."""
     import os
     import time as _time
 
@@ -192,10 +201,11 @@ def write_time_split_events(spark: SparkSession, sf_dir: str, out_dir: str,
     step = max(1, (hi_e - lo_e + n_files - 1) // n_files)
     os.makedirs(out_dir, exist_ok=True)
     for k in range(n_files):
-        part = events.where(
-            (F.unix_timestamp("ts") >= lo_e + k * step)
-            & (F.unix_timestamp("ts") < lo_e + (k + 1) * step)
-        )
+        part = events.where(_slice_pred(lo_e, step, k))
+        if extra_rows is not None:
+            extra = extra_rows(k, events, lo_e, step)
+            if extra is not None:
+                part = part.unionByName(extra)
         path = os.path.join(out_dir, f"part{k:02d}")
         part.coalesce(1).write.mode("overwrite").parquet(path)
         for root, _dirs, files in os.walk(path):
@@ -203,6 +213,14 @@ def write_time_split_events(spark: SparkSession, sf_dir: str, out_dir: str,
                 os.utime(os.path.join(root, fn), (1e9 + k, 1e9 + k))
         _time.sleep(0.01)
     return out_dir
+
+
+def write_time_split_events(spark: SparkSession, sf_dir: str, out_dir: str,
+                            n_files: int = 4) -> str:
+    """Split the events table into ``n_files`` disjoint time ranges,
+    one parquet file each, with mtimes increasing in time order — the
+    multi-micro-batch input sessionize_stream needs."""
+    return _write_time_sliced(spark, sf_dir, out_dir, n_files)
 
 
 def write_events_with_dups(spark: SparkSession, sf_dir: str, out_dir: str,
@@ -213,37 +231,17 @@ def write_events_with_dups(spark: SparkSession, sf_dir: str, out_dir: str,
     +``dup_delay_s``), so streaming dedup state must genuinely cross
     micro-batch boundaries to suppress them.  Deterministic: dup
     placement is a pure function of event_id."""
-    import os
-    import time as _time
-
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
-    lo_e, hi_e = int(lo.timestamp()), int(hi.timestamp()) + 1
-    step = max(1, (hi_e - lo_e + n_files - 1) // n_files)
-    os.makedirs(out_dir, exist_ok=True)
-    for k in range(n_files):
-        in_slice = (
-            (F.unix_timestamp("ts") >= lo_e + k * step)
-            & (F.unix_timestamp("ts") < lo_e + (k + 1) * step)
+    def dups_from_prev_slice(k, events, lo_e, step):
+        if k == 0:
+            return None
+        return (
+            events.where(_slice_pred(lo_e, step, k - 1)
+                         & (F.col("event_id") % every == 0))
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {dup_delay_s} SECONDS"))
         )
-        part = events.where(in_slice)
-        if k > 0:
-            prev_slice = (
-                (F.unix_timestamp("ts") >= lo_e + (k - 1) * step)
-                & (F.unix_timestamp("ts") < lo_e + k * step)
-            )
-            dups = (
-                events.where(prev_slice & (F.col("event_id") % every == 0))
-                .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {dup_delay_s} SECONDS"))
-            )
-            part = part.unionByName(dups)
-        path = os.path.join(out_dir, f"part{k:02d}")
-        part.coalesce(1).write.mode("overwrite").parquet(path)
-        for root, _dirs, files in os.walk(path):
-            for fn in files:
-                os.utime(os.path.join(root, fn), (1e9 + k, 1e9 + k))
-        _time.sleep(0.01)
-    return out_dir
+
+    return _write_time_sliced(spark, sf_dir, out_dir, n_files,
+                              extra_rows=dups_from_prev_slice)
 
 
 def dedup_events_stream(

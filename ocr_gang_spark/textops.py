@@ -128,10 +128,18 @@ def _spread(df: DataFrame) -> DataFrame:
         return df
     if len(files) >= target:
         return df
-    try:
-        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-        max_bytes = int(str(raw).lower().rstrip("b")) or 1
-    except ValueError:
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    ).strip().lower()
+    # Spark accepts human-readable sizes ('16m', '1g', '64mb', '128k');
+    # parse the full suffix family, defaulting on anything else
+    m_sz = re.fullmatch(r"(\d+)\s*([kmgt]?b?)", raw)
+    if m_sz:
+        mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+                "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+                "t": 1 << 40, "tb": 1 << 40}[m_sz.group(2)]
+        max_bytes = max(1, int(m_sz.group(1)) * mult)
+    else:
         max_bytes = 134217728
     splits = 0
     for uri in files:

@@ -22,7 +22,7 @@ import time
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, ROOT)
 
-from ocr_gang_spark.hostprobe import steal_probe  # noqa: E402
+from ocr_gang_spark.hostprobe import ProbeSampler, steal_probe  # noqa: E402
 
 
 def prep_input(n_docs: int, seed: int, base: str) -> None:
@@ -75,38 +75,25 @@ def run_level(cpus: int, base: str, n_parts: int, rep: int = 0) -> dict:
     # sample the single-core steal probe every ~10s DURING the run (one
     # core of 32 — negligible perturbation): a contended run is then
     # visibly contended in its probe trace, not just suspiciously slow
-    import threading
-
-    samples: list = []
-    stop = threading.Event()
-
-    def sampler():
-        while not stop.is_set():
-            samples.append(steal_probe())
-            stop.wait(10)
-
-    th = threading.Thread(target=sampler, daemon=True)
-    th.start()
     t0 = time.time()
-    proc = subprocess.run(
-        [
-            sys.executable, os.path.join(ROOT, "jobs", "extract_job.py"),
-            "--mode", "parquet",
-            "--input-docs", f"{base}/docs",
-            "--input-media", f"{base}/media",
-            "--output", out, "--checkpoint", cp,
-            "--n-parts", str(n_parts), "--cpus", str(cpus),
-        ],
-        capture_output=True, text=True, cwd=ROOT, env=env, check=True,
-    )
-    stop.set()
-    th.join(timeout=15)
+    with ProbeSampler() as ps:
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.join(ROOT, "jobs", "extract_job.py"),
+                "--mode", "parquet",
+                "--input-docs", f"{base}/docs",
+                "--input-media", f"{base}/media",
+                "--output", out, "--checkpoint", cp,
+                "--n-parts", str(n_parts), "--cpus", str(cpus),
+            ],
+            capture_output=True, text=True, cwd=ROOT, env=env, check=True,
+        )
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
     res = json.loads(line)
     res["total_wall_sec"] = round(time.time() - t0, 1)
     res["cpus"] = cpus
-    res["steal_probe_sec"] = round(sum(samples) / max(1, len(samples)), 3)
-    res["steal_probe_max"] = round(max(samples), 3) if samples else None
+    res["steal_probe_sec"] = ps.mean
+    res["steal_probe_max"] = ps.max
     return res
 
 

@@ -47,6 +47,11 @@ def ocr_stage_task_times(event_dir: str) -> dict:
                     continue
                 if ev.get("Event") != "SparkListenerTaskEnd":
                     continue
+                # failed/killed attempts are retried; counting both the
+                # failure and its retry would inflate the distribution
+                reason = (ev.get("Task End Reason") or {}).get("Reason")
+                if reason != "Success":
+                    continue
                 info = ev.get("Task Info", {})
                 metrics = ev.get("Task Metrics") or {}
                 run = metrics.get("Executor Run Time")

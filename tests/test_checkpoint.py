@@ -54,10 +54,14 @@ def test_clean_run_then_noop_resume(spark, corpus, tmp_path):
     assert row.d == N_DOCS and row.s > 0
 
 
-def test_mismatched_n_parts_checkpoint_is_ignored(spark, corpus, tmp_path):
+def test_mismatched_n_parts_is_refused(spark, corpus, tmp_path):
     """part_id is only meaningful relative to n_parts: entries written
-    under a different n_parts must not short-circuit a run with genuine
-    remaining work (ADVICE r1)."""
+    under a different n_parts must never short-circuit genuine remaining
+    work (ADVICE r1).  Since round 3 the manifest refuses the mismatch
+    outright — dynamic overwrite only replaces NEW part_id dirs, so a
+    reused output dir would keep stale dirs from the old partitioning
+    and silently duplicate documents.  A fresh checkpoint dir (the
+    documented way to change n_parts) reprocesses the full corpus."""
     docs, media = corpus
     cp = str(tmp_path / "cp")
     bc = broadcast_weights(spark)
@@ -66,10 +70,14 @@ def test_mismatched_n_parts_checkpoint_is_ignored(spark, corpus, tmp_path):
                         n_parts=4, run_id="a", weights_bc=bc)
     assert r1.n_docs == N_DOCS
 
-    # same checkpoint dir, different n_parts: the 4-part 'done' rows are
-    # ignored and the full corpus is reprocessed under the new scheme
-    r2 = run_extraction(spark, docs, media, str(tmp_path / "out8"), cp,
-                        n_parts=8, run_id="b", weights_bc=bc)
+    with pytest.raises(ValueError, match="n_parts"):
+        run_extraction(spark, docs, media, str(tmp_path / "out8"), cp,
+                       n_parts=8, run_id="b", weights_bc=bc)
+
+    # fresh checkpoint dir: full reprocess under the new scheme
+    r2 = run_extraction(spark, docs, media, str(tmp_path / "out8"),
+                        str(tmp_path / "cp8"), n_parts=8, run_id="b2",
+                        weights_bc=bc)
     assert r2.n_docs == N_DOCS and r2.n_parts_processed > 0
 
 
@@ -120,6 +128,12 @@ def test_resume_with_different_deskew_refused(spark, corpus, tmp_path):
     with pytest.raises(ValueError, match="deskew"):
         run_extraction(spark, docs, media, out, cp, n_parts=N_PARTS,
                        run_id="r2", weights_bc=bc, deskew=True)
+    # a different n_parts is equally output-affecting: stale part_id
+    # dirs from the old partitioning would duplicate docs (dynamic
+    # overwrite only replaces the new dirs), so it must refuse too
+    with pytest.raises(ValueError, match="n_parts"):
+        run_extraction(spark, docs, media, out, cp, n_parts=N_PARTS * 2,
+                       run_id="r2b", weights_bc=bc, deskew=False)
     # same options resume normally and pick up the remaining docs (those
     # whose part_id was not completed by the 6-doc first run)
     r3 = run_extraction(spark, docs, media, out, cp, n_parts=N_PARTS,

@@ -150,6 +150,21 @@ class TestObjects:
         assert 9 not in objs
         assert set(objs) == {1, 2, 3, 4}
 
+    def test_stream_word_in_string_literal_swallows_nothing(self):
+        # 'stream\n' inside a non-stream object's string literal must
+        # not trigger the payload scan (which would consume every
+        # object up to someone else's endstream)
+        blob = (
+            b"%PDF-1.4\n"
+            b"1 0 obj (text with the word stream\nin it) endobj\n"
+            b"2 0 obj << /Type /Page >> endobj\n"
+            b"3 0 obj << /Length 5 >> stream\nHELLO\nendstream endobj\n"
+        )
+        objs = _scan_objects(blob)
+        assert set(objs) == {1, 2, 3}
+        assert b"/Type /Page" in objs[2]
+        assert b"HELLO" in objs[3]
+
     def test_page_order_follows_kids_not_object_number(self):
         # two pages listed in reverse object order in /Kids
         objs = {
