@@ -64,6 +64,10 @@ def main() -> None:
     # default: the acceptance invariant is equality with the reference
     # binary, which has no deskew; a no-op on straight pages either way
     p.add_argument("--deskew", action="store_true")
+    # 'quarantine' turns corrupt blobs into kind='error' spans instead of
+    # failed tasks (pipeline.extract_media_spans); pinned in the resume
+    # manifest like every output-affecting option
+    p.add_argument("--on-error", choices=["fail", "quarantine"], default="fail")
     args = p.parse_args()
 
     spark = build_session(args.cpus)
@@ -104,7 +108,7 @@ def main() -> None:
     result = run_extraction(
         spark, docs, media, args.output, args.checkpoint,
         n_parts=args.n_parts, run_id=args.run_id, weights_bc=weights_bc,
-        deskew=args.deskew,
+        deskew=args.deskew, on_error=args.on_error,
     )
     wall = time.time() - t0
     print(

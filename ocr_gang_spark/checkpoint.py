@@ -111,6 +111,7 @@ def run_extraction(
     run_id: str | None = None,
     weights_bc=None,
     deskew: bool = False,
+    on_error: str = "fail",
 ) -> RunResult:
     """One (possibly resuming) extraction run.
 
@@ -122,9 +123,12 @@ def run_extraction(
     # n_parts is output-affecting too: the ledger ignores done entries
     # from a different n_parts (full reprocess), but dynamic partition
     # overwrite only replaces the NEW part_id dirs — stale dirs from the
-    # old partitioning would silently duplicate documents in the output
+    # old partitioning would silently duplicate documents in the output;
+    # on_error changes what rows corrupt blobs produce
     _check_run_manifest(
-        checkpoint_dir, {"deskew": bool(deskew), "n_parts": int(n_parts)}
+        checkpoint_dir,
+        {"deskew": bool(deskew), "n_parts": int(n_parts),
+         "on_error": str(on_error)},
     )
     weights_bc = weights_bc or broadcast_weights(spark)
     t0 = time.time()
@@ -144,7 +148,8 @@ def run_extraction(
         return RunResult(run_id, 0, 0, int((time.time() - t0) * 1000))
 
     extracted = extract_documents(
-        remaining.drop("part_id"), media, weights_bc, deskew=deskew
+        remaining.drop("part_id"), media, weights_bc, deskew=deskew,
+        on_error=on_error,
     )
     # per-doc span stats become plain columns so the lineage pass can
     # read 3 small columns instead of re-exploding the spans arrays

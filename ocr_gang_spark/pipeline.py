@@ -119,6 +119,7 @@ def extract_media_spans(
     weights_bc,
     deskew: bool = False,
     skew_treatment: bool = True,
+    on_error: str = "fail",
 ) -> DataFrame:
     """kind='media' branch: resolve blobs, OCR them in Arrow batches.
 
@@ -143,7 +144,16 @@ def extract_media_spans(
     cost the media_ref hashing above is designed to avoid.  Results
     are identical either way (the reassembly groups by doc_id); only
     the task-time distribution differs.
+
+    ``on_error``: 'fail' (default — a corrupt blob fails the task,
+    keeping the exact-match acceptance semantics) or 'quarantine' — the
+    100TB posture: a blob whose decode/OCR raises becomes a
+    kind='error' span carrying the exception summary, the rest of the
+    batch is unaffected, and corrupt inputs are VISIBLE in the output
+    instead of killing a thousand-executor stage at hour nine.
     """
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be 'fail' or 'quarantine', got {on_error!r}")
     spark = spans.sparkSession
     n_tasks = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
@@ -161,20 +171,36 @@ def extract_media_spans(
 
     def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w = weights_bc.value
+        quarantine = on_error == "quarantine"
         for pdf in batches:
             blobs = pdf["bytes"]
-            idx = [i for i, b in enumerate(blobs) if b is not None]
-            pages = [decode_media_blob(bytes(blobs.iloc[i])) for i in idx]
-            if deskew:
-                pages = [deskew_page(p) for p in pages]
+            idx, pages, errs = [], [], {}
+            for i, b in enumerate(blobs):
+                if b is None:
+                    continue
+                try:
+                    page = decode_media_blob(bytes(b))
+                    if deskew:
+                        page = deskew_page(page)
+                except Exception as ex:
+                    if not quarantine:
+                        raise
+                    errs[i] = f"{type(ex).__name__}: {ex}"[:200]
+                    continue
+                idx.append(i)
+                pages.append(page)
             texts = ocr_pages_to_text(pages, w) if pages else []
             out = [None] * len(pdf)
+            kind = ["media"] * len(pdf)
             for i, t in zip(idx, texts):
                 out[i] = t
+            for i, msg in errs.items():
+                out[i] = msg
+                kind[i] = "error"
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "kind": "media",
+                    "kind": pd.Series(kind, dtype=object),
                     "text": pd.Series(out, dtype=object),
                     "media_ref": pdf["media_ref"],
                     "offset": pdf["offset"],
@@ -213,19 +239,23 @@ def extract_documents(
     weights_bc=None,
     spark: SparkSession | None = None,
     deskew: bool = False,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Full pipeline: documents + media -> documents with extracted spans.
 
     ``deskew=True`` inserts the optional Hough deskew stage before OCR
     (no-op on straight pages; see deskew_page) — off by default because
     the acceptance invariant is equality with the reference binary,
-    which has no deskew."""
+    which has no deskew.  ``on_error='quarantine'`` turns corrupt blobs
+    into kind='error' spans instead of failed tasks (see
+    extract_media_spans)."""
     if weights_bc is None:
         spark = spark or docs.sparkSession
         weights_bc = broadcast_weights(spark)
     spans = explode_spans(docs)
     text_out = extract_text_spans(spans)
-    media_out = extract_media_spans(spans, media, weights_bc, deskew=deskew)
+    media_out = extract_media_spans(spans, media, weights_bc, deskew=deskew,
+                                    on_error=on_error)
     return reassemble(text_out.unionByName(media_out))
 
 

@@ -165,6 +165,39 @@ class TestObjects:
         assert b"/Type /Page" in objs[2]
         assert b"HELLO" in objs[3]
 
+    def test_any_truncation_terminates(self):
+        # the module's robustness claim is real-corpus truncated blobs;
+        # ADVICE r2 found a lone trailing '<' wedging the tokenizer, so
+        # pin the whole class: EVERY prefix truncation of a real blob
+        # must terminate (return or raise), never hang.  signal.alarm
+        # guards against regression-to-infinite-loop.
+        import signal
+
+        from ocr_gang_spark.kernels.pdf import synth_pdf_blob
+
+        blob = synth_pdf_blob("pdf-007")
+
+        def on_alarm(*_a):  # pragma: no cover
+            raise TimeoutError("truncated-blob parse hung")
+
+        old = signal.signal(signal.SIGALRM, on_alarm)
+        signal.alarm(60)
+        try:
+            for k in range(0, len(blob), 7):
+                try:
+                    extract_pdf_text(blob[:k])
+                except Exception:
+                    pass  # clean raise is fine; hanging is not
+            # and every suffix ending exactly at a '<' byte
+            for k in [i + 1 for i, b in enumerate(blob) if b == 0x3C][:50]:
+                try:
+                    extract_pdf_text(blob[:k])
+                except Exception:
+                    pass
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
     def test_page_order_follows_kids_not_object_number(self):
         # two pages listed in reverse object order in /Kids
         objs = {

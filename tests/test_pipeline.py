@@ -73,6 +73,39 @@ def test_missing_media_ref_yields_null_text(spark):
         assert all(s.text is None for s in r.spans if s.kind == "media")
 
 
+def test_corrupt_blob_quarantine_vs_fail(spark):
+    """on_error='quarantine' turns a corrupt blob into a kind='error'
+    span (exception summary as text) while every other span of the
+    corpus still extracts exactly; the default 'fail' raises."""
+    from pyspark.sql import functions as F
+
+    docs = synth_documents(spark, 6, seed=11, skew_frac=0.0, media_prob=1.0)
+    media = synth_media(spark, docs)
+    # corrupt exactly one blob (deterministic choice)
+    bad_ref = media.select("media_ref").orderBy("media_ref").first()[0]
+    corrupted = media.withColumn(
+        "bytes",
+        F.when(F.col("media_ref") == bad_ref,
+               F.lit(b"\x00garbage-not-an-image")).otherwise(F.col("bytes")),
+    )
+
+    rows = extract_documents(docs, corrupted, on_error="quarantine").collect()
+    flat = [(r.doc_id, s.kind, s.text, s.media_ref) for r in rows for s in r.spans]
+    errors = [f for f in flat if f[1] == "error"]
+    assert len(errors) == 1 and errors[0][3] == bad_ref
+    assert "ValueError" in errors[0][2] or "Error" in errors[0][2]
+    # every OTHER media span still matches the oracle exactly
+    for doc_id, kind, text, ref in flat:
+        if kind == "media" and ref != bad_ref and text is not None:
+            assert text == page_for_ref(ref)[0]
+
+    with pytest.raises(Exception):
+        extract_documents(docs, corrupted, on_error="fail").collect()
+
+    with pytest.raises(ValueError, match="on_error"):
+        extract_documents(docs, corrupted, on_error="bogus")
+
+
 def test_metrics_match_span_counts(spark, extracted):
     docs = synth_documents(spark, N_DOCS, seed=SEED, skew_frac=0.1)
     media = synth_media(spark, docs)
