@@ -47,8 +47,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL for every value-checkable query; the
-    image-kernel queries are rows-only (not SQL-expressible)."""
+    """DuckDB-runnable oracle SQL for EVERY registered query (53/53):
+    relational queries against the parquet views, image/media-kernel
+    queries against committed expected-output parquets selected by
+    corpus content key (FIXTURES.md §6b)."""
     from ocr_gang_spark.contract import oracle_sql as _oracle_sql
 
     return _oracle_sql()
