@@ -51,7 +51,9 @@ def completed_parts(spark: SparkSession, checkpoint_dir: str, n_parts: int) -> D
     partitioning* (empty DF if no checkpoint).  part_id is only
     meaningful relative to n_parts, so entries written with a different
     configuration are ignored rather than silently short-circuiting a
-    run with genuine remaining work (ADVICE r1)."""
+    run with genuine remaining work (ADVICE r1).  Defense-in-depth: via
+    run_extraction an n_parts change is refused outright by the run
+    manifest before this filter ever applies (r3)."""
     try:
         cp = spark.read.parquet(checkpoint_dir)
         return (
