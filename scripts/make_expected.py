@@ -321,7 +321,10 @@ def expected_media_rows():
     from ocr_gang_spark.synth import blob_for_ref
 
     refs = set()
-    for sf_dir in SF_DIRS:
+    # media meta/resize are cheap per-ref (header sniff / one thumbnail
+    # decode), so unlike the OCR-kernel fixtures their ref union also
+    # covers sf0.1 — those two oracles are valid at EVERY shipped tier
+    for sf_dir in SF_DIRS + ["/root/testdata/sf0.1"]:
         docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
         for did in docs.column("doc_id").to_pylist():
             for i in range(1, did % MEDIA_PER_DOC + 2):
