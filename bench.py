@@ -49,6 +49,9 @@ HEADLINE = [
     "rolling_fingerprint",
     "winnow_fingerprints",
     "lang_id_markers",
+    "url_domain_stats",
+    "tfidf_top_terms",
+    "chunk_dedup",
     "stream_dedup_events",
 ]
 

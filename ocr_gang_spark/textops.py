@@ -1562,3 +1562,211 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus curation: URL/domain extraction, TF-IDF salience,
+# sub-document (chunk/boilerplate) dedup
+# ---------------------------------------------------------------------------
+
+# URL extraction (inject-then-detect, like lang_id_markers: the synthetic
+# corpus bodies contain no URLs, so deterministic URLs derived from doc_id
+# are appended in BOTH engines and the extractor must recover them from
+# text alone).  The regex is RE2-compatible (no backrefs/lookaround), so
+# Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte on this corpus.
+_URL_RE = r"https?://([a-z0-9.-]+)/[a-z0-9-]+"
+
+
+@register(
+    "url_domain_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' see https://host' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.com/p-' || CAST(doc_id % 13 AS VARCHAR)
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' and http://cdn' || CAST(doc_id % 5 AS VARCHAR)
+                               || '.example.org/a-' || CAST(doc_id % 11 AS VARCHAR)
+                          ELSE '' END AS dirty
+      FROM documents),
+    u AS (SELECT doc_id, unnest(regexp_extract_all(dirty, '{_URL_RE}', 1)) AS domain
+          FROM d)
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM u GROUP BY domain
+    """,
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain aggregation — the link-graph /
+    domain-blocklist primitive of web-corpus curation.
+
+    Deterministic URLs derived from doc_id are appended (the corpus has
+    none), then ``regexp_extract_all`` pulls every domain back out and a
+    hash groupBy counts URLs and distinct documents per domain.  100 TB
+    shape: extraction is in-row; the only shuffle is the per-domain
+    aggregation with map-side partial agg on a low-cardinality key."""
+    (docs,) = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    extra = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" and http://cdn"), (did % 5).cast("string"),
+            F.lit(".example.org/a-"), (did % 11).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" see https://host"), (did % 7).cast("string"),
+        F.lit(".example.com/p-"), (did % 13).cast("string"),
+        extra,
+    )
+    d = docs.select("doc_id", dirty.alias("dirty"))
+    u = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("dirty"), F.lit(_URL_RE), F.lit(1))
+        ).alias("domain"),
+    )
+    return u.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+_TFIDF_TOPK = 5
+_TFIDF_SCALE = 1_000_000  # integer score = tf * SCALE DIV df (exact both engines)
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY lang, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+                 FROM documents)
+           GROUP BY term),
+    scored AS (
+      SELECT lang, tf.term AS term, tf, df,
+             CAST((tf * {_TFIDF_SCALE}) // df AS BIGINT) AS score
+      FROM tf JOIN df ON tf.term = df.term)
+    SELECT lang, term, tf, df, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY score DESC, term ASC) AS rank
+      FROM scored)
+    WHERE rank <= {_TFIDF_TOPK}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language TF-IDF top-k terms (vocabulary salience).
+
+    Integer-exact scoring: score = tf * 1e6 DIV df (both engines do the
+    same BIGINT division, so the value hash is exact — no float log-idf).
+    100 TB shape: token explode feeds a map-side-combined (lang, term)
+    count; document frequency aggregates the in-row-deduplicated token
+    arrays (array_distinct before explode — the distinct happens per
+    document, never as a corpus-wide shuffle); the tf-df join broadcasts
+    the vocabulary-sized df side; the final top-k is a per-lang window
+    over the small aggregated result."""
+    (docs,) = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = (
+        docs.select(
+            F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "score", F.expr(f"(tf * {_TFIDF_SCALE}) DIV df")
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _TFIDF_TOPK)
+        .select("lang", "term", "tf", "df", "score", "rank")
+    )
+
+
+# Sub-document dedup: fixed 16-token chunks, exact hash-groupBy.  The
+# synthetic bodies are collision-free word soup (30-word vocab, 16-token
+# chunks => no natural repeats), so shared boilerplate is injected
+# deterministically — which IS the production use case: boilerplate
+# sentences repeated across millions of pages are what chunk-level dedup
+# exists to find.  Both 16 tokens long so they chunk-align when prepended.
+_CHUNK_TOKENS = 16
+_BP_A = ("subscribe to our weekly newsletter for the latest updates "
+         "and offers delivered straight to your inbox")
+_BP_B = ("all rights reserved terms of service and privacy policy "
+         "apply to all content on this site")
+assert len(_BP_A.split()) == _CHUNK_TOKENS and len(_BP_B.split()) == _CHUNK_TOKENS
+
+
+@register(
+    "chunk_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 5 = 0 THEN '{_BP_A} ' ELSE '' END)
+          || (CASE WHEN doc_id % 7 = 0 THEN '{_BP_B} ' ELSE '' END)
+          || text AS dirty
+      FROM documents),
+    t AS (SELECT doc_id, string_split(dirty, ' ') AS toks FROM d),
+    i AS (SELECT doc_id, toks, unnest(range(0, len(toks) // {_CHUNK_TOKENS})) AS i
+          FROM t),
+    c AS (SELECT doc_id,
+                 array_to_string(
+                   toks[i * {_CHUNK_TOKENS} + 1 : i * {_CHUNK_TOKENS} + {_CHUNK_TOKENS}],
+                   ' ') AS chunk
+          FROM i)
+    SELECT chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM c GROUP BY chunk HAVING COUNT(*) >= 2
+    """,
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup — boilerplate detection.
+
+    Documents are cut into fixed 16-token chunks IN-ROW (transform over
+    a sequence of chunk indexes — no UDF), exploded, and hash-groupBy'd;
+    chunks occurring >= 2 times are repeated boilerplate, reported with
+    occurrence/document counts and the first (keeper) document.  100 TB
+    shape: the explode multiplies rows ~15x but the chunk key aggregation
+    is map-side combined, and repeated boilerplate collapses there; at
+    scale the group key would be xxhash64(chunk) to keep shuffle rows
+    narrow (kept as the raw string here so DuckDB can verify values)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.when(did % 5 == 0, F.lit(_BP_A + " ")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(_BP_B + " ")).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    d = docs.select("doc_id", dirty.alias("dirty"))
+    chunks = F.expr(
+        f"""CASE WHEN size(split(dirty, ' ')) >= {_CHUNK_TOKENS} THEN
+              transform(sequence(0, size(split(dirty, ' ')) DIV {_CHUNK_TOKENS} - 1),
+                        i -> array_join(slice(split(dirty, ' '),
+                                              i * {_CHUNK_TOKENS} + 1,
+                                              {_CHUNK_TOKENS}), ' '))
+            ELSE CAST(array() AS ARRAY<STRING>) END"""
+    )
+    c = d.select("doc_id", F.explode(chunks).alias("chunk"))
+    return (
+        c.groupBy("chunk")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_occ") >= 2)
+    )
