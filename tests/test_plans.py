@@ -195,3 +195,26 @@ def test_quality_filter_is_single_scan_no_shuffle(spark):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "text" in read_schema and "doc_id" in read_schema
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_tfidf_broadcasts_vocabulary_df(spark):
+    """The tf-df join must broadcast the vocabulary-sized df side; a
+    SortMergeJoin here means the token-count relation gets sorted on a
+    corpus-scale key."""
+    from ocr_gang_spark.textops import tfidf_top_terms
+
+    plan = plan_of(tfidf_top_terms(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curation_aggs_are_map_side_combined(spark):
+    """url_domain_stats and chunk_dedup are explode -> groupBy pipelines;
+    the count aggregation must partial-combine before the exchange
+    (HashAggregate above AND below), or the explode's row multiplication
+    crosses the shuffle unreduced."""
+    from ocr_gang_spark.textops import chunk_dedup, url_domain_stats
+
+    for q in (url_domain_stats, chunk_dedup):
+        plan = plan_of(q(spark, SF), mode="simple")
+        assert plan.count("HashAggregate") >= 2, q.__name__
