@@ -33,14 +33,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 
-def build_session(cpus: int | None) -> SparkSession:
+def build_session(cpus: int | None, exec_mode: str | None = None) -> SparkSession:
     """Under spark-submit the master/conf come from the CLI; standalone we
     fall back to the tuned local builder."""
     if os.environ.get("SPARK_SUBMIT_RUNNING") or "spark.master" in os.environ:
         return SparkSession.builder.getOrCreate()
     from ocr_gang_spark.session import get_spark
 
-    return get_spark("extract_job", cpus=cpus)
+    return get_spark("extract_job", cpus=cpus, exec_mode=exec_mode)
 
 
 def main() -> None:
@@ -68,9 +68,14 @@ def main() -> None:
     # failed tasks (pipeline.extract_media_spans); pinned in the resume
     # manifest like every output-affecting option
     p.add_argument("--on-error", choices=["fail", "quarantine"], default="fail")
+    # 'processes' runs N separate single-core executor JVMs
+    # (local-cluster[N,1,M]) instead of N threads in one JVM — the honest
+    # stand-in for the north rule's "N executors vs 4N executors"
+    p.add_argument("--exec-mode", choices=["threads", "processes"],
+                   default=None)
     args = p.parse_args()
 
-    spark = build_session(args.cpus)
+    spark = build_session(args.cpus, exec_mode=args.exec_mode)
 
     from ocr_gang_spark.checkpoint import run_extraction
     from ocr_gang_spark.kernels.nn import load_weights

@@ -2,6 +2,16 @@
 
 Reads SPARK_GRAFT_CPUS (default 32) so the same code runs the N-vs-4N
 scaling evidence (local[2] vs local[8]) required by BASELINE.json.
+
+Two execution modes (SPARK_GRAFT_EXEC_MODE or the exec_mode param):
+
+* ``threads`` (default) — ``local[N]``: N task threads in one JVM.
+* ``processes`` — ``local-cluster[N,1,M]``: N SEPARATE single-core
+  executor JVMs, each with its own python workers, heap, and a real
+  netty shuffle between processes.  This is the honest stand-in for
+  "N executors vs 4N executors" in the north rule's scaling criterion:
+  executors are isolated OS processes exactly as on a real cluster,
+  only co-scheduled on one box.
 """
 
 from __future__ import annotations
@@ -11,12 +21,29 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "ocr_gang_spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "ocr_gang_spark",
+    cpus: int | None = None,
+    exec_mode: str | None = None,
+) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    exec_mode = exec_mode or os.environ.get("SPARK_GRAFT_EXEC_MODE", "threads")
+    if exec_mode not in ("threads", "processes"):
+        raise ValueError(f"exec_mode must be 'threads' or 'processes', got {exec_mode!r}")
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    # multi-MB Arrow record batches of blob columns allocate as G1
+    # "humongous" objects at the default region size, and with many
+    # concurrent pandas-UDF tasks that thrashes the collector (measured:
+    # JVM GC 107.6 core-s at local[16] vs 1.0 at local[4] on the same job)
+    g1_opt = "-XX:G1HeapRegionSize=32m"
+    if exec_mode == "processes":
+        exec_mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "3072"))
+        master = f"local-cluster[{cpus},1,{exec_mem_mb}]"
+    else:
+        master = f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
@@ -27,15 +54,41 @@ def get_spark(app_name: str = "ocr_gang_spark", cpus: int | None = None) -> Spar
         # inside the OCR kernel; 512 blobs/batch keeps a batch < ~100MB
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.driver.memory", driver_mem)
-        # 32MB G1 regions: multi-MB Arrow record batches of blob columns
-        # otherwise allocate as G1 "humongous" objects, and with many
-        # concurrent pandas-UDF tasks that thrashes the collector
-        # (measured: JVM GC 107.6 core-s at local[16] vs 1.0 at local[4]
-        # on the same job)
-        .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
+        .config("spark.driver.extraJavaOptions", g1_opt)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if exec_mode == "processes":
+        builder = (
+            builder.config("spark.executor.memory", f"{exec_mem_mb}m")
+            .config("spark.executor.extraJavaOptions", g1_opt)
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if exec_mode == "processes":
+        # separate executor JVMs spawn python workers that do NOT inherit
+        # the driver's sys.path, so ship the package exactly as
+        # spark-submit --py-files would (scripts/submit.sh builds the
+        # same artifact)
+        spark.sparkContext.addPyFile(_package_zip())
     return spark
+
+
+def _package_zip() -> str:
+    """Zip the ocr_gang_spark package for addPyFile/--py-files shipping."""
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    fd, path = tempfile.mkstemp(prefix="ocr_gang_spark_pyfiles_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    return path

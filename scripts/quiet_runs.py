@@ -35,6 +35,9 @@ def main() -> None:
     p.add_argument("--n-parts", type=int, default=32)
     p.add_argument("--out", default=None)
     p.add_argument("--max-minutes", type=float, default=90)
+    # 'processes' = local-cluster[N,1,M]: N separate executor JVMs — the
+    # honest N-executors-vs-4N-executors configuration (session.get_spark)
+    p.add_argument("--exec-mode", choices=["threads", "processes"], default=None)
     args = p.parse_args()
     out_path = args.out or f"/tmp/quiet{args.cpus}.jsonl"
 
@@ -48,7 +51,8 @@ def main() -> None:
             time.sleep(45)
             continue
         print(f"probe {pr:.3f} — launching local[{args.cpus}]", flush=True)
-        r = run_level(args.cpus, args.base, args.n_parts, rep=rep)
+        r = run_level(args.cpus, args.base, args.n_parts, rep=rep,
+                      exec_mode=args.exec_mode)
         r["gate_probe_sec"] = pr
         with open(out_path, "a") as f:
             f.write(json.dumps(r) + "\n")

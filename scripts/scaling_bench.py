@@ -56,7 +56,8 @@ def wait_for_quiet(threshold: float, max_wait: float = 900, poll: float = 30):
         time.sleep(poll)
 
 
-def run_level(cpus: int, base: str, n_parts: int, rep: int = 0) -> dict:
+def run_level(cpus: int, base: str, n_parts: int, rep: int = 0,
+              exec_mode: str | None = None) -> dict:
     # fresh output/checkpoint dirs per repeat — a leftover checkpoint dir
     # would make the run a resume no-op
     import shutil
@@ -85,13 +86,15 @@ def run_level(cpus: int, base: str, n_parts: int, rep: int = 0) -> dict:
                 "--input-media", f"{base}/media",
                 "--output", out, "--checkpoint", cp,
                 "--n-parts", str(n_parts), "--cpus", str(cpus),
-            ],
+            ] + (["--exec-mode", exec_mode] if exec_mode else []),
             capture_output=True, text=True, cwd=ROOT, env=env, check=True,
         )
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
     res = json.loads(line)
     res["total_wall_sec"] = round(time.time() - t0, 1)
     res["cpus"] = cpus
+    if exec_mode:
+        res["exec_mode"] = exec_mode
     res["steal_probe_sec"] = ps.mean
     res["steal_probe_max"] = ps.max
     return res

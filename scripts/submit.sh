@@ -4,12 +4,23 @@
 set -euo pipefail
 ROOT="$(cd "$(dirname "$0")/.." && pwd)"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
+# SPARK_GRAFT_EXEC_MODE=processes -> local-cluster[N,1,M]: N separate
+# single-core executor JVMs (the honest N-executors configuration)
+if [ "${SPARK_GRAFT_EXEC_MODE:-threads}" = "processes" ]; then
+  MEM_MB="${SPARK_GRAFT_EXEC_MEM_MB:-3072}"
+  MASTER="local-cluster[$CPUS,1,$MEM_MB]"
+  EXEC_CONF=(--conf "spark.executor.memory=${MEM_MB}m")
+else
+  MASTER="local[$CPUS]"
+  EXEC_CONF=()
+fi
 ZIP="$(mktemp -u /tmp/ocr_gang_spark_XXXX).zip"
 (cd "$ROOT" && zip -qr "$ZIP" ocr_gang_spark -x '*__pycache__*')
 export SPARK_SUBMIT_RUNNING=1
 export OMP_NUM_THREADS=1 OPENBLAS_NUM_THREADS=1 MKL_NUM_THREADS=1
 exec spark-submit \
-  --master "local[$CPUS]" \
+  --master "$MASTER" \
+  "${EXEC_CONF[@]}" \
   --conf spark.sql.shuffle.partitions="$CPUS" \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
