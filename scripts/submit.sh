@@ -9,7 +9,10 @@ CPUS="${SPARK_GRAFT_CPUS:-32}"
 if [ "${SPARK_GRAFT_EXEC_MODE:-threads}" = "processes" ]; then
   MEM_MB="${SPARK_GRAFT_EXEC_MEM_MB:-3072}"
   MASTER="local-cluster[$CPUS,1,$MEM_MB]"
-  EXEC_CONF=(--conf "spark.executor.memory=${MEM_MB}m")
+  # ActiveProcessorCount: stop each 1-core executor JVM sizing its
+  # GC/JIT pools for the host's core count (see session.py)
+  EXEC_CONF=(--conf "spark.executor.memory=${MEM_MB}m"
+             --conf "spark.executor.extraJavaOptions=-XX:G1HeapRegionSize=32m -XX:ActiveProcessorCount=2")
 else
   MASTER="local[$CPUS]"
   EXEC_CONF=()
