@@ -50,6 +50,7 @@ HEADLINE = [
     "winnow_fingerprints",
     "lang_id_markers",
     "url_domain_stats",
+    "pii_redact_stats",
     "tfidf_top_terms",
     "chunk_dedup",
     "stream_dedup_events",

@@ -1770,3 +1770,104 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_occ") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (inject-then-detect, like url_domain_stats: the synthetic
+# bodies contain no PII, so deterministic doc_id-derived emails / IPv4s /
+# phone numbers are appended in BOTH engines and the scrubber must find
+# and redact them from text alone).  All three patterns are
+# RE2-compatible (no backrefs/lookaround) so Java regex and RE2 agree.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.-]+\.[a-z][a-z]+"
+_IPV4_RE = r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_redact_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             text
+          || (CASE WHEN doc_id % 2 = 0
+                   THEN ' contact user' || CAST(doc_id % 17 AS VARCHAR)
+                        || '@mail' || CAST(doc_id % 4 AS VARCHAR) || '.example.com'
+                   ELSE '' END)
+          || (CASE WHEN doc_id % 3 = 0
+                   THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                   ELSE '' END)
+          || (CASE WHEN doc_id % 5 = 0
+                   THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END) AS dirty
+      FROM documents),
+    r AS (
+      SELECT doc_id, dirty,
+             CAST(len(regexp_extract_all(dirty, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(dirty, '{_IPV4_RE}')) AS BIGINT) AS n_ips,
+             CAST(len(regexp_extract_all(dirty, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(dirty, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IPV4_RE}', '<IP>', 'g') AS clean
+      FROM d)
+    SELECT doc_id, n_emails, n_ips, n_phones,
+           CAST(length(dirty) AS BIGINT) AS dirty_len,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS clean_hash
+    FROM r
+    """,
+)
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the pre-training redaction pass of a web corpus.
+
+    Deterministic doc_id-derived emails / IPv4 addresses / phone numbers
+    are appended (the corpus has none), then three RE2-compatible
+    patterns count and redact them; the full redacted text is pinned by
+    its md5 so the oracle verifies the actual replacement output, not
+    just the counts.  100 TB shape: entirely in-row (regexp_count +
+    chained regexp_replace inside whole-stage codegen), zero shuffle —
+    the scan is the only stage, and the redacted column would be written
+    straight back out partition-for-partition."""
+    (docs,) = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" contact user"), (did % 17).cast("string"),
+                     F.lit("@mail"), (did % 4).cast("string"),
+                     F.lit(".example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" from 10."), (did % 256).cast("string"),
+                     F.lit(".0."), (did % 250).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" call +1-555-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", dirty.alias("dirty"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("dirty"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE, "<PHONE>"),
+        _IPV4_RE, "<IP>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("dirty"), F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("dirty"), F.lit(_IPV4_RE), F.lit(0)))
+        .cast("bigint").alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("dirty"), F.lit(_PHONE_RE), F.lit(0)))
+        .cast("bigint").alias("n_phones"),
+        F.length("dirty").cast("bigint").alias("dirty_len"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        F.md5(clean).alias("clean_hash"),
+    )
