@@ -46,6 +46,7 @@ HEADLINE = [
     "token_stats",
     "bpe_token_stats",
     "quality_filter_decisions",
+    "repetition_ngram_stats",
     "rolling_fingerprint",
     "winnow_fingerprints",
     "lang_id_markers",

@@ -1871,3 +1871,73 @@ def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("bigint").alias("clean_len"),
         F.md5(clean).alias("clean_hash"),
     )
+
+
+@register(
+    "repetition_ngram_stats",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bi,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS tri
+      FROM t)
+    SELECT doc_id,
+           CAST(len(bi) AS BIGINT) AS n_bigrams,
+           CAST(len(bi) - len(list_distinct(bi)) AS BIGINT) AS n_dup_bigrams,
+           CASE WHEN len(bi) > 0
+                THEN CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi)
+                ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac,
+           CAST(len(tri) AS BIGINT) AS n_trigrams,
+           CAST(len(tri) - len(list_distinct(tri)) AS BIGINT) AS n_dup_trigrams,
+           CASE WHEN len(tri) > 0
+                THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri)
+                ELSE CAST(0 AS DOUBLE) END AS dup_trigram_frac
+    FROM g
+    """,
+)
+def repetition_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate n-gram fractions (Gopher repetition-signal family):
+    the share of a document's word 2-grams / 3-grams that are repeats —
+    high values flag boilerplate loops and low-quality generated text
+    that the unigram distinct-ratio in quality_filter_decisions misses.
+
+    Entirely in-row (sequence+transform over the token array, distinct
+    inside the row), zero shuffle; the fraction's numerator/denominator
+    are also emitted as exact BIGINTs so the cross-engine hash does not
+    rest on float division alone."""
+    (docs,) = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # NB sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty, so
+    # short docs need an explicit guard to match DuckDB's empty range()
+    bi = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN"
+        " transform(sequence(1, size(toks) - 1),"
+        "  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    tri = F.expr(
+        "CASE WHEN size(toks) >= 3 THEN"
+        " transform(sequence(1, size(toks) - 2),"
+        "  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),"
+        "              ' ', element_at(toks, i + 2)))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    g = d.select("doc_id", bi.alias("bi"), tri.alias("tri"))
+    n_bi = F.size("bi").cast("bigint")
+    dup_bi = (F.size("bi") - F.size(F.array_distinct("bi"))).cast("bigint")
+    n_tri = F.size("tri").cast("bigint")
+    dup_tri = (F.size("tri") - F.size(F.array_distinct("tri"))).cast("bigint")
+    return g.select(
+        "doc_id",
+        n_bi.alias("n_bigrams"),
+        dup_bi.alias("n_dup_bigrams"),
+        F.when(n_bi > 0, dup_bi.cast("double") / n_bi)
+        .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+        n_tri.alias("n_trigrams"),
+        dup_tri.alias("n_dup_trigrams"),
+        F.when(n_tri > 0, dup_tri.cast("double") / n_tri)
+        .otherwise(F.lit(0.0)).alias("dup_trigram_frac"),
+    )
