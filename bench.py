@@ -39,6 +39,7 @@ HEADLINE = [
     "simhash_signatures",
     "jaccard_candidate_pairs",
     "dedup_pipeline_decisions",
+    "dedup_components",
     "embedding_topk_cosine",
     "embedding_near_dup_pairs",
     "ann_ivf_probe_topk",

@@ -500,8 +500,9 @@ DEDUP_JACCARD_T = 0.8
 DEDUP_MAX_BUCKET = 64
 
 
-def _dedup_pipeline_duck() -> str:
-    return f"""
+# CTE chain up to `verified` (a_id < b_id, exact jaccard >= T) — shared
+# by the keep/drop decisions oracle and the connected-components oracle
+_VERIFIED_CTES_DUCK = f"""
     {_SIG_CTE_DUCK},
     bands AS ({" UNION ALL ".join(_band_key_duck(b) for b in range(LSH_BANDS))}),
     bsz AS (SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
@@ -527,7 +528,12 @@ def _dedup_pipeline_duck() -> str:
     verified AS (SELECT a_id, b_id,
                    CAST(i AS DOUBLE) / (na + nb - i) AS jac
                  FROM scoredp
-                 WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {DEDUP_JACCARD_T}),
+                 WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {DEDUP_JACCARD_T})"""
+
+
+def _dedup_pipeline_duck() -> str:
+    return f"""
+    {_VERIFIED_CTES_DUCK},
     drops AS (SELECT b_id AS doc_id, MIN(a_id) AS dup_of FROM verified GROUP BY b_id),
     keeps AS (SELECT DISTINCT a_id AS doc_id FROM verified
               ANTI JOIN drops ON verified.a_id = drops.doc_id)
@@ -564,6 +570,40 @@ def dedup_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
       clusters are near-cliques, so min-id canonicalization needs no
       iterative union-find).
     """
+    verified = _verified_pairs_spark(spark, sf_dir)
+    drops = verified.groupBy(F.col("b_id").alias("doc_id")).agg(
+        F.min("a_id").alias("dup_of")
+    )
+    keeps = (
+        verified.select(F.col("a_id").alias("doc_id"))
+        .distinct()
+        .join(drops.select("doc_id"), "doc_id", "left_anti")
+    )
+    drop_rows = (
+        drops.join(
+            verified,
+            (verified.a_id == drops.dup_of) & (verified.b_id == drops.doc_id),
+        )
+        .select(
+            "doc_id",
+            F.lit("drop").alias("decision"),
+            "dup_of",
+            F.col("jac").alias("jaccard"),
+        )
+    )
+    keep_rows = keeps.select(
+        "doc_id",
+        F.lit("keep").alias("decision"),
+        F.lit(None).cast("bigint").alias("dup_of"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return drop_rows.unionByName(keep_rows)
+
+
+def _verified_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates -> exact-Jaccard verification: the shared front
+    half of the dedup pipeline (see dedup_pipeline_decisions docstring
+    for the scale engineering notes).  Returns (a_id < b_id, jac >= T)."""
     (docs,) = load(spark, sf_dir, "documents")
     sig = _with_token_hashes(docs).select("doc_id", *_minhash_cols_spark())
     bands = F.array(
@@ -623,37 +663,114 @@ def dedup_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    verified = (
+    return (
         scoredp.where(jac >= DEDUP_JACCARD_T)
         .select("a_id", "b_id", jac.alias("jac"))
     )
-    drops = verified.groupBy(F.col("b_id").alias("doc_id")).agg(
-        F.min("a_id").alias("dup_of")
+
+
+# min-label propagation needs O(graph diameter) rounds; verified
+# near-dup clusters at jaccard >= 0.8 are near-cliques (diameter 2-3),
+# so a generous fixed bound converts "didn't converge" into a loud
+# error instead of a silently-wrong component id
+DEDUP_CC_MAX_ITERS = 20
+
+
+@register(
+    "dedup_components",
+    f"""WITH RECURSIVE {_VERIFIED_CTES_DUCK.lstrip().removeprefix("WITH ")},
+    edges AS (SELECT a_id AS a, b_id AS b FROM verified
+              UNION SELECT b_id, a_id FROM verified),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(n, m) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS component_id FROM reach GROUP BY n),
+    csz AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS component_size
+            FROM comp GROUP BY component_id)
+    SELECT c.doc_id, c.component_id, s.component_size,
+           CASE WHEN c.doc_id = c.component_id THEN 'keep' ELSE 'drop' END AS decision
+    FROM comp c JOIN csz s USING (component_id)
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup clustering: connected components over
+    the verified near-dup pairs, canonical survivor = min doc_id per
+    component.
+
+    This closes the gap the pairwise keep/drop convention leaves open:
+    with chains A~B, B~C but no verified A~C edge, dedup_pipeline's
+    greedy min-id rule keeps A and drops B and C *against two different
+    canonicals* — components give every member of the chain ONE cluster
+    id and ONE survivor.
+
+    Scale shape: iterative min-label propagation over the edge list —
+    each round is one hash-shuffle join on node id (labels x edges) +
+    a groupBy min, the standard BSP connected-components step; rounds
+    needed = graph diameter (near-clique clusters: 2-3).  Per round the
+    labels frame is cached and the loop exits as soon as an AGGREGATE
+    (not a collect of labels) reports zero label changes.  At 10^12
+    docs the same loop runs with a checkpoint every few rounds to
+    truncate lineage; the label frame is |dup nodes| rows — orders of
+    magnitude smaller than the corpus, since only docs with a verified
+    duplicate enter the graph.
+    """
+    verified = _verified_pairs_spark(spark, sf_dir)
+    edges = verified.select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    ).unionByName(
+        verified.select(F.col("b_id").alias("a"), F.col("a_id").alias("b"))
+    ).distinct()
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .select("id", F.col("id").alias("comp"))
+        .persist()
     )
-    keeps = (
-        verified.select(F.col("a_id").alias("doc_id"))
-        .distinct()
-        .join(drops.select("doc_id"), "doc_id", "left_anti")
-    )
-    drop_rows = (
-        drops.join(
-            verified,
-            (verified.a_id == drops.dup_of) & (verified.b_id == drops.doc_id),
+    for _ in range(DEDUP_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
         )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("chg"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = new_labels.agg(
+            F.sum(F.when(F.col("chg"), 1).otherwise(0)).alias("n")
+        ).collect()[0]["n"]
+        old = labels
+        labels = new_labels.select("id", "comp").persist()
+        old.unpersist()
+        new_labels.unpersist()
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {DEDUP_CC_MAX_ITERS} rounds"
+        )
+    csz = labels.groupBy("comp").agg(F.count("*").alias("component_size"))
+    out = (
+        labels.join(csz, "comp")
         .select(
-            "doc_id",
-            F.lit("drop").alias("decision"),
-            "dup_of",
-            F.col("jac").alias("jaccard"),
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("component_id"),
+            F.col("component_size").cast("bigint").alias("component_size"),
+            F.when(F.col("id") == F.col("comp"), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("decision"),
         )
     )
-    keep_rows = keeps.select(
-        "doc_id",
-        F.lit("keep").alias("decision"),
-        F.lit(None).cast("bigint").alias("dup_of"),
-        F.lit(None).cast("double").alias("jaccard"),
-    )
-    return drop_rows.unionByName(keep_rows)
+    edges.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
