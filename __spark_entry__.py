@@ -14,6 +14,12 @@ DuckDB integer type no wider than BIGINT.  DuckDB widens silently —
 column NULL-lifts to float64 at fetch, which breaks the driver's value
 hash even when both engines agree value-for-value.  Wrap any list_sum
 or wide arithmetic in ``CAST(... AS BIGINT)``.
+
+Integer division rule: never write ``CAST(a / b AS BIGINT)`` — DuckDB's
+``/`` on integers is float division and its CAST *rounds half-even*,
+while Spark's cast *truncates*, so the engines disagree on every
+half-crossing value.  Use true integer division on both sides: DuckDB
+``a // b``, Spark ``a DIV b`` (see sequence_pack_bins).
 """
 
 from __future__ import annotations

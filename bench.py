@@ -55,6 +55,7 @@ HEADLINE = [
     "pii_redact_stats",
     "tfidf_top_terms",
     "chunk_dedup",
+    "sequence_pack_bins",
     "stream_dedup_events",
 ]
 
