@@ -218,3 +218,21 @@ def test_curation_aggs_are_map_side_combined(spark):
     for q in (url_domain_stats, chunk_dedup):
         plan = plan_of(q(spark, SF), mode="simple")
         assert plan.count("HashAggregate") >= 2, q.__name__
+
+
+def test_sequence_pack_scan_never_single_partitions_data(spark):
+    """The global cumulative sum must be the two-level prefix scan:
+    the data-sized window partitions by scan bucket (hash exchange),
+    the bucket-offset table broadcasts back, and the only
+    SinglePartition exchange feeds the tiny level-2 window (one row
+    per SEQ_PACK_SCAN_BUCKET docs) — a naive unpartitioned window
+    would move EVERY row to one task."""
+    from ocr_gang_spark.textops import sequence_pack_bins
+
+    plan = plan_of(sequence_pack_bins(spark, SF), mode="simple")
+    assert "hashpartitioning(bkt" in plan
+    assert "BroadcastHashJoin" in plan
+    # the doc-level window runs under the bucket hash partitioning,
+    # never under the SinglePartition exchange: the plan has exactly
+    # one SinglePartition (the bucket-sums window input)
+    assert plan.count("Exchange SinglePartition") == 1
