@@ -222,3 +222,94 @@ def spans_from_testdata(spark: SparkSession, sf_dir: str, seed: int = 42,
         "doc_id",
         F.concat(F.array(text_span), media_spans).alias("spans"),
     )
+
+
+_FLAT_VOCAB = [
+    "the", "spark", "join", "filter", "window", "row", "stream", "data",
+    "group", "sort", "merge", "fast", "key", "order", "table", "scan",
+    "batch", "value", "line", "agg", "slow", "small", "big", "hash",
+    "part", "query", "customer",
+]
+
+FLAT_DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+# every DUP_EVERY-th doc is a near-duplicate of the doc DUP_EVERY rows
+# earlier (one word substituted), so the curation job's dedup stage has
+# deterministic work at every corpus size
+FLAT_DUP_EVERY = 20
+
+
+def _flat_text(seed: int, i: int) -> str:
+    """Deterministic doc text engineered against the quality rules:
+    ~35% small-vocab words + ~65% unique-ish 5-char tokens keeps the
+    distinct ratio above the Gopher floor; two cohorts deliberately
+    fail (i%17==3: too short; i%13==5: no stopword) so the quality
+    stage always has real work."""
+    rng = _rng("flat", seed, str(i))
+    if i % 17 == 3:
+        n_words = int(rng.integers(5, 20))
+    else:
+        n_words = int(rng.integers(35, 80))
+    words = [
+        _FLAT_VOCAB[int(rng.integers(0, len(_FLAT_VOCAB)))]
+        if rng.random() < 0.35
+        else "t" + format(int(rng.integers(0, 16 ** 4)), "04x")
+        for _ in range(n_words)
+    ]
+    if i % 13 != 5 and n_words >= 3:
+        words[1] = "the"
+    elif i % 13 == 5:
+        words = [w for w in words if w != "the"]
+    return " ".join(words)
+
+
+def synth_flat_documents(spark: SparkSession, n_docs: int, seed: int = 42,
+                         partitions: int | None = None) -> DataFrame:
+    """Flat documents table (the testdata `documents.parquet` shape:
+    doc_id bigint, text, lang, source, n_chars) generated on the
+    executors — the curation job's synth input.  Vocabulary includes the
+    quality filter's stopword and 3-6 char words so most docs pass the
+    Gopher rules; injected near-dups (one-word substitution every
+    FLAT_DUP_EVERY docs) give the dedup stage deterministic work."""
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism)
+    langs = ["en", "de", "fr", "es", "zh"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in (int(x) for x in pdf["id"]):
+                # base is i-1, which is never itself at a dup position,
+                # so its _flat_text IS its actual text (a base at
+                # i - FLAT_DUP_EVERY would itself be a dup whose real
+                # text diverged from _flat_text)
+                if i % FLAT_DUP_EVERY == FLAT_DUP_EVERY - 1 and i >= FLAT_DUP_EVERY:
+                    base = _flat_text(seed, i - 1).split(" ")
+                    pos = int(_rng("dup", seed, str(i)).integers(0, len(base)))
+                    base[pos] = "customer" if base[pos] != "customer" else "query"
+                    text = " ".join(base)
+                else:
+                    text = _flat_text(seed, i)
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "text": text,
+                        "lang": langs[i % len(langs)],
+                        "source": f"src{i % 7}",
+                        "n_chars": len(text),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n_docs, numPartitions=partitions)
+        .mapInPandas(gen, schema=FLAT_DOCUMENTS_SCHEMA)
+    )

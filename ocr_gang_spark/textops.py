@@ -605,6 +605,11 @@ def _verified_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     half of the dedup pipeline (see dedup_pipeline_decisions docstring
     for the scale engineering notes).  Returns (a_id < b_id, jac >= T)."""
     (docs,) = load(spark, sf_dir, "documents")
+    return verified_pairs_from(docs)
+
+
+def verified_pairs_from(docs: DataFrame) -> DataFrame:
+    """DataFrame-level verified near-dup pairs (shared with curation)."""
     sig = _with_token_hashes(docs).select("doc_id", *_minhash_cols_spark())
     bands = F.array(
         *[
@@ -717,7 +722,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude smaller than the corpus, since only docs with a verified
     duplicate enter the graph.
     """
-    verified = _verified_pairs_spark(spark, sf_dir)
+    return components_from(_verified_pairs_spark(spark, sf_dir))
+
+
+def components_from(verified: DataFrame) -> DataFrame:
+    """DataFrame-level connected components over (a_id, b_id[, ...])
+    pairs (shared with the curation job)."""
     edges = verified.select(
         F.col("a_id").alias("a"), F.col("b_id").alias("b")
     ).unionByName(
@@ -992,6 +1002,11 @@ def quality_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer/double arithmetic on identical expressions in both engines
     (no transcendentals), so the cross-engine value hash is exact."""
     (docs,) = load(spark, sf_dir, "documents")
+    return quality_decisions_from(docs)
+
+
+def quality_decisions_from(docs: DataFrame) -> DataFrame:
+    """DataFrame-level quality filter (shared with the curation job)."""
     toks = F.split(F.col("text"), " ")
     n_words = F.size(toks).cast("bigint")
     mwl = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
@@ -2076,9 +2091,9 @@ SEQ_PACK_SCAN_BUCKET = 1024
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                FROM documents),
     c AS (SELECT doc_id, n_tokens,
-                 SUM(n_tokens) OVER (ORDER BY doc_id
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cum_tokens
+                   AS BIGINT) AS cum_tokens
           FROM t)
     SELECT doc_id, n_tokens, cum_tokens,
            CAST((cum_tokens - n_tokens) // {SEQ_PACK_BUDGET} AS BIGINT) AS bin_id,
@@ -2110,6 +2125,12 @@ def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB and truncate in Spark), non-negative doc_id assumed (DIV
     truncates toward zero, so negative ids would bucket wrong)."""
     (docs,) = load(spark, sf_dir, "documents")
+    return sequence_pack_from(docs)
+
+
+def sequence_pack_from(docs: DataFrame) -> DataFrame:
+    """DataFrame-level sequence packing (shared with the curation job);
+    see sequence_pack_bins for the two-level prefix-scan plan notes."""
     t = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     ).withColumn("bkt", F.expr(f"doc_id DIV {SEQ_PACK_SCAN_BUCKET}"))

@@ -1,7 +1,12 @@
 #!/bin/bash
 # spark-submit deployment (north_rule: --py-files packaging, multi-executor).
-# Usage: scripts/submit.sh [job args...]   (env: SPARK_GRAFT_CPUS=32)
+# Usage: scripts/submit.sh [--job extract|curate] [job args...]
+#        (env: SPARK_GRAFT_CPUS=32)
 set -euo pipefail
+JOB="extract"
+if [ "${1:-}" = "--job" ]; then
+  JOB="$2"; shift 2
+fi
 ROOT="$(cd "$(dirname "$0")/.." && pwd)"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
 # SPARK_GRAFT_EXEC_MODE=processes -> local-cluster[N,1,M]: N separate
@@ -31,7 +36,6 @@ exec spark-submit \
   --conf spark.driver.memory="${SPARK_GRAFT_DRIVER_MEM:-32g}" \
   --conf spark.ui.enabled=false \
   --py-files "$ZIP" \
-  "$ROOT/jobs/extract_job.py" \
-  --weights-mlp "$ROOT/fixtures/ocrwb.txt" \
-  --weights-cnn "$ROOT/fixtures/cnnwb.txt" \
+  "$ROOT/jobs/${JOB}_job.py" \
+  $([ "$JOB" = "extract" ] && echo "--weights-mlp $ROOT/fixtures/ocrwb.txt --weights-cnn $ROOT/fixtures/cnnwb.txt") \
   "$@"

@@ -1,0 +1,87 @@
+"""Curation job: decisions consistency, materialization, resume, and
+manifest pinning (ocr_gang_spark/curation.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_gang_spark.curation import curation_decisions, run_curation
+from ocr_gang_spark.synth import FLAT_DUP_EVERY, synth_flat_documents
+from ocr_gang_spark.textops import quality_decisions_from
+
+N_DOCS = 200
+N_PARTS = 8
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return synth_flat_documents(spark, N_DOCS, seed=7).cache()
+
+
+def test_decisions_partition_the_corpus(spark, docs):
+    d = curation_decisions(docs).cache()
+    assert d.count() == N_DOCS
+    assert d.select("doc_id").distinct().count() == N_DOCS
+    by_stage = {r["stage"]: r["n"] for r in
+                d.groupBy("stage").agg(F.count("*").alias("n")).collect()}
+    # injected near-dups must be caught: one drop per duplicate pair
+    # whose both members survive the quality filter
+    assert by_stage.get("dedup", 0) > 0
+    assert by_stage.get("kept", 0) > 0
+    # every kept doc has a bin assignment, every dropped doc has none
+    assert d.where(F.col("keep") & F.col("bin_id").isNull()).count() == 0
+    assert d.where(~F.col("keep") & F.col("bin_id").isNotNull()).count() == 0
+    d.unpersist()
+
+
+def test_quality_stage_matches_standalone_filter(spark, docs):
+    d = curation_decisions(docs)
+    q = quality_decisions_from(docs)
+    dq = {r.doc_id for r in d.where(F.col("stage") == "quality").collect()}
+    qq = {r.doc_id for r in q.where(~F.col("keep")).collect()}
+    assert dq == qq
+
+
+def test_injected_dup_is_dropped_and_its_base_kept(spark, docs):
+    """Every FLAT_DUP_EVERY-th doc is a one-word-off copy of its
+    predecessor; the pair member with the LARGER id must drop (min-id
+    canonical) whenever both pass quality."""
+    d = curation_decisions(docs)
+    rows = {r.doc_id: r for r in d.collect()}
+    found = 0
+    for dup_id in range(2 * FLAT_DUP_EVERY - 1, N_DOCS, FLAT_DUP_EVERY):
+        base_id = dup_id - 1
+        if rows[base_id].stage == "quality" or rows[dup_id].stage == "quality":
+            continue  # pair broken by the quality stage, nothing to dedup
+        assert rows[dup_id].stage == "dedup", dup_id
+        assert rows[base_id].keep, base_id
+        found += 1
+    assert found > 0
+
+
+def test_run_curation_materializes_and_resumes(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    r1 = run_curation(spark, docs, out, cp, n_parts=N_PARTS)
+    assert r1.n_parts_processed > 0
+    assert r1.n_docs_out > 0
+    assert r1.n_dropped_dedup > 0
+    written = spark.read.parquet(out)
+    assert written.count() == r1.n_docs_out
+    # tokens accounted: output carries bin assignments for every row
+    assert written.where(F.col("bin_id").isNull()).count() == 0
+
+    # resume: nothing left to do, decisions are reused not recomputed
+    r2 = run_curation(spark, docs, out, cp, n_parts=N_PARTS)
+    assert r2.n_parts_processed == 0
+    assert r2.n_docs_out == 0
+    # tallies still reported on a no-op resume
+    assert r2.n_dropped_dedup == r1.n_dropped_dedup
+    assert r2.n_bins == r1.n_bins
+
+
+def test_manifest_refuses_changed_options(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    run_curation(spark, docs, out, cp, n_parts=N_PARTS)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        run_curation(spark, docs, out, cp, n_parts=N_PARTS * 2)
