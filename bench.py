@@ -33,6 +33,7 @@ HEADLINE = [
     "q3_top_orders",
     "q5_nation_revenue",
     "sessionize_events",
+    "events_asof_join",
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_buckets",

@@ -407,3 +407,75 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
     )
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH r AS (SELECT user_id, ts, MAX(event_id) AS prior_event_id
+               FROM events WHERE event_type = 'signup'
+               GROUP BY user_id, ts),
+    l AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT l.event_id, l.user_id, l.value,
+           CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+           r.prior_event_id,
+           CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS signup_gap_us
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each purchase picks the user's most recent
+    at-or-before signup.  Spark has no ASOF JOIN operator (DuckDB
+    does, hence the one-line oracle); the naive translation is a range
+    join (l JOIN r ON user AND r.ts <= l.ts, then max) whose
+    intermediate explodes as |l per user| x |r per user|.
+
+    Scale shape — the union-window trick: tag both sides into ONE
+    frame, sort per user by (ts, side) with the right side first on
+    ties, and carry the right row forward with last(ignorenulls) over
+    an unbounded-preceding window.  One hash exchange on user_id + one
+    sort, zero joins, no quadratic blowup; ties in ts are made
+    deterministic by pre-reducing the right side to one row per
+    (user_id, ts) (max event_id) in BOTH engines.  Timestamps compare
+    as integer epoch-microseconds end to end."""
+    (events,) = load(spark, sf_dir, "events")
+    r = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("prior_event_id"))
+        .select(
+            "user_id", "ts",
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            "prior_event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("r_ts_us"),
+            F.lit(0).alias("side"),
+        )
+    )
+    l = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value",
+        F.lit(None).cast("bigint").alias("prior_event_id"),
+        F.lit(None).cast("bigint").alias("r_ts_us"),
+        F.lit(1).alias("side"),
+    )
+    u = r.unionByName(l)
+    w = (
+        W.partitionBy("user_id").orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.select(
+        "*",
+        F.last("prior_event_id", ignorenulls=True).over(w).alias("c_prior"),
+        F.last("r_ts_us", ignorenulls=True).over(w).alias("c_rts"),
+    ).where(F.col("side") == 1)
+    # ts is TIMESTAMP_NTZ in the parquet; the session tz is pinned UTC,
+    # so the cast to TIMESTAMP (required by unix_micros) is exact
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return carried.select(
+        "event_id", "user_id", "value",
+        ts_us.alias("ts_us"),
+        F.col("c_prior").alias("prior_event_id"),
+        (ts_us - F.col("c_rts")).cast("bigint").alias("signup_gap_us"),
+    )
