@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_pipeline_decisions",
     "dedup_components",
     "embedding_topk_cosine",
+    "embedding_quantized_topk",
     "embedding_near_dup_pairs",
     "ann_ivf_probe_topk",
     "ann_ivf_multiprobe_topk",
