@@ -59,6 +59,7 @@ HEADLINE = [
     "chunk_dedup",
     "sequence_pack_bins",
     "stream_dedup_events",
+    "stream_quality_decisions",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND

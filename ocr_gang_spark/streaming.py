@@ -455,3 +455,63 @@ def stream_extraction_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.offset").alias("offset"),
         )
     )
+
+
+from .textops import _qf_duck  # noqa: E402
+
+
+@register(
+    "stream_quality_decisions",
+    # identical decision semantics to the batch quality filter — the
+    # stream must reproduce it row for row across micro-batch boundaries
+    _qf_duck(),
+)
+def stream_quality_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's front stage as a continuous-ingest
+    stream: documents arrive as 3 time-ordered parquet files consumed
+    one per micro-batch (maxFilesPerTrigger=1, Trigger.AvailableNow);
+    each micro-batch runs the SAME quality_decisions_from as the batch
+    filter inside foreachBatch and appends decisions to a parquet sink.
+    Quality rules are per-row, so batch boundaries cannot change any
+    decision — the finished stream must hash-equal the batch oracle,
+    which is exactly what the driver checks.  At 10^12 docs this is the
+    shape of corpus intake: new crawl partitions land, each micro-batch
+    filters and appends, the stream checkpoint is the resume ledger."""
+    import tempfile
+
+    from .textops import quality_decisions_from
+
+    (docs,) = _load_docs(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="ocrgang_squal_")
+    in_dir = _os.path.join(work, "in")
+    out_dir = _os.path.join(work, "out")
+    cp_dir = _os.path.join(work, "cp")
+    # 3 time-ordered arrival files, deterministic membership
+    docs.withColumn("f", (F.col("doc_id") % 3).cast("int")).repartition(
+        "f"
+    ).write.partitionBy("f").mode("overwrite").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+
+    def fb(batch_df: DataFrame, _bid: int) -> None:
+        quality_decisions_from(batch_df).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def _load_docs(spark: SparkSession, sf_dir: str):
+    from .queries import load
+
+    return load(spark, sf_dir, "documents")

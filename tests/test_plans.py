@@ -236,3 +236,17 @@ def test_sequence_pack_scan_never_single_partitions_data(spark):
     # never under the SinglePartition exchange: the plan has exactly
     # one SinglePartition (the bucket-sums window input)
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_asof_join_is_joinless(spark):
+    """The as-of join must stay the union-window plan: one hash
+    exchange + sort + window, ZERO join operators (the naive range
+    join is quadratic per user)."""
+    from ocr_gang_spark.queries import events_asof_join
+
+    plan = plan_of(events_asof_join(spark, SF), mode="simple")
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan, j
