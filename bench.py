@@ -57,6 +57,8 @@ HEADLINE = [
     "pii_redact_stats",
     "tfidf_top_terms",
     "chunk_dedup",
+    "decontaminate_overlap",
+    "domain_quota_sample",
     "sequence_pack_bins",
     "stream_dedup_events",
     "stream_quality_decisions",

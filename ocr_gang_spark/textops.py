@@ -2247,3 +2247,162 @@ def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("qdot"), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination + per-domain quota sampling — the two curation
+# steps between dedup and packing in a production training-data pipeline.
+# ---------------------------------------------------------------------------
+
+# Benchmark membership: every doc_id % DECON_BENCH_MOD == 0 plays the
+# held-out eval set (deterministic, derived from the corpus itself — the
+# testdata's duplicate/near-duplicate families guarantee real overlap:
+# 31 contaminated docs at sf0.01, 1937 at sf0.1).
+DECON_BENCH_MOD = 29
+
+
+def _shingles4_of(toks):
+    """4-gram shingle array from a MATERIALIZED token-array column.
+
+    Same split-in-lambda discipline as `_shingles_of` (the 3-gram
+    version above): `toks` must be a bound column, never the raw
+    ``split(text, ' ')`` expression.  4 tokens is the decontamination
+    convention scaled to this corpus's ~30-token documents (production
+    corpora use 13-gram overlap, e.g. GPT-3 appendix C / Gopher A.2 —
+    the pipeline shape is identical, only the window length changes)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 4,
+        F.transform(
+            F.sequence(F.lit(1), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_DECON_DUCK = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tt FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(tt) >= 4
+                       THEN list_transform(range(1, len(tt) - 2),
+                            k -> tt[k] || ' ' || tt[k+1] || ' ' ||
+                                 tt[k+2] || ' ' || tt[k+3])
+                       ELSE [] END) AS s
+           FROM t),
+    e AS (SELECT doc_id, len(s) AS n_sh, UNNEST(s) AS g FROM sh),
+    bench AS (SELECT DISTINCT g FROM e WHERE doc_id % {DECON_BENCH_MOD} = 0),
+    hits AS (SELECT e.doc_id, e.n_sh, COUNT(*) AS n_hits
+             FROM e SEMI JOIN bench USING (g)
+             WHERE e.doc_id % {DECON_BENCH_MOD} != 0
+             GROUP BY e.doc_id, e.n_sh)
+    SELECT doc_id, n_hits, n_sh,
+           CAST(n_hits AS DOUBLE) / n_sh AS contaminated_frac
+    FROM hits
+"""
+
+
+@register("decontaminate_overlap", _DECON_DUCK)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares a 4-gram shingle with the (broadcastable) benchmark set.
+
+    100 TB shape: the eval set is tiny relative to the corpus, so its
+    distinct-shingle set is built once and BROADCAST into the corpus
+    scan as a left-semi hash join — the 100 TB side never shuffles; the
+    only exchange is the per-doc hit-count aggregation, map-side
+    combined on doc_id.  Shingling is in-row (materialized token array,
+    explode_outer + null filter per the `jaccard_candidate_pairs`
+    anti-pushdown note).  Emits only contaminated docs: (doc_id,
+    n_hits, n_sh, contaminated_frac) — the drop list a trainer joins
+    against."""
+    (docs,) = load(spark, sf_dir, "documents")
+    e = (
+        _spread(docs)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select(
+            "doc_id", F.array_distinct(_shingles4_of(F.col("toks"))).alias("sh")
+        )
+        .select(
+            "doc_id",
+            F.size("sh").alias("n_sh"),
+            F.explode_outer("sh").alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    bench = (
+        e.where(F.col("doc_id") % DECON_BENCH_MOD == 0).select("g").distinct()
+    )
+    return (
+        e.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_sh",
+            (F.col("n_hits") / F.col("n_sh")).alias("contaminated_frac"),
+        )
+    )
+
+
+# Per-domain quota: keep at most DOMAIN_QUOTA docs per source, chosen by
+# a deterministic hash order (md5 of doc_id) so the sample is stable,
+# uniform within the domain, and reproducible across engines/runs.
+DOMAIN_QUOTA = 15
+DOMAIN_QUOTA_SALTS = 8
+
+_QUOTA_DUCK = f"""
+    WITH r AS (SELECT source, doc_id,
+                      row_number() OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+               FROM documents)
+    SELECT source, doc_id, rk FROM r WHERE rk <= {DOMAIN_QUOTA}
+"""
+
+
+@register("domain_quota_sample", _QUOTA_DUCK)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (source-balancing): keep the first
+    DOMAIN_QUOTA documents of each source in deterministic md5(doc_id)
+    order — the anti-over-representation step of web-corpus curation.
+
+    100 TB shape: a single window over a hot domain is the classic
+    straggler (one reducer sees the whole domain), so this runs the
+    TWO-PHASE salted construction: phase 1 ranks within (source, salt)
+    — DOMAIN_QUOTA_SALTS-way parallel even for a domain owning half the
+    corpus — and keeps each salt's top-Q; phase 2 ranks the surviving
+    <= salts x Q rows per source.  Correct because the global top-Q of
+    a domain is contained in the union of per-salt top-Qs, and every
+    survivor ordered before a global-top-Q row is itself global-top-Q,
+    so phase-2 ranks equal global ranks.  The salt column exists only
+    in phase 1; output is identical to the naive single window (the
+    DuckDB oracle IS the naive single window).  Spark 3.5+ additionally
+    inserts WindowGroupLimit(Partial) below BOTH exchanges (rank<=Q
+    pushed map-side, plan-pinned in tests/test_plans.py), so no task
+    ever ships more than Q rows per (source[, salt]) group — the salted
+    phase then bounds how many groups any one reducer owns."""
+    (docs,) = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("ok"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(DOMAIN_QUOTA_SALTS)).alias("salt"),
+    )
+    w1 = W.partitionBy("source", "salt").orderBy("ok", "doc_id")
+    pre = (
+        keyed.withColumn("rk1", F.row_number().over(w1))
+        .where(F.col("rk1") <= DOMAIN_QUOTA)
+    )
+    w2 = W.partitionBy("source").orderBy("ok", "doc_id")
+    return (
+        pre.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= DOMAIN_QUOTA)
+        .select("source", "doc_id", "rk")
+    )

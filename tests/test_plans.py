@@ -250,3 +250,38 @@ def test_asof_join_is_joinless(spark):
     for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert j not in plan, j
+
+
+def test_decontaminate_broadcasts_bench_shingles(spark):
+    """The benchmark shingle set must broadcast into the corpus scan as
+    a left-semi hash join — the 100TB corpus side never shuffles for
+    the membership test."""
+    from ocr_gang_spark.textops import decontaminate_overlap
+
+    plan = plan_of(decontaminate_overlap(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    for j in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert j not in plan, j
+
+
+def test_domain_quota_first_window_is_salted(spark):
+    """Phase 1 of the quota sample must rank within (source, salt) so a
+    hot domain spreads over DOMAIN_QUOTA_SALTS reducers; only the
+    bounded survivors (<= salts x Q per source) reach the per-source
+    window."""
+    from ocr_gang_spark.textops import domain_quota_sample
+
+    plan = plan_of(domain_quota_sample(spark, SF), mode="simple")
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning(source" in ln
+    ]
+    assert len(exchanges) == 2, exchanges
+    # plans print top-down: the DEEPEST (executed-first) exchange is the
+    # salted one; the final per-source exchange sees only survivors
+    assert "salt" in exchanges[-1] and "salt" not in exchanges[0]
+    # both window ranks are additionally map-side bounded before their
+    # exchange (Spark's WindowGroupLimit Partial — rank<=Q pushes into
+    # the map side, so no partition ever ships an unbounded domain)
+    assert plan.count("WindowGroupLimit") == 4
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, j
