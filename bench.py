@@ -49,6 +49,7 @@ HEADLINE = [
     "token_stats",
     "bpe_token_stats",
     "quality_filter_decisions",
+    "unigram_lm_tiers",
     "repetition_ngram_stats",
     "rolling_fingerprint",
     "winnow_fingerprints",

@@ -2406,3 +2406,79 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= DOMAIN_QUOTA)
         .select("source", "doc_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram-LM quality tiers: score each document under a
+# corpus language model, split per language into head/middle/tail.
+# ---------------------------------------------------------------------------
+
+# integer score: mean corpus-frequency of the doc's tokens in parts-per-
+# billion — (sum_c * SCALE) DIV (n_toks * total_tokens), exact in both
+# engines (Spark DIV / DuckDB //); no float log, so the cross-engine
+# hash never rests on libm.
+CCNET_SCALE = 1_000_000_000
+
+_UNIGRAM_DUCK = f"""
+    WITH toks AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+                  FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM vocab),
+    scored AS (SELECT doc_id, lang, COUNT(*) AS n_toks,
+                      CAST(SUM(c) AS BIGINT) AS sum_c
+               FROM toks JOIN vocab USING (tok) GROUP BY doc_id, lang),
+    s2 AS (SELECT doc_id, lang, n_toks, sum_c,
+                  (sum_c * {CCNET_SCALE}) // (n_toks * tt) AS score_ppb
+           FROM scored, total)
+    SELECT doc_id, lang, n_toks, sum_c, score_ppb,
+           (['head', 'middle', 'tail'])[
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY score_ppb DESC, doc_id)] AS tier
+    FROM s2
+"""
+
+
+@register("unigram_lm_tiers", _UNIGRAM_DUCK)
+def unigram_lm_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring + per-language head/middle/tail tiers
+    (the CCNet bucketing shape: score every document under a corpus
+    language model, keep/weight by tercile within its language).
+
+    The "LM" is the corpus's own unigram frequency table — score is
+    the mean corpus-frequency of the doc's tokens in ppb, integer-exact
+    (see CCNET_SCALE).  High score = common tokens (head boilerplate
+    risk at the top, gibberish at the bottom — the CCNet middle is the
+    keep set).
+
+    100 TB shape: the vocab groupBy is map-side combined on a
+    zipf-bounded key set and then BROADCAST into the token stream (a
+    production run prunes to top-V + an OOV bucket first — the
+    broadcast stays small by construction); the per-doc agg is one
+    hash shuffle on doc_id; the tercile window partitions by lang, so
+    languages rank in parallel.  A production corpus swaps the exact
+    per-lang ntile for broadcast approx-quantile cut scores (the
+    ranking itself is the only non-scalable stage here, and only
+    within one language's partition); the toy keeps ntile so the
+    DuckDB oracle pins exact tier assignment."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = _spread(docs).select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("tt"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_toks"), F.sum("c").alias("sum_c"))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score_ppb", F.expr(f"(sum_c * {CCNET_SCALE}) DIV (n_toks * tt)")
+        )
+        .select("doc_id", "lang", "n_toks", "sum_c", "score_ppb")
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("score_ppb"), "doc_id")
+    tier = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.ntile(3).over(w),
+    )
+    return scored.withColumn("tier", tier)

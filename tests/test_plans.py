@@ -285,3 +285,15 @@ def test_domain_quota_first_window_is_salted(spark):
     assert plan.count("WindowGroupLimit") == 4
     for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert j not in plan, j
+
+
+def test_unigram_lm_vocab_broadcasts_and_tiers_partition_by_lang(spark):
+    """The vocab/frequency table must broadcast into the token stream
+    (the corpus side never shuffles for the lookup) and the tercile
+    window must partition by lang so languages rank in parallel."""
+    from ocr_gang_spark.textops import unigram_lm_tiers
+
+    plan = plan_of(unigram_lm_tiers(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(lang" in plan
