@@ -60,6 +60,8 @@ HEADLINE = [
     "chunk_dedup",
     "decontaminate_overlap",
     "domain_quota_sample",
+    "domain_mixture_weights",
+    "bpe_merge_pairs",
     "sequence_pack_bins",
     "stream_dedup_events",
     "stream_quality_decisions",

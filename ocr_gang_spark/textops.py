@@ -2482,3 +2482,169 @@ def unigram_lm_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(3).over(w),
     )
     return scored.withColumn("tier", tier)
+
+
+# ---------------------------------------------------------------------------
+# Data mixing: temperature-resampled domain mixture weights.
+# ---------------------------------------------------------------------------
+
+MIX_PPM = 1_000_000
+
+# inject-then-detect: the testdata tiers are perfectly uniform across
+# sources (every domain the same size), which would make every mixture
+# weight identical — so thin each domain deterministically by a factor
+# derived from its source number (keep doc_id % (1 + src_num % 5) == 0)
+# and require the operator to RECOVER the injected imbalance by
+# upsampling the thinned domains.  Pure relational in both engines.
+_MIX_KEEP = "(1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 5)"
+
+_MIXTURE_DUCK = f"""
+    WITH kept AS (
+        SELECT * FROM documents
+        WHERE doc_id % {_MIX_KEEP} = 0),
+    per AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM kept GROUP BY source),
+    s AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT)
+                   AS sqrt_scaled
+        FROM per)
+    SELECT source, n_docs, n_tokens, sqrt_scaled,
+           CAST((sqrt_scaled * {MIX_PPM}) // SUM(sqrt_scaled) OVER ()
+                AS BIGINT) AS weight_ppm,
+           CAST((n_docs * {MIX_PPM}) // SUM(n_docs) OVER ()
+                AS BIGINT) AS natural_ppm,
+           CAST(((sqrt_scaled * {MIX_PPM}) // SUM(sqrt_scaled) OVER ()
+             * {MIX_PPM})
+             // ((n_docs * {MIX_PPM}) // SUM(n_docs) OVER ())
+                AS BIGINT) AS oversample_ppm
+    FROM s
+"""
+
+
+@register("domain_mixture_weights", _MIXTURE_DUCK)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled domain mixture (the data-mixing step that
+    decides how often each source/domain is sampled during training —
+    the Gopher/LLaMA-style p_i^alpha reweighting at alpha = 0.5).
+
+    weight_ppm   target sampling weight: sqrt(n_docs) normalized over
+                 all domains, in parts-per-million.
+    natural_ppm  the domain's natural share of the corpus.
+    oversample_ppm  weight/natural — >1e6 means the mixture upsamples
+                 the domain (rare domains), <1e6 downsamples (head
+                 domains): exactly the flattening temperature sampling
+                 exists to produce.
+
+    Inject-then-detect (see _MIX_KEEP): the uniform testdata is first
+    thinned per domain by a deterministic doc_id % (1 + src % 5) rule,
+    so domains arrive at 5 different sizes and the mixture must recover
+    the imbalance — thinned domains get oversample_ppm > 1e6, full
+    domains < 1e6.  Without the injection every weight would be equal
+    and the oracle would pin nothing but a constant.
+
+    Integer-exact across engines: alpha = 0.5 is computed as IEEE-754
+    sqrt of an exactly-representable integer — sqrt is a correctly-
+    rounded basic operation in both engines, so floor(sqrt(n)*1000) is
+    bit-identical; every division after that is integer DIV.  No libm
+    transcendentals under the value hash (general alpha would need
+    pow/exp — out of the exactness budget; 0.5 is the common choice).
+
+    100 TB shape: one map-side-combined groupBy(source) collapses the
+    corpus to ~#domains rows; the normalizing totals are one window
+    over THAT aggregate (the Exchange SinglePartition the plan shows is
+    over a domain-count-bounded table — at 10^8 domains swap it for a
+    broadcast scalar agg; never over documents)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    kept = _spread(docs).where(F.expr(f"doc_id % {_MIX_KEEP} = 0"))
+    per = (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "sqrt_scaled",
+            F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("bigint"),
+        )
+    )
+    w_all = W.partitionBy()
+    per = (
+        per.withColumn("tot_sqrt", F.sum("sqrt_scaled").over(w_all))
+        .withColumn("tot_docs", F.sum("n_docs").over(w_all))
+        .withColumn("weight_ppm", F.expr(f"(sqrt_scaled * {MIX_PPM}) DIV tot_sqrt"))
+        .withColumn("natural_ppm", F.expr(f"(n_docs * {MIX_PPM}) DIV tot_docs"))
+        .withColumn(
+            "oversample_ppm",
+            F.expr(f"(weight_ppm * {MIX_PPM}) DIV natural_ppm"),
+        )
+    )
+    return per.select(
+        "source", "n_docs", "n_tokens", "sqrt_scaled",
+        "weight_ppm", "natural_ppm", "oversample_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer induction: one BPE merge-learning iteration (adjacent-pair
+# counts over the corpus, the inner loop of BPE vocabulary training).
+# ---------------------------------------------------------------------------
+
+BPE_MERGE_TOPK = 50
+
+_BPE_MERGE_DUCK = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+    p AS (
+        SELECT doc_id,
+               tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS pair
+        FROM toks)
+    SELECT pair, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+    FROM p WHERE pair IS NOT NULL
+    GROUP BY pair
+    ORDER BY n_occ DESC, pair
+    LIMIT {BPE_MERGE_TOPK}
+"""
+
+
+@register("bpe_merge_pairs", _BPE_MERGE_DUCK)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-learning iteration: count adjacent token pairs
+    across the corpus and emit the top merge candidates (the argmax of
+    this table IS the next BPE merge; a full tokenizer train repeats
+    this with the winning pair fused — each iteration is exactly this
+    query's shape).
+
+    100 TB shape: pairs are built IN-ROW (zip_with over two array
+    slices — no self-join, no window over the token stream), exploded
+    straight into a map-side-combined hash aggregate, so the only
+    full-width shuffle is pair→count.  The top-k is orderBy().limit(),
+    which Spark plans as TakeOrderedAndProject — per-partition partial
+    top-k then a k-row merge on the driver, NEVER a single-partition
+    global sort (the pair table is vocab²-bounded and can be huge).
+    Deterministic under ties via the (n_occ DESC, pair ASC) key."""
+    (docs,) = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    pairs = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        _spread(docs)
+        .select("doc_id", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occ"), "pair")
+        .limit(BPE_MERGE_TOPK)
+    )

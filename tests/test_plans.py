@@ -297,3 +297,30 @@ def test_unigram_lm_vocab_broadcasts_and_tiers_partition_by_lang(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(lang" in plan
+
+
+def test_mixture_window_only_over_domain_aggregate(spark):
+    """The SinglePartition window must sit ABOVE the per-source hash
+    aggregate (normalizing a #domains-row table), never over documents;
+    the corpus side is one map-side-combined groupBy(source)."""
+    from ocr_gang_spark.textops import domain_mixture_weights
+
+    plan = plan_of(domain_mixture_weights(spark, SF), mode="simple")
+    assert plan.count("Exchange SinglePartition") == 1
+    # the single-partition exchange feeds on the source aggregate's
+    # shuffle, so both must be present and the agg below the window
+    assert "hashpartitioning(source" in plan
+    assert plan.index("Exchange SinglePartition") < plan.index(
+        "hashpartitioning(source"
+    )
+
+
+def test_bpe_merge_topk_is_take_ordered_not_global_sort(spark):
+    """The vocab^2-bounded pair table must reach the driver via
+    TakeOrderedAndProject (per-partition partial top-k), never via an
+    Exchange SinglePartition + global Sort."""
+    from ocr_gang_spark.textops import bpe_merge_pairs
+
+    plan = plan_of(bpe_merge_pairs(spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
