@@ -62,6 +62,7 @@ HEADLINE = [
     "domain_quota_sample",
     "domain_mixture_weights",
     "bpe_merge_pairs",
+    "bm25_retrieval_topk",
     "sequence_pack_bins",
     "stream_dedup_events",
     "stream_quality_decisions",

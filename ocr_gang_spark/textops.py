@@ -2648,3 +2648,117 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), "pair")
         .limit(BPE_MERGE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval: BM25-shaped scored search over the corpus (inverted-index
+# shape; quality-by-retrieval / benchmark-lookup building block).
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "merge", "window")  # fixed query, present in corpus vocab
+BM25_TOPK = 10
+_BM25_S1 = 1_000        # idf scale
+_BM25_S2 = 1_000_000    # tf-part scale
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+# k1 = 1.2, b = 0.75 folded into one integer rational:
+#   tfpart = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),  avgdl = T/N
+#          = 22*tf*T / (10*T*tf + 3*T + 9*dl*N)            (exactly)
+# idf uses the log-free rarity ratio (N - df + 0.5)/(df + 0.5) =
+# (2(N-df)+1)/(2df+1) — monotone in the true log idf, so the ranking
+# is BM25's; the log is a documented swap (no libm under the hash).
+_BM25_DUCK = f"""
+    WITH d AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                      string_split(text, ' ') AS t
+               FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dl) AS BIGINT) AS tt FROM d),
+    tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dl, unnest(t) AS tok FROM d)
+           WHERE tok IN ({_BM25_TERMS_SQL})
+           GROUP BY doc_id, dl, tok),
+    dfq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dft
+            FROM tf GROUP BY tok),
+    sc AS (SELECT tf.doc_id,
+                  ((2 * (n - dft) + 1) * {_BM25_S1}) // (2 * dft + 1) AS idf_s,
+                  (22 * tf * tt * {_BM25_S2})
+                    // (10 * tt * tf + 3 * tt + 9 * dl * n) AS tf_s
+           FROM tf JOIN dfq USING (tok), tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(idf_s * tf_s) AS BIGINT) AS score_scaled
+    FROM sc GROUP BY doc_id
+    ORDER BY score_scaled DESC, doc_id
+    LIMIT {BM25_TOPK}
+"""
+
+
+@register("bm25_retrieval_topk", _BM25_DUCK)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-scored retrieval top-k (k1=1.2, b=0.75) for a fixed query —
+    the scored-search building block a curation pipeline uses for
+    quality-by-retrieval, benchmark-neighbor lookup, and targeted
+    corpus audits.
+
+    Integer-exact across engines: the tf saturation term is folded into
+    one exact rational (see _BM25_DUCK header comment) and the idf is
+    the log-free rarity ratio (monotone in log-idf, so BM25's ranking
+    is preserved; the log is a documented swap that keeps libm out of
+    the value hash).  Overflow budget: 22*tf*T*S2 needs tf*T < 4e11 —
+    fine at every tier; a 10^15-token corpus drops S2 or moves scoring
+    to doubles (ranking-only there, no cross-engine-hash constraint).
+
+    100 TB shape: the query terms are LITERALS pushed into an IN-ROW
+    array filter BEFORE the explode, so the token stream leaving the
+    scan is |matches| rows, not |tokens| (the classic inverted-index
+    prune without materializing an index); tf is one map-side-combined
+    groupBy; the per-term df table (|query| rows) and the corpus totals
+    (1 row) broadcast back; the final top-k is TakeOrderedAndProject —
+    per-partition partial top-k, no global sort."""
+    (docs,) = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    terms = [F.lit(x) for x in BM25_TERMS]
+    d = _spread(docs).select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("dl"),
+        F.filter(t, lambda x: x.isin(*BM25_TERMS)).alias("qt"),
+    )
+    tot = F.broadcast(
+        d.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("dl").cast("bigint").alias("tt"),
+        )
+    )
+    tf = (
+        d.select("doc_id", "dl", F.explode("qt").alias("tok"))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfq = tf.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("dft")
+    )
+    sc = (
+        tf.join(F.broadcast(dfq), "tok")
+        .crossJoin(tot)
+        .withColumn(
+            "idf_s",
+            F.expr(f"((2 * (n - dft) + 1) * {_BM25_S1}) DIV (2 * dft + 1)"),
+        )
+        .withColumn(
+            "tf_s",
+            F.expr(
+                f"(22 * tf * tt * {_BM25_S2})"
+                f" DIV (10 * tt * tf + 3 * tt + 9 * dl * n)"
+            ),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum(F.col("idf_s") * F.col("tf_s")).cast("bigint").alias("score_scaled"),
+        )
+        .orderBy(F.desc("score_scaled"), "doc_id")
+        .limit(BM25_TOPK)
+    )

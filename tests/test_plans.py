@@ -324,3 +324,18 @@ def test_bpe_merge_topk_is_take_ordered_not_global_sort(spark):
     plan = plan_of(bpe_merge_pairs(spark, SF), mode="simple")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_bm25_prunes_at_scan_and_broadcasts_stats(spark):
+    """Docs without any query term must be dropped AT THE SCAN (the
+    inferred size(filter(...)) > 0 predicate reaches the FileScan's
+    DataFilters), term-df and corpus totals broadcast back, and the
+    top-k is TakeOrderedAndProject — never a global sort."""
+    from ocr_gang_spark.textops import bm25_retrieval_topk
+
+    plan = plan_of(bm25_retrieval_topk(spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert any("size(filter(split" in ln for ln in scan_lines), scan_lines
