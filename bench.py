@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_components",
     "embedding_topk_cosine",
     "embedding_quantized_topk",
+    "kmeans_quantized_assign",
     "embedding_near_dup_pairs",
     "ann_ivf_probe_topk",
     "ann_ivf_multiprobe_topk",

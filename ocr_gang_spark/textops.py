@@ -2179,19 +2179,45 @@ def _qdot_chain_spark(a, b):
     return total
 
 
-@register(
-    "embedding_quantized_topk",
-    f"""
-    WITH m AS (SELECT vec_id, embedding,
-                 list_max(list_transform(embedding,
-                   y -> CAST(abs(y) AS DOUBLE))) AS ma
-               FROM embeddings),
+# shared SQ8 quantization, one definition for every quantized operator:
+# codes floor(x*127/maxabs) as BIGINT, all-zero codes for zero vectors.
+_QZ_DUCK_CTE = """
+    m AS (SELECT vec_id, embedding,
+            list_max(list_transform(embedding,
+              y -> CAST(abs(y) AS DOUBLE))) AS ma
+          FROM embeddings),
     qz AS (SELECT vec_id, ma,
              list_transform(embedding, x ->
                CASE WHEN ma > 0
                  THEN CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma) AS BIGINT)
                  ELSE CAST(0 AS BIGINT) END) AS q8
-           FROM m),
+           FROM m)"""
+
+
+def quantized_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, ma, q8) — Spark mirror of _QZ_DUCK_CTE."""
+    m = emb.select(
+        "vec_id", "embedding",
+        F.array_max(
+            F.transform("embedding", lambda y: F.abs(y).cast("double"))
+        ).alias("ma"),
+    )
+    return m.select(
+        "vec_id", "ma",
+        F.transform(
+            "embedding",
+            lambda x: F.when(
+                F.col("ma") > 0,
+                F.floor(x.cast("double") * F.lit(127.0) / F.col("ma")),
+            ).otherwise(F.lit(0)).cast("bigint"),
+        ).alias("q8"),
+    )
+
+
+@register(
+    "embedding_quantized_topk",
+    f"""
+    WITH {_QZ_DUCK_CTE},
     qv AS (SELECT q8 AS qq FROM qz WHERE vec_id = 0)
     SELECT z.vec_id, z.ma AS maxabs,
            CAST(list_sum(z.q8) AS BIGINT) AS sum_q8,
@@ -2218,22 +2244,7 @@ def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dividing by zero.  One broadcast of the quantized query, one scan —
     same shape as embedding_topk_cosine."""
     (emb,) = load(spark, sf_dir, "embeddings")
-    m = emb.select(
-        "vec_id", "embedding",
-        F.array_max(
-            F.transform("embedding", lambda y: F.abs(y).cast("double"))
-        ).alias("ma"),
-    )
-    qz = m.select(
-        "vec_id", "ma",
-        F.transform(
-            "embedding",
-            lambda x: F.when(
-                F.col("ma") > 0,
-                F.floor(x.cast("double") * F.lit(127.0) / F.col("ma")),
-            ).otherwise(F.lit(0)).cast("bigint"),
-        ).alias("q8"),
-    )
+    qz = quantized_codes(emb)
     qv = qz.where(F.col("vec_id") == 0).select(F.col("q8").alias("qq"))
     return (
         qz.crossJoin(F.broadcast(qv))
@@ -2762,3 +2773,132 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_scaled"), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering: distributed integer Lloyd k-means over the SQ8 codes
+# (SemDedup-style semantic clustering; the IVF coarse-index trainer).
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+
+
+def _sqdist_chain_duck(a: str, b: str) -> str:
+    return " + ".join(
+        f"({a}[{k}] - {b}[{k}]) * ({a}[{k}] - {b}[{k}])"
+        for k in range(1, EMB_DIM + 1)
+    )
+
+
+def _sqdist_chain_spark(a, b):
+    total = None
+    for k in range(EMB_DIM):
+        d = F.element_at(a, k + 1) - F.element_at(b, k + 1)
+        term = d * d
+        total = term if total is None else total + term
+    return total
+
+
+def _kmeans_duck_sql() -> str:
+    sums = ", ".join(
+        f"CAST(SUM(q8[{k}]) AS BIGINT) AS s{k}" for k in range(1, EMB_DIM + 1)
+    )
+    mean_list = ", ".join(
+        f"CAST(s.s{k} // s.cnt AS BIGINT)" for k in range(1, EMB_DIM + 1)
+    )
+    return f"""
+    WITH {_QZ_DUCK_CTE},
+    c0 AS (SELECT vec_id AS cluster, q8 AS cent FROM qz
+           WHERE vec_id < {KMEANS_K}),
+    a1 AS (SELECT z.vec_id, z.q8, c.cluster,
+                  CAST({_sqdist_chain_duck('z.q8', 'c.cent')} AS BIGINT)
+                      AS dist
+           FROM qz z, c0 c),
+    r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cluster) AS rn
+           FROM a1),
+    asg1 AS (SELECT vec_id, q8, cluster FROM r1 WHERE rn = 1),
+    sums AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cnt, {sums}
+             FROM asg1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster,
+                  CASE WHEN s.cnt IS NULL THEN c0.cent
+                       ELSE [{mean_list}] END AS cent
+           FROM c0 LEFT JOIN sums s ON c0.cluster = s.cluster),
+    a2 AS (SELECT z.vec_id, c.cluster,
+                  CAST({_sqdist_chain_duck('z.q8', 'c.cent')} AS BIGINT)
+                      AS dist
+           FROM qz z, c1 c),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cluster) AS rn
+           FROM a2)
+    SELECT vec_id, cluster, dist FROM r2 WHERE rn = 1
+    """
+
+
+def _kmeans_assign(qz: DataFrame, cents: DataFrame, fields: list) -> DataFrame:
+    """One Lloyd assignment: broadcast the K centroids, crossJoin, and
+    take the per-vector argmin via groupBy(min(struct(dist, cluster,
+    ...))) — a MAP-SIDE-COMBINABLE aggregate (a row_number window would
+    shuffle all K candidate rows per vector; min-struct shuffles one)."""
+    j = qz.crossJoin(F.broadcast(cents)).withColumn(
+        "dist", _sqdist_chain_spark(F.col("q8"), F.col("cent")).cast("bigint")
+    )
+    m = j.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cluster", "q8")).alias("m")
+    )
+    return m.select("vec_id", *[F.col(f"m.{f}").alias(f) for f in fields])
+
+
+@register("kmeans_quantized_assign", _kmeans_duck_sql())
+def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (K=4, one centroid update, final
+    reassignment) over the SQ8 integer codes — the clustering step a
+    100 TB pipeline runs for SemDedup-style semantic dedup and to train
+    the IVF coarse index (real data-driven centroids, closing the loop
+    on ann_ivf_multiprobe's fixed-order-mean ones).
+
+    Integer-exact end to end: points are the shared SQ8 codes
+    (quantized_codes — exactly how trillion-vector clustering runs in
+    production: cluster the compressed codes, not the floats), the
+    distance is an explicit 64-term integer chain, and the centroid
+    update is the TRUNCATING integer mean — Spark `DIV` and DuckDB `//`
+    both truncate toward zero (verified on negative sums, which the
+    codes produce; a floor-vs-trunc mix diverges by 1 on negative dims
+    and was caught by the value oracle).  Tie-deterministic: argmin by
+    (dist, cluster),
+    empty clusters keep their previous centroid in both engines.
+
+    100 TB shape per iteration: broadcast K*D ints, one scan, and the
+    argmin is a map-side-combinable min(struct) aggregate — the shuffle
+    carries ONE candidate row per vector, not K (a row_number window
+    would carry all K); the centroid update is one K-row groupBy with
+    64 integer partial sums.  Iterations are a fixed small constant
+    (Lloyd converges in few rounds on quantized codes; production runs
+    until centroid movement < tol with the same per-round plan)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    qz = quantized_codes(_spread(emb)).select("vec_id", "q8")
+    c0 = qz.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster"), F.col("q8").alias("cent")
+    )
+    a1 = _kmeans_assign(qz, c0, ["cluster", "q8"])
+    sums = a1.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        *[
+            F.sum(F.element_at("q8", k + 1)).cast("bigint").alias(f"s{k+1}")
+            for k in range(EMB_DIM)
+        ],
+    )
+    trunc_mean = F.array(
+        *[
+            F.expr(f"s{k+1} DIV cnt").cast("bigint")
+            for k in range(EMB_DIM)
+        ]
+    )
+    c1 = c0.join(F.broadcast(sums), "cluster", "left").select(
+        "cluster",
+        F.when(F.col("cnt").isNull(), F.col("cent"))
+        .otherwise(trunc_mean)
+        .alias("cent"),
+    )
+    a2 = _kmeans_assign(qz, c1, ["cluster", "dist"])
+    return a2.select("vec_id", "cluster", "dist")

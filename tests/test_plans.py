@@ -339,3 +339,17 @@ def test_bm25_prunes_at_scan_and_broadcasts_stats(spark):
     assert "SortMergeJoin" not in plan
     scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert any("size(filter(split" in ln for ln in scan_lines), scan_lines
+
+
+def test_kmeans_broadcasts_centroids_and_argmin_is_aggregate(spark):
+    """Every Lloyd assignment must broadcast the K centroids (never
+    shuffle the points for the join) and take the per-vector argmin
+    via a map-side-combinable min(struct) aggregate, not a row_number
+    window over all K candidate rows."""
+    from ocr_gang_spark.textops import kmeans_quantized_assign
+
+    plan = plan_of(kmeans_quantized_assign(spark, SF), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan  # crossJoin(broadcast(cents))
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "SortMergeJoin" not in plan
