@@ -44,6 +44,7 @@ HEADLINE = [
     "embedding_topk_cosine",
     "embedding_quantized_topk",
     "kmeans_quantized_assign",
+    "ann_ivf_kmeans_topk",
     "embedding_near_dup_pairs",
     "ann_ivf_probe_topk",
     "ann_ivf_multiprobe_topk",

@@ -2799,7 +2799,10 @@ def _sqdist_chain_spark(a, b):
     return total
 
 
-def _kmeans_duck_sql() -> str:
+def _kmeans_duck_ctes() -> str:
+    """CTE body c0..r2: init centroids, assign, update (trunc mean,
+    empty clusters keep theirs), reassign — shared by the k-means
+    query and the k-means-trained IVF search."""
     sums = ", ".join(
         f"CAST(SUM(q8[{k}]) AS BIGINT) AS s{k}" for k in range(1, EMB_DIM + 1)
     )
@@ -2807,7 +2810,6 @@ def _kmeans_duck_sql() -> str:
         f"CAST(s.s{k} // s.cnt AS BIGINT)" for k in range(1, EMB_DIM + 1)
     )
     return f"""
-    WITH {_QZ_DUCK_CTE},
     c0 AS (SELECT vec_id AS cluster, q8 AS cent FROM qz
            WHERE vec_id < {KMEANS_K}),
     a1 AS (SELECT z.vec_id, z.q8, c.cluster,
@@ -2824,13 +2826,19 @@ def _kmeans_duck_sql() -> str:
                   CASE WHEN s.cnt IS NULL THEN c0.cent
                        ELSE [{mean_list}] END AS cent
            FROM c0 LEFT JOIN sums s ON c0.cluster = s.cluster),
-    a2 AS (SELECT z.vec_id, c.cluster,
+    a2 AS (SELECT z.vec_id, z.q8, c.cluster,
                   CAST({_sqdist_chain_duck('z.q8', 'c.cent')} AS BIGINT)
                       AS dist
            FROM qz z, c1 c),
     r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                                         ORDER BY dist, cluster) AS rn
-           FROM a2)
+           FROM a2)"""
+
+
+def _kmeans_duck_sql() -> str:
+    return f"""
+    WITH {_QZ_DUCK_CTE},
+    {_kmeans_duck_ctes()}
     SELECT vec_id, cluster, dist FROM r2 WHERE rn = 1
     """
 
@@ -2877,6 +2885,15 @@ def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     until centroid movement < tol with the same per-round plan)."""
     (emb,) = load(spark, sf_dir, "embeddings")
     qz = quantized_codes(_spread(emb)).select("vec_id", "q8")
+    c1 = _kmeans_c1(qz)
+    a2 = _kmeans_assign(qz, c1, ["cluster", "dist"])
+    return a2.select("vec_id", "cluster", "dist")
+
+
+def _kmeans_c1(qz: DataFrame) -> DataFrame:
+    """Updated centroids after one Lloyd round (init = K smallest
+    vec_ids, truncating integer mean, empty clusters keep theirs) —
+    shared by kmeans_quantized_assign and the k-means-trained IVF."""
     c0 = qz.where(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cluster"), F.col("q8").alias("cent")
     )
@@ -2894,11 +2911,110 @@ def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(EMB_DIM)
         ]
     )
-    c1 = c0.join(F.broadcast(sums), "cluster", "left").select(
+    return c0.join(F.broadcast(sums), "cluster", "left").select(
         "cluster",
         F.when(F.col("cnt").isNull(), F.col("cent"))
         .otherwise(trunc_mean)
         .alias("cent"),
     )
-    a2 = _kmeans_assign(qz, c1, ["cluster", "dist"])
-    return a2.select("vec_id", "cluster", "dist")
+
+
+# ---------------------------------------------------------------------------
+# ANN over the trained index: IVF search whose coarse index is the
+# k-means centroids (the production IVF pairing: train by Lloyd over
+# the codes, search by probing the nearest trained centroids).
+# ---------------------------------------------------------------------------
+
+IVF_KM_NPROBE = 2
+IVF_KM_K = 5
+
+
+def _ivf_kmeans_duck_sql() -> str:
+    return f"""
+    WITH {_QZ_DUCK_CTE},
+    {_kmeans_duck_ctes()},
+    asg AS (SELECT vec_id, q8, cluster FROM r2 WHERE rn = 1),
+    qq AS (SELECT q8 AS qv FROM qz WHERE vec_id = 0),
+    cscore AS (SELECT c.cluster,
+                      CAST({_qdot_chain_duck('c.cent', 'qv')} AS BIGINT) AS cs
+               FROM c1 c, qq),
+    probes AS (SELECT cluster FROM cscore
+               ORDER BY cs DESC, cluster LIMIT {IVF_KM_NPROBE}),
+    fine AS (SELECT a.vec_id, a.cluster,
+                    CAST({_qdot_chain_duck('a.q8', 'qv')} AS BIGINT) AS qdot
+             FROM asg a JOIN probes p ON a.cluster = p.cluster, qq),
+    topk AS (SELECT vec_id, cluster, qdot FROM fine
+             ORDER BY qdot DESC, vec_id LIMIT {IVF_KM_K}),
+    exact AS (SELECT vec_id FROM (
+                SELECT z.vec_id,
+                       CAST({_qdot_chain_duck('z.q8', 'qv')} AS BIGINT) AS qd
+                FROM qz z, qq ORDER BY qd DESC, z.vec_id LIMIT {IVF_KM_K})),
+    rec AS (SELECT CAST(COUNT(*) AS DOUBLE) / {IVF_KM_K} AS recall_at_k
+            FROM topk t JOIN exact e ON t.vec_id = e.vec_id)
+    SELECT t.vec_id, t.cluster, t.qdot, r.recall_at_k
+    FROM topk t, rec r
+    """
+
+
+@register("ann_ivf_kmeans_topk", _ivf_kmeans_duck_sql())
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over the TRAINED coarse index: the k-means centroids
+    (_kmeans_c1 — the same lineage kmeans_quantized_assign pins) rank
+    by integer dot product against the quantized query, the nearest
+    nprobe=IVF_KM_NPROBE clusters are fine-searched over their
+    ASSIGNED members only, and every output row carries recall@k vs the
+    exhaustive quantized top-k — train-then-search as one checked
+    lineage, the production IVF pairing (vs ann_ivf_probe_topk's
+    label-bucketed stand-in).
+
+    All-integer ranking end to end (codes, centroids, dot products):
+    no float-tie hazards anywhere.  100 TB shape: the coarse index
+    (K*D ints) broadcasts into both the probe ranking and the member
+    join; the fine search touches only the probed clusters' partitions
+    (at scale the assignment table is written bucketed by cluster, so
+    the probe is a partition-pruned scan); top-k and the exhaustive
+    baseline are TakeOrderedAndProject."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    qz = quantized_codes(_spread(emb)).select("vec_id", "q8")
+    c1 = _kmeans_c1(qz)
+    asg = _kmeans_assign(qz, c1, ["cluster", "q8"])
+    qq = qz.where(F.col("vec_id") == 0).select(F.col("q8").alias("qv"))
+    probes = (
+        c1.crossJoin(F.broadcast(qq))
+        .select(
+            "cluster",
+            _qdot_chain_spark(F.col("cent"), F.col("qv")).cast("bigint").alias("cs"),
+        )
+        .orderBy(F.desc("cs"), "cluster")
+        .limit(IVF_KM_NPROBE)
+        .select("cluster")
+    )
+    fine = (
+        asg.join(F.broadcast(probes), "cluster")
+        .crossJoin(F.broadcast(qq))
+        .select(
+            "vec_id", "cluster",
+            _qdot_chain_spark(F.col("q8"), F.col("qv")).cast("bigint").alias("qdot"),
+        )
+    )
+    topk = fine.orderBy(F.desc("qdot"), "vec_id").limit(IVF_KM_K)
+    exact = (
+        qz.crossJoin(F.broadcast(qq))
+        .select(
+            "vec_id",
+            _qdot_chain_spark(F.col("q8"), F.col("qv")).cast("bigint").alias("qd"),
+        )
+        .orderBy(F.desc("qd"), "vec_id")
+        .limit(IVF_KM_K)
+        .select("vec_id", F.lit(1).alias("hit"))
+    )
+    rec = (
+        topk.join(F.broadcast(exact), "vec_id", "left")
+        .agg(
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+             / float(IVF_KM_K)).alias("recall_at_k")
+        )
+    )
+    return topk.crossJoin(F.broadcast(rec)).select(
+        "vec_id", "cluster", "qdot", "recall_at_k"
+    )

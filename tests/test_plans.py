@@ -353,3 +353,16 @@ def test_kmeans_broadcasts_centroids_and_argmin_is_aggregate(spark):
     assert "Window" not in plan
     assert "partial_min" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_kmeans_broadcasts_index_and_takeordered_topk(spark):
+    """The trained-IVF search must broadcast the coarse index / probe
+    keys / query code into the member scan (the big side never shuffles
+    as a join input) and fetch top-k + exhaustive baseline via
+    TakeOrderedAndProject."""
+    from ocr_gang_spark.textops import ann_ivf_kmeans_topk
+
+    plan = plan_of(ann_ivf_kmeans_topk(spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
