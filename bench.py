@@ -65,6 +65,7 @@ HEADLINE = [
     "domain_mixture_weights",
     "bpe_merge_pairs",
     "bm25_retrieval_topk",
+    "pagerank_domains",
     "sequence_pack_bins",
     "stream_dedup_events",
     "stream_quality_decisions",

@@ -3018,3 +3018,129 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.crossJoin(F.broadcast(rec)).select(
         "vec_id", "cluster", "qdot", "recall_at_k"
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-graph curation: PageRank over the domain link graph (the crawl-
+# frontier prioritization / domain-trust signal).
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000_000  # ranks in parts-per-billion
+PR_ITERS = 3
+PR_DOMAINS = 20  # src0..src19 at every tier (asserted by the edge rule)
+
+# inject-then-detect link graph: the corpus has no hyperlink column, so
+# each document emits one deterministic edge
+# source -> src{(doc_id^2 + 3) % 20}.  Quadratic residues mod 20 hit
+# only {0,1,4,5,9,16}+3, so in-degree is genuinely skewed and the ranks
+# spread (an affine map gave a uniform multigraph and every rank
+# collapsed to 1/N); every destination is an existing node — no rank
+# mass leaks.  Both engines derive the same multigraph.
+_PR_DST = f"'src' || CAST((doc_id * doc_id + 3) % {PR_DOMAINS} AS VARCHAR)"
+_PR_DST_SPARK = (
+    f"concat('src', CAST((doc_id * doc_id + 3) % {PR_DOMAINS} AS STRING))"
+)
+
+
+def _pagerank_duck_sql() -> str:
+    teleport = f"{15 * PR_SCALE // 100} // nn"
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""
+    i{i} AS (SELECT nd.node, nd.nn,
+                  CAST({teleport}
+                       + (85 * COALESCE(s.contrib, 0)) // 100 AS BIGINT) AS r
+           FROM (SELECT node, nn FROM nodes, n) nd
+           LEFT JOIN (SELECT ew.dst AS node,
+                             CAST(SUM((p.r * ew.w) // o.outw) AS BIGINT)
+                                 AS contrib
+                      FROM ew
+                      JOIN outd o ON ew.src = o.src
+                      JOIN {prev} p ON p.node = ew.src
+                      GROUP BY ew.dst) s ON s.node = nd.node)""")
+        prev = f"i{i}"
+    body = ",".join(iters)
+    return f"""
+    WITH e AS (SELECT source AS src, {_PR_DST} AS dst FROM documents),
+    ew AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+           FROM e GROUP BY src, dst),
+    outd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM ew GROUP BY src),
+    nodes AS (SELECT DISTINCT source AS node FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+    r0 AS (SELECT node, CAST({PR_SCALE} // nn AS BIGINT) AS r FROM nodes, n),
+    {body}
+    SELECT node AS domain, r AS rank_ppb FROM {prev}
+    """
+
+
+@register("pagerank_domains", _pagerank_duck_sql())
+def pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the domain link graph (PR_ITERS damped power
+    iterations, d=0.85) — the crawl-frontier prioritization / domain-
+    trust signal a web-corpus pipeline feeds back into its crawler and
+    quality weights.
+
+    Link graph is injected deterministically (see _PR_DST): each doc
+    emits one edge from its domain to a quadratically-mapped domain,
+    giving a weighted multigraph both engines derive identically whose
+    in-degree is skewed — hub domains (quadratic-residue targets) end
+    with ~3x the teleport-only domains' rank, so the query demonstrates
+    real rank spread, not a uniform fixed point.
+
+    Integer-exact: ranks are ppb BIGINTs; each edge contributes
+    (r_u * w_uv) DIV out_u and each node updates to
+    teleport + (85 * sum) DIV 100 — integer sums are associative, so
+    no accumulation-order hazard exists in either engine (the classic
+    float PageRank would need ordered folds to cross-check exactly).
+    Truncation loses a few ppb of mass per round, identically in both
+    engines — fine for a ranking signal.
+
+    100 TB shape: the doc-scale work is ONE map-side-combined
+    groupBy(src, dst) building the edge list; every power iteration
+    after that runs on the DOMAIN-sized graph (edges joined to ranks on
+    src — a hash join co-partitioned on src across rounds — then one
+    groupBy(dst) sum).  Rounds are a fixed constant; convergence-driven
+    production runs reuse the same per-round plan.  The loop-invariant
+    graph frames (edge weights, out-degrees, node set) are PERSISTED so
+    the unrolled lineage reads them from cache — without it every
+    iteration re-embeds the edge-build subtree and the corpus is
+    rescanned per round (caught by the plan pin: exactly two document
+    scans regardless of PR_ITERS).  The cached frames are domain-sized,
+    not corpus-sized."""
+    (docs,) = load(spark, sf_dir, "documents")
+    e = _spread(docs).select(
+        F.col("source").alias("src"), F.expr(_PR_DST_SPARK).alias("dst")
+    )
+    ew = e.groupBy("src", "dst").agg(
+        F.count("*").cast("bigint").alias("w")
+    ).persist()
+    outd = ew.groupBy("src").agg(F.sum("w").cast("bigint").alias("outw")).persist()
+    nodes = docs.select(F.col("source").alias("node")).distinct()
+    ncnt = F.broadcast(nodes.agg(F.count("*").cast("bigint").alias("nn")))
+    nodes_n = nodes.crossJoin(ncnt).persist()
+    r = nodes_n.select(
+        "node", "nn", F.expr(f"{PR_SCALE} DIV nn").cast("bigint").alias("r")
+    )
+    teleport = f"{15 * PR_SCALE // 100} DIV nn"
+    for _ in range(PR_ITERS):
+        contrib = (
+            ew.join(outd, "src")
+            .join(r.select(F.col("node").alias("src"), "r"), "src")
+            .select("dst", F.expr("(r * w) DIV outw").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("contrib"))
+        )
+        r = (
+            nodes_n.join(
+                F.broadcast(contrib.withColumnRenamed("dst", "node")),
+                "node", "left",
+            )
+            .select(
+                "node", "nn",
+                F.expr(
+                    f"{teleport} + (85 * COALESCE(contrib, 0)) DIV 100"
+                ).cast("bigint").alias("r"),
+            )
+        )
+    return r.select(F.col("node").alias("domain"), F.col("r").alias("rank_ppb"))

@@ -366,3 +366,22 @@ def test_ivf_kmeans_broadcasts_index_and_takeordered_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iterations_read_graph_from_cache(spark):
+    """The doc-scale work is building the edge list + node set ONCE;
+    the power iterations must run on the persisted domain-sized graph.
+    Every per-iteration reference to edges/out-degrees/nodes must be an
+    InMemoryTableScan (un-persisted, each round re-embeds the edge-build
+    subtree and rescans the corpus — the regression this pins out).
+    NB: raw FileScan line counts overcount here because every
+    InMemoryRelation echoes its cached child plan in the explain text."""
+    from ocr_gang_spark.textops import PR_ITERS, pagerank_domains
+
+    plan = plan_of(pagerank_domains(spark, SF), mode="simple")
+    # >= 3 graph-frame reads per iteration (ew, outd, nodes_n) plus the
+    # final select; all from cache.  (Join strategy between the cached
+    # domain-sized frames is left to the planner: at 20 rows AQE
+    # broadcasts, at 10^8 domains a co-partitioned shuffle join is
+    # exactly right — neither is a regression.)
+    assert plan.count("InMemoryTableScan") >= 3 * PR_ITERS
