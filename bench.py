@@ -66,6 +66,7 @@ HEADLINE = [
     "bpe_merge_pairs",
     "bm25_retrieval_topk",
     "pagerank_domains",
+    "corpus_snapshot_diff",
     "sequence_pack_bins",
     "stream_dedup_events",
     "stream_quality_decisions",

@@ -3144,3 +3144,99 @@ def pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select(F.col("node").alias("domain"), F.col("r").alias("rank_ppb"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus versioning: snapshot diff (incremental-crawl delta detection).
+# ---------------------------------------------------------------------------
+
+# inject-then-detect snapshot pair derived from one corpus:
+#   old snapshot  = docs except doc_id % 11 == 3   (those are "added" later)
+#   new snapshot  = docs except doc_id % 17 == 2   ("removed" since old)
+#   and in new, doc_id % 13 == 5 documents carry edited text ("changed")
+_DIFF_OLD_PRED = "doc_id % 11 <> 3"
+_DIFF_NEW_PRED = "doc_id % 17 <> 2"
+_DIFF_EDIT = "CASE WHEN doc_id % 13 = 5 THEN text || ' updated' ELSE text END"
+
+# 60-bit content fingerprint (15 hex chars of md5 -> BIGINT): a BIGINT
+# agg buffer keeps the pivot a HashAggregate (max(string) would force
+# SortAggregate); collisions only matter old-vs-new WITHIN one doc_id —
+# a 2^-60 per-doc false 'unchanged', negligible at any corpus size.
+_DIFF_FP_DUCK = "('0x' || substr(md5({t}), 1, 15))::BIGINT"
+_SNAPSHOT_DIFF_DUCK = f"""
+    WITH old AS (SELECT doc_id, {_DIFF_FP_DUCK.format(t='text')} AS h
+                 FROM documents WHERE {_DIFF_OLD_PRED}),
+    new AS (SELECT doc_id, {_DIFF_FP_DUCK.format(t=_DIFF_EDIT)} AS h
+            FROM documents WHERE {_DIFF_NEW_PRED}),
+    u AS (SELECT doc_id, h AS old_fp, NULL AS new_fp FROM old
+          UNION ALL
+          SELECT doc_id, NULL, h FROM new),
+    g AS (SELECT doc_id, CAST(MAX(old_fp) AS BIGINT) AS old_fp,
+                 CAST(MAX(new_fp) AS BIGINT) AS new_fp
+          FROM u GROUP BY doc_id),
+    d AS (SELECT doc_id, old_fp, new_fp,
+                 CASE WHEN old_fp IS NULL THEN 'added'
+                      WHEN new_fp IS NULL THEN 'removed'
+                      WHEN old_fp <> new_fp THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM g)
+    SELECT doc_id, status, old_fp, new_fp FROM d
+    WHERE status <> 'unchanged'
+"""
+
+
+@register("corpus_snapshot_diff", _SNAPSHOT_DIFF_DUCK)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — the delta-detection
+    step of an incremental crawl/ingest: which documents were added,
+    removed, or changed since the last snapshot (the input to
+    incremental dedup, re-extraction, and index refresh, so only the
+    delta is reprocessed instead of 100 TB).
+
+    Versions are injected deterministically from the one corpus (see
+    _DIFF_*): membership and an edit rule derived from doc_id, so both
+    engines construct identical snapshots and the diff must recover
+    exactly the injected added/removed/changed sets.
+
+    100 TB shape: the diff is a TAG-UNION AGGREGATE, not a join — each
+    side reduces to (doc_id, 60-bit content fingerprint), the union is
+    tagged by side, and ONE map-side-combinable groupBy(doc_id) pivots
+    the two fingerprints next to each other (plan-pinned: no Join
+    operator, and a HashAggregate — BIGINT fingerprints keep the agg
+    buffer mutable; max(string) md5s would silently degrade it to
+    SortAggregate).  A full-outer join would shuffle both sides too,
+    but adds the join's skew/null-handling hazards for nothing.  The
+    'unchanged' majority is dropped before anything leaves the
+    aggregate."""
+    (docs,) = load(spark, sf_dir, "documents")
+    docs = _spread(docs)
+
+    def fp(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+    old = docs.where(F.expr(_DIFF_OLD_PRED)).select(
+        "doc_id",
+        fp(F.col("text")).alias("old_fp"),
+        F.lit(None).cast("bigint").alias("new_fp"),
+    )
+    new = docs.where(F.expr(_DIFF_NEW_PRED)).select(
+        "doc_id",
+        F.lit(None).cast("bigint").alias("old_fp"),
+        fp(F.expr(_DIFF_EDIT)).alias("new_fp"),
+    )
+    g = (
+        old.unionByName(new)
+        .groupBy("doc_id")
+        .agg(F.max("old_fp").alias("old_fp"), F.max("new_fp").alias("new_fp"))
+    )
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        g.withColumn("status", status)
+        .where(F.col("status") != "unchanged")
+        .select("doc_id", "status", "old_fp", "new_fp")
+    )

@@ -385,3 +385,18 @@ def test_pagerank_iterations_read_graph_from_cache(spark):
     # broadcasts, at 10^8 domains a co-partitioned shuffle join is
     # exactly right — neither is a regression.)
     assert plan.count("InMemoryTableScan") >= 3 * PR_ITERS
+
+
+def test_snapshot_diff_is_union_aggregate_not_join(spark):
+    """The two-version diff must be a tag-union + one map-side-
+    combinable groupBy(doc_id), never a full-outer join of the
+    snapshots — and the pivot must stay a HashAggregate (BIGINT
+    fingerprints; max(string) md5s silently degrade it to
+    SortAggregate, which adds a per-partition sort of the corpus)."""
+    from ocr_gang_spark.textops import corpus_snapshot_diff
+
+    plan = plan_of(corpus_snapshot_diff(spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert "Union" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "SortAggregate" not in plan
