@@ -84,6 +84,7 @@ HEADLINE_EXTRACT = [
     "hough_deskew",
     "media_metadata",
     "media_resize_stats",
+    "image_phash_dedup",
     "augmentation_counts",
     "pdf_layout_spans",
     "main_content_blocks",

@@ -349,3 +349,25 @@ def segment_page(
             if key is not None:
                 matrix_cache[key] = mat
     return lines
+
+
+PHASH_DIM = 6  # 6x6 binary thumbprint -> 36 bits (fits a positive int64)
+
+
+def phash36(bw: np.ndarray) -> int:
+    """Perceptual thumbprint of a binarized page: K3 NN-resample
+    (resize1, floor indexing) to PHASH_DIM x PHASH_DIM, ink bits
+    (pixel == 0) packed row-major MSB-first into one integer.
+
+    The image analog of a document fingerprint: visually-identical or
+    near-identical pages collapse to the same 36-bit key, so duplicate
+    imagery can be grouped with a plain hash aggregate (no pairwise
+    comparison).  36 bits is chosen coarse enough that real near-dups
+    collide and fine enough that distinct pages don't (at 8x8 this
+    corpus has zero collisions; at 4x4 it degenerates)."""
+    t = resize1(bw, PHASH_DIM, PHASH_DIM)
+    bits = (t == 0).astype(np.int64).ravel()
+    weights = np.left_shift(
+        np.int64(1), np.arange(PHASH_DIM * PHASH_DIM - 1, -1, -1, dtype=np.int64)
+    )
+    return int(bits @ weights)

@@ -242,3 +242,81 @@ def pdf_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="pdf_ref string, page int, line_no int, x double, y double, "
         "text string",
     )
+
+
+@register(
+    "image_phash_dedup",
+    # per-ref 36-bit thumbprints come from the committed fixture
+    # (generation crosschecked against an independent double-loop
+    # re-derivation; fixtures/expected_crosscheck.json "phash"); the
+    # DUPLICATE GROUPING itself is pure SQL over that table, so the
+    # oracle pins both the kernel values and the group/keeper logic
+    f"""
+    WITH refs AS (
+      SELECT printf('m42-doc-%08d-%d', doc_id, i) AS media_ref
+      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS i)
+      WHERE i <= doc_id % 2 + 1),
+    g AS (
+      SELECT f.phash, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+             CAST(MIN(CAST(substr(f.media_ref, 9, 8) AS BIGINT) * 10
+                      + CAST(substr(f.media_ref, 18, 1) AS BIGINT))
+                  AS BIGINT) AS keep_key
+      FROM read_parquet('{_FIXTURES}/expected_phash.parquet') f
+      JOIN refs USING (media_ref)
+      GROUP BY f.phash HAVING COUNT(*) >= 2)
+    SELECT phash, n_imgs,
+           printf('m42-doc-%08d-%d', keep_key // 10, keep_key % 10) AS keep_ref
+    FROM g
+    """,
+)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: 36-bit binary thumbprint per media blob
+    (kernels/image_ops.phash36 — decode, binarize, K3 NN-resample to
+    6x6, pack ink bits), then duplicate-image groups via one hash
+    aggregate — the image-modality member of the dedup family (exact
+    text dedup : md5 :: image dedup : perceptual hash), with
+    min(media_ref) as the deterministic keeper.
+
+    100 TB shape: the expensive part (decode + hash) is a per-blob
+    Arrow-batched kernel with no shuffle; the only exchange is the
+    map-side-combined groupBy on the 36-bit key — identical plan shape
+    to dedup_exact, just with a learnedless visual fingerprint instead
+    of md5(text).  No pairwise image comparison ever happens; bucket
+    collisions ARE the candidate groups (the MinHash-LSH trick, one
+    band of one 36-bit hash).  The keeper travels through the aggregate
+    as a packed BIGINT key (min(string) ref would silently degrade the
+    pivot to SortAggregate — plan-pinned) and is re-rendered after."""
+    from .kernels.bmp import decode_media_blob
+    from .kernels.image_ops import binarize, phash36
+
+    docs = spans_from_testdata(spark, sf_dir)
+    media = synth_media(spark, docs)
+
+    def hashes(batches):
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["bytes"]):
+                bw = binarize(decode_media_blob(bytes(blob)))
+                # pack (doc_id, span_idx) from the fixed-width ref: min
+                # over this BIGINT == lexicographic min over the refs
+                rows.append((ref, phash36(bw), int(ref[8:16]) * 10 + int(ref[17:])))
+            yield pd.DataFrame(rows, columns=["media_ref", "phash", "ref_key"])
+
+    import pyspark.sql.functions as F
+
+    g = (
+        media.mapInPandas(
+            hashes, schema="media_ref string, phash bigint, ref_key bigint"
+        )
+        .groupBy("phash")
+        .agg(F.count("*").cast("bigint").alias("n_imgs"),
+             F.min("ref_key").alias("keep_key"))
+        .where(F.col("n_imgs") >= 2)
+    )
+    return g.select(
+        "phash", "n_imgs",
+        F.format_string(
+            "m42-doc-%08d-%d",
+            F.expr("keep_key DIV 10"), F.expr("keep_key % 10"),
+        ).alias("keep_ref"),
+    )

@@ -364,11 +364,16 @@ def expected_media_rows():
     from ocr_gang_spark.kernels.bmp import decode_media_blob
     from ocr_gang_spark.kernels.image_ops import binarize, resize1
 
+    from ocr_gang_spark.kernels.image_ops import PHASH_DIM, phash36
+
     resize = []
     resize_crosschecked = []
+    phash_rows = []
+    phash_crosschecked = []
     for ref in sorted(refs):
         bw = binarize(decode_media_blob(blob_for_ref(ref)))
         thumb = resize1(bw, RESIZE_W, RESIZE_H)
+        ph = phash36(bw)
         did = int(ref.split("-")[2])
         if did % CROSSCHECK_EVERY == 0:
             sy, sx = bw.shape
@@ -378,11 +383,24 @@ def expected_media_rows():
                     brute[y, x] = bw[y * sy // RESIZE_H, x * sx // RESIZE_W]
             assert np.array_equal(brute, thumb), f"resize crosscheck failed: {ref}"
             resize_crosschecked.append(ref)
+            # independent phash re-derivation: explicit double-loop
+            # resample + shift-packing (the kernel uses memoized fancy
+            # indexing + a dot product)
+            v = 0
+            for y in range(PHASH_DIM):
+                for x in range(PHASH_DIM):
+                    v = (v << 1) | int(
+                        bw[y * sy // PHASH_DIM, x * sx // PHASH_DIM] == 0
+                    )
+            assert v == ph, f"phash crosscheck failed: {ref} {v} != {ph}"
+            phash_crosschecked.append(ref)
         resize.append(
             (ref, bw.shape[1], bw.shape[0],
              int(np.sum(bw == 0)), int(np.sum(thumb == 0)))
         )
-    return meta, audio, video, resize, resize_crosschecked
+        phash_rows.append((ref, ph))
+    return (meta, audio, video, resize, resize_crosschecked,
+            phash_rows, phash_crosschecked)
 
 
 def expected_pdf_rows():
@@ -493,7 +511,8 @@ def main() -> None:
     )
     print(f"wrote expected_augmentation.parquet ({len(aug_rows)} rows)")
 
-    meta, audio, video, resize, resize_xc = expected_media_rows()
+    (meta, audio, video, resize, resize_xc,
+     phash_rows, phash_xc) = expected_media_rows()
     with open(os.path.join(FIXDIR, "expected_crosscheck.json")) as f:
         xc_doc = json.load(f)
     xc_doc["resize"] = {
@@ -501,9 +520,19 @@ def main() -> None:
                     "dst[y][x] = src[y*sy//dy][x*sx//dx]"],
         "refs": sorted(set(resize_xc)),
     }
+    xc_doc["phash"] = {
+        "checked": ["36-bit thumbprint equals an explicit double-loop "
+                    "resample + shift-packing re-derivation"],
+        "refs": sorted(set(phash_xc)),
+    }
     with open(os.path.join(FIXDIR, "expected_crosscheck.json"), "w") as f:
         json.dump(xc_doc, f, indent=1)
     for name, rows, schema in [
+        (
+            "expected_phash",
+            phash_rows,
+            pa.schema([("media_ref", pa.string()), ("phash", pa.int64())]),
+        ),
         (
             "expected_resize",
             resize,

@@ -238,3 +238,43 @@ def test_glyph_matrices_batch_matches_scalar():
         assert (want is None) == (got is None)
         if want is not None:
             assert np.array_equal(want, got)
+
+
+class TestPhash36:
+    def test_all_white_and_all_black(self):
+        import numpy as np
+
+        from ocr_gang_spark.kernels.image_ops import phash36
+
+        assert phash36(np.full((30, 40), 255, np.uint8)) == 0
+        assert phash36(np.zeros((17, 23), np.uint8)) == (1 << 36) - 1
+
+    def test_hand_case_left_half_ink(self):
+        """Left half ink, right half white: each 6-px row packs to
+        111000 (floor indexing maps thumb x<3 to src x<w/2)."""
+        import numpy as np
+
+        from ocr_gang_spark.kernels.image_ops import phash36
+
+        img = np.full((12, 12), 255, np.uint8)
+        img[:, :6] = 0
+        row = 0b111000
+        expected = 0
+        for _ in range(6):
+            expected = (expected << 6) | row
+        assert phash36(img) == expected
+
+    def test_matches_brute_double_loop(self):
+        import numpy as np
+
+        from ocr_gang_spark.kernels.image_ops import PHASH_DIM, phash36
+
+        rng = np.random.default_rng(7)
+        for _ in range(25):
+            h, w = rng.integers(7, 60, 2)
+            img = (rng.random((h, w)) < 0.4).astype(np.uint8) * 255
+            v = 0
+            for y in range(PHASH_DIM):
+                for x in range(PHASH_DIM):
+                    v = (v << 1) | int(img[y * h // PHASH_DIM, x * w // PHASH_DIM] == 0)
+            assert phash36(img) == v

@@ -400,3 +400,15 @@ def test_snapshot_diff_is_union_aggregate_not_join(spark):
     assert "Union" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "SortAggregate" not in plan
+
+
+def test_image_phash_dedup_single_exchange_hash_agg(spark):
+    """Decode+hash is a shuffle-free Arrow kernel; the only exchange is
+    the map-side-combined groupBy on the 36-bit key, and it must stay a
+    HashAggregate."""
+    from ocr_gang_spark.media_queries import image_phash_dedup
+
+    plan = plan_of(image_phash_dedup(spark, SF), mode="simple")
+    assert "hashpartitioning(phash" in plan
+    assert "SortAggregate" not in plan
+    assert "Join" not in plan
