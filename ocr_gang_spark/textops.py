@@ -3240,3 +3240,272 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("status") != "unchanged")
         .select("doc_id", "status", "old_fp", "new_fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level cross-corpus dedup (RefinedWeb-style): find lines repeated
+# across many documents (nav bars, footers, cookie banners), then strip
+# them from every document.  The synthetic bodies are single-line word
+# soup, so documents are re-lined deterministically (fixed 10-token
+# lines) and two boilerplate lines are injected in BOTH engines —
+# which IS the production shape: the same nav/footer line repeated on
+# millions of pages is exactly what line-level dedup removes.
+# ---------------------------------------------------------------------------
+_LINE_TOKENS = 10
+_LINE_MIN_DOCS = 10  # a line in >= this many distinct docs is boilerplate
+_LINE_NAV = "home about contact subscribe search login help sitemap"
+_LINE_FOOT = "copyright example site all rights reserved worldwide"
+
+
+@register(
+    "line_dedup_stats",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    body AS (
+      SELECT doc_id,
+             array_to_string(
+               toks[i * {_LINE_TOKENS} + 1 : i * {_LINE_TOKENS} + {_LINE_TOKENS}],
+               ' ') AS line
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, (len(toks) + {_LINE_TOKENS} - 1) // {_LINE_TOKENS})) AS i
+            FROM t)),
+    inj AS (
+      SELECT doc_id, '{_LINE_NAV}' AS line FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, '{_LINE_FOOT}' AS line FROM documents WHERE doc_id % 3 = 0),
+    lines AS (SELECT * FROM body UNION ALL SELECT * FROM inj),
+    freq AS (SELECT line FROM lines GROUP BY line
+             HAVING COUNT(DISTINCT doc_id) >= {_LINE_MIN_DOCS}),
+    j AS (SELECT l.doc_id, l.line, (f.line IS NOT NULL) AS is_bp
+          FROM lines l LEFT JOIN freq f ON l.line = f.line)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN is_bp THEN 0 ELSE length(line) END) AS BIGINT)
+             AS kept_chars
+    FROM j GROUP BY doc_id
+    """,
+)
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level cross-corpus dedup (RefinedWeb / CCNet line filtering):
+    drop every line that appears in >= _LINE_MIN_DOCS distinct documents,
+    report per-document kept/dropped stats.
+
+    100 TB shape — two passes over the line table, NO corpus-side
+    shuffle on the rejoin: pass 1 is a map-side-combined groupBy(line)
+    counting distinct docs (repeated boilerplate collapses in the
+    combiner; at scale the key would be xxhash64(line), kept raw here
+    so DuckDB verifies values); the surviving frequent-line set is tiny
+    BY CONSTRUCTION (each entry needs >= _LINE_MIN_DOCS occurrences, so
+    the set is at most corpus_lines / _LINE_MIN_DOCS and in practice
+    nav/footer-sized), so pass 2 BROADCASTS it back into the line scan
+    as a hash join — the classic count -> broadcast-the-heavy-hitters
+    plan.  The per-doc re-aggregate shuffles once on doc_id with
+    map-side partial aggregation (narrow counters, not lines).  Re-lining
+    and injection are in-row transforms shared verbatim with the DuckDB
+    oracle."""
+    (docs,) = load(spark, sf_dir, "documents")
+    docs = _spread(docs)
+    lines_arr = F.expr(
+        f"""transform(
+              sequence(0, (size(split(text, ' ')) + {_LINE_TOKENS} - 1)
+                          DIV {_LINE_TOKENS} - 1),
+              i -> array_join(slice(split(text, ' '),
+                                    i * {_LINE_TOKENS} + 1, {_LINE_TOKENS}), ' '))"""
+    )
+    body = docs.select("doc_id", F.explode(lines_arr).alias("line"))
+    did = F.col("doc_id")
+    inj = (
+        docs.where(did % 5 == 0)
+        .select("doc_id", F.lit(_LINE_NAV).alias("line"))
+        .unionAll(
+            docs.where(did % 3 == 0)
+            .select("doc_id", F.lit(_LINE_FOOT).alias("line"))
+        )
+    )
+    lines = body.unionAll(inj)
+    freq = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _LINE_MIN_DOCS)
+        .select("line", F.lit(True).alias("is_bp"))
+    )
+    j = lines.join(F.broadcast(freq), "line", "left").withColumn(
+        "is_bp", F.coalesce(F.col("is_bp"), F.lit(False))
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(F.col("is_bp"), 0).otherwise(F.length("line")))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-bloom decontamination: the two-phase production variant of
+# `decontaminate_overlap`.  Phase 1 tests every corpus shingle against a
+# FIXED-SIZE 32768-bit bloom filter of the benchmark shingles entirely
+# in-row (zero joins on the 100 TB side, constant broadcast size no
+# matter how many eval sets are folded in); phase 2 confirms only the
+# bloom-flagged survivors with the exact broadcast semi-join.  The
+# output quantifies the bloom's false positives next to the exact hits,
+# because a decontamination pipeline must know its over-drop rate.
+# Sizing: ~1k benchmark shingles x 3 probes over 32768 bits keeps the
+# fill factor under ~10% at the verified scales, so the FP column is
+# non-trivially exercised while phase 1 still prunes ~97% of the corpus.
+# Hashing: double hashing pos_j = (h1 + j*h2) mod M (Kirsch-Mitzenmacher
+# 2006), h1/h2 from md5 hex prefixes — bit-identical in both engines.
+# The mod-29 benchmark split is shared with decontaminate_overlap.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 32768       # bits
+_BLOOM_W = 32       # bits per word (sign-safe BIGINT packing)
+_BLOOM_NW = 1024
+_BLOOM_K = 3
+
+_BLOOM_DUCK = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tt FROM documents),
+    shd AS (SELECT doc_id,
+                   list_distinct(CASE WHEN len(tt) >= 4
+                        THEN list_transform(range(1, len(tt) - 2),
+                             k -> tt[k] || ' ' || tt[k+1] || ' ' ||
+                                  tt[k+2] || ' ' || tt[k+3])
+                        ELSE [] END) AS s
+            FROM t),
+    e AS (SELECT doc_id, len(s) AS n_sh, UNNEST(s) AS g FROM shd),
+    bench AS (SELECT DISTINCT g FROM e WHERE doc_id % 29 = 0),
+    bh AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(g), 9, 8))::BIGINT * 2 + 1 AS h2
+           FROM bench),
+    pos AS (SELECT DISTINCT ((h1 + j.j * h2) % 32768) AS p
+            FROM bh CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j),
+    words AS (SELECT p // 32 AS widx,
+                     bit_or((1::BIGINT << CAST(p % 32 AS INT))) AS w
+              FROM pos GROUP BY 1),
+    dense AS (SELECT r.i AS i, COALESCE(words.w, 0::BIGINT) AS w
+              FROM range(0, 1024) r(i) LEFT JOIN words ON r.i = words.widx),
+    bl AS (SELECT list(w ORDER BY i) AS bloom FROM dense),
+    probe AS (SELECT e.doc_id, e.n_sh, e.g,
+                     ('0x' || substr(md5(e.g), 1, 8))::BIGINT AS h1,
+                     ('0x' || substr(md5(e.g), 9, 8))::BIGINT * 2 + 1 AS h2,
+                     bl.bloom AS bloom
+              FROM e CROSS JOIN bl WHERE e.doc_id % 29 != 0),
+    flag AS (SELECT doc_id, n_sh, g,
+                    (((bloom[CAST(((h1 + 0*h2) % 32768) // 32 AS INT) + 1] >> CAST(((h1 + 0*h2) % 32768) % 32 AS INT)) & 1) = 1
+                    AND ((bloom[CAST(((h1 + 1*h2) % 32768) // 32 AS INT) + 1] >> CAST(((h1 + 1*h2) % 32768) % 32 AS INT)) & 1) = 1
+                    AND ((bloom[CAST(((h1 + 2*h2) % 32768) // 32 AS INT) + 1] >> CAST(((h1 + 2*h2) % 32768) % 32 AS INT)) & 1) = 1) AS in_bloom
+             FROM probe),
+    bd AS (SELECT doc_id, n_sh,
+                  CAST(COUNT(*) FILTER (WHERE in_bloom) AS BIGINT) AS n_bloom_hits
+           FROM flag GROUP BY doc_id, n_sh
+           HAVING COUNT(*) FILTER (WHERE in_bloom) > 0),
+    ex AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact_hits
+           FROM e SEMI JOIN bench USING (g)
+           WHERE doc_id % 29 != 0 GROUP BY doc_id)
+    SELECT bd.doc_id, bd.n_sh, bd.n_bloom_hits,
+           COALESCE(ex.n_exact_hits, 0::BIGINT) AS n_exact_hits
+    FROM bd LEFT JOIN ex ON bd.doc_id = ex.doc_id
+"""
+
+_BLOOM_MEMBER = """size(filter(
+            transform(sh, g -> named_struct(
+              'h1', CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT),
+              'h2', CAST(conv(substring(md5(g), 9, 8), 16, 10) AS BIGINT) * 2 + 1)),
+            h -> aggregate(sequence(0, 2), true, (acc, j) -> acc AND (
+              (shiftright(
+                 element_at(bloom,
+                   CAST(((h.h1 + j * h.h2) % 32768) DIV 32 AS INT) + 1),
+                 CAST(((h.h1 + j * h.h2) % 32768) % 32 AS INT)) & 1) = 1))))"""
+
+
+@register("decontaminate_bloom", _BLOOM_DUCK)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination with a broadcast bloom prefilter.
+
+    100 TB shape: `decontaminate_overlap` broadcasts the full distinct
+    benchmark-shingle set; with many eval suites that set outgrows the
+    broadcast budget.  Here the benchmark side is folded into a fixed
+    32768-bit (1024 x 32-bit-word) bloom filter BUILT ENGINE-SIDE
+    (groupBy word index + bit_or, assembled into one dense array row —
+    no driver-side collect), broadcast as a single row, and probed
+    IN-ROW by every corpus document (3 double-hashed probes per
+    distinct 4-gram shingle, Kirsch-Mitzenmacher).  The corpus side
+    does zero joins and zero extra shuffles in phase 1; only the
+    bloom-flagged sliver (true hits + the bloom's deterministic false
+    positives) reaches the phase-2 exact semi-join against the real
+    shingle set.  Output rows carry n_bloom_hits next to n_exact_hits
+    so the false-positive rate is observable — the operational metric
+    that sizes M at scale."""
+    (docs,) = load(spark, sf_dir, "documents")
+    e = (
+        _spread(docs)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select(
+            "doc_id", F.array_distinct(_shingles4_of(F.col("toks"))).alias("sh")
+        )
+    )
+    bench_g = (
+        e.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    pos = (
+        bench_g.select(
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h1"),
+            (F.conv(F.substring(F.md5("g"), 9, 8), 16, 10).cast("bigint") * 2 + 1)
+            .alias("h2"),
+        )
+        .select(
+            "h1",
+            "h2",
+            F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j"),
+        )
+        .select(((F.col("h1") + F.col("j") * F.col("h2")) % _BLOOM_M).alias("p"))
+        .distinct()
+    )
+    words = (
+        pos.select(
+            F.expr(f"CAST(p DIV {_BLOOM_W} AS INT)").alias("widx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_W} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("w"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("widx", "w"))).alias("m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {_BLOOM_NW - 1}), "
+            "i -> coalesce(element_at(m, i), CAST(0 AS BIGINT)))"
+        ).alias("bloom")
+    )
+    probed = (
+        e.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .crossJoin(F.broadcast(bloom))
+        .select(
+            "doc_id",
+            "sh",
+            F.size("sh").alias("n_sh"),
+            F.expr(_BLOOM_MEMBER).cast("bigint").alias("n_bloom_hits"),
+        )
+        .where(F.col("n_bloom_hits") > 0)
+    )
+    exact = (
+        probed.select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(bench_g), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_exact_hits"))
+    )
+    return (
+        probed.select("doc_id", "n_sh", "n_bloom_hits")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .withColumn(
+            "n_exact_hits",
+            F.coalesce(F.col("n_exact_hits"), F.lit(0)).cast("bigint"),
+        )
+    )

@@ -412,3 +412,27 @@ def test_image_phash_dedup_single_exchange_hash_agg(spark):
     assert "hashpartitioning(phash" in plan
     assert "SortAggregate" not in plan
     assert "Join" not in plan
+
+
+def test_line_dedup_broadcasts_frequent_lines(spark):
+    """The heavy-hitter rejoin must broadcast the frequent-line set —
+    a sort-merge join here would shuffle the full corpus line table a
+    second time."""
+    from ocr_gang_spark.textops import line_dedup_stats
+
+    plan = plan_of(line_dedup_stats(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_decontaminate_corpus_side_never_shuffle_joins(spark):
+    """Phase 1 must reach the corpus as a broadcast of ONE bloom row
+    (nested-loop over a single-row build side) — never a shuffle join;
+    phase 2's exact confirm must be a broadcast semi join."""
+    from ocr_gang_spark.textops import decontaminate_bloom
+
+    plan = plan_of(decontaminate_bloom(spark, SF), mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bloom crossJoin
+    assert "BroadcastHashJoin" in plan  # exact-confirm semi join
