@@ -515,3 +515,96 @@ def _load_docs(spark: SparkSession, sf_dir: str):
     from .queries import load
 
     return load(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join: click -> purchase attribution
+# ---------------------------------------------------------------------------
+
+def attribution_join_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    out_table: str = "stream_attr",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the third stateful engine
+    path after windowed agg and dropDuplicatesWithinWatermark: both
+    sides buffer rows in the state store and the time-range condition
+    plus the two watermarks bound how long click state is retained.
+
+    Each purchase joins every click by the same user in the preceding
+    hour (ad-attribution shape).  The input files are disjoint
+    time-ordered slices and the condition forces click_ts <=
+    purchase_ts, so a purchase's matching clicks are always in the
+    same or an earlier micro-batch — with a 2h watermark against a 1h
+    join window no pair is ever dropped, and the finished stream equals
+    the batch join exactly (the driver's value oracle).  At 100 TB the
+    same topology holds: state is bounded by (watermark + window) x
+    per-user click rate, not by corpus size."""
+    def side(kind: str, prefix: str):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(events_dir)
+            .where(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("click_id"),
+        F.col("purchase_id"),
+        F.col("click_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(out_table)
+
+
+@register(
+    "stream_event_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join under the driver's value oracle:
+    events re-split into 4 time-ordered micro-batch files, read as TWO
+    independent file streams (clicks / purchases), joined stateful with
+    watermarks — the finished stream must hash-equal DuckDB's batch
+    interval join over the same events."""
+    import tempfile
+
+    name = f"t_stream_attr_{next(_qid)}"
+    work = tempfile.mkdtemp(prefix="ocrgang_sattr_")
+    events_dir = write_time_split_events(spark, sf_dir, f"{work}/ev")
+    return attribution_join_stream(
+        spark, events_dir, checkpoint=f"{work}/cp", out_table=name,
+    )

@@ -232,3 +232,67 @@ def test_extraction_stream_multi_batch_matches_batch(spark, tmp_path):
     got = {r.doc_id: [tuple(s) for s in r.spans] for r in out.collect()}
     want = {r.doc_id: [tuple(s) for s in r.spans] for r in batch.collect()}
     assert got == want and len(got) == 24
+
+
+def test_stream_join_drops_pair_whose_click_state_was_evicted(spark, tmp_path):
+    """Bounded-state guarantee of the stream-stream attribution join:
+    a purchase whose event-time lies days behind the advanced watermark
+    (its matching click's state long evicted) must produce NO pair,
+    even though the batch interval join over the same rows would match
+    it.  This is what makes state size O(watermark x rate), not O(N)."""
+    import pyspark.sql.functions as F
+
+    from ocr_gang_spark.streaming import (
+        _write_time_sliced,
+        attribution_join_stream,
+    )
+
+    LATE_ID = 9_999_999
+
+    def late_purchase(k, events, lo_e, step):
+        if k != 3:
+            return None
+        first_click = (
+            events.where(
+                (F.col("event_type") == "click")
+                & (F.unix_timestamp("ts") < lo_e + step)
+            )
+            .orderBy("ts")
+            .limit(1)
+        )
+        return first_click.select(
+            F.lit(LATE_ID).cast("long").alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts"),
+            "user_id",
+            F.lit("purchase").alias("event_type"),
+            "value",
+            "props",
+        )
+
+    events_dir = _write_time_sliced(
+        spark, SF, str(tmp_path / "attr_ev"), 4, extra_rows=late_purchase
+    )
+    got = attribution_join_stream(
+        spark, events_dir, checkpoint=str(tmp_path / "cp_attr"),
+        out_table="t_attr_evict",
+    )
+    # sanity: the batch interval join over the SAME input files WOULD
+    # match the injected late purchase — the stream's omission is the
+    # watermark at work, not a missing row
+    allrows = spark.read.option("recursiveFileLookup", "true").parquet(events_dir)
+    c = allrows.where(F.col("event_type") == "click").alias("c")
+    p = allrows.where(F.col("event_type") == "purchase").alias("p")
+    batch = c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(F.col("c.event_id").alias("click_id"),
+             F.col("p.event_id").alias("purchase_id"))
+    assert batch.where(F.col("purchase_id") == LATE_ID).count() == 1
+    assert got.where(F.col("purchase_id") == LATE_ID).count() == 0
+    # and every on-time pair is still present
+    on_time = {(r.click_id, r.purchase_id)
+               for r in batch.where(F.col("purchase_id") != LATE_ID).collect()}
+    got_pairs = {(r.click_id, r.purchase_id) for r in got.collect()}
+    assert got_pairs == on_time
