@@ -3509,3 +3509,100 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_exact_hits"), F.lit(0)).cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout clustering — the WRITE-PATH data-skipping op
+# for multi-dimensional scans.  An Iceberg/parquet table laid out in
+# z-order carries tight per-file min/max on BOTH clustering dims, so
+# predicates on either dim prune files; this query computes the
+# 32-bit interleave in-row and reports per-z-bucket dim bounds NEXT TO
+# the same bounds under naive single-dim layout — the before/after
+# evidence a table-layout decision is made on.
+# ---------------------------------------------------------------------------
+
+_ZORDER_DUCK = """
+    WITH mm AS (SELECT min(l_orderkey) AS mino, max(l_orderkey) AS maxo,
+                       min(l_partkey) AS minp, max(l_partkey) AS maxp
+                FROM lineitem),
+    g AS (SELECT ((l_orderkey - mino) * 65535) // GREATEST(1, maxo - mino) AS x,
+                 ((l_partkey - minp) * 65535) // GREATEST(1, maxp - minp) AS y
+          FROM lineitem, mm),
+    z AS (SELECT x, y, ((((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13) + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15) + (((x >> 8) & 1) << 16) + (((y >> 8) & 1) << 17) + (((x >> 9) & 1) << 18) + (((y >> 9) & 1) << 19) + (((x >> 10) & 1) << 20) + (((y >> 10) & 1) << 21) + (((x >> 11) & 1) << 22) + (((y >> 11) & 1) << 23) + (((x >> 12) & 1) << 24) + (((y >> 12) & 1) << 25) + (((x >> 13) & 1) << 26) + (((y >> 13) & 1) << 27) + (((x >> 14) & 1) << 28) + (((y >> 14) & 1) << 29) + (((x >> 15) & 1) << 30) + (((y >> 15) & 1) << 31)) AS z FROM g)
+    SELECT * FROM (
+      SELECT 'zorder' AS scheme, z >> 26 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y
+      FROM z GROUP BY 2
+      UNION ALL
+      SELECT 'natural' AS scheme, x >> 10 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y
+      FROM z GROUP BY 2)
+"""
+
+_Z_INTERLEAVE = """aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+      (acc, b) -> acc + shiftleft((x >> b) & 1, 2 * b)
+                      + shiftleft((y >> b) & 1, 2 * b + 1))"""
+
+
+@register("zorder_layout_stats", _ZORDER_DUCK)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout clustering metrics over lineitem's
+    (l_orderkey, l_partkey) — quantifies what z-ordering the write
+    buys: per-bucket min/max spans on BOTH dims, vs the natural
+    single-dim layout whose buckets are tight on one dim and cover the
+    full range of the other.
+
+    100 TB shape: both dims are normalized to a 16-bit grid against
+    broadcast min/max (one tiny aggregate crossJoined in), the Morton
+    code is a 32-term in-row bit fold (whole-stage codegen, no UDF),
+    and bucket stats are ONE map-side-combined groupBy per scheme —
+    no global sort anywhere.  At the real write path the same z column
+    feeds repartitionByRange(z) + sortWithinPartitions(z) so every
+    parquet/Iceberg file's min/max footer is this query's bucket row;
+    equal-width z buckets stand in for the sampled range split here
+    because sampled boundaries are not deterministic enough to sit
+    under a value hash."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_orderkey").alias("mino"),
+        F.max("l_orderkey").alias("maxo"),
+        F.min("l_partkey").alias("minp"),
+        F.max("l_partkey").alias("maxp"),
+    )
+    g = (
+        li.select("l_orderkey", "l_partkey")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.expr(
+                "(l_orderkey - mino) * 65535 DIV GREATEST(1, maxo - mino)"
+            ).alias("x"),
+            F.expr(
+                "(l_partkey - minp) * 65535 DIV GREATEST(1, maxp - minp)"
+            ).alias("y"),
+        )
+        .withColumn("z", F.expr(_Z_INTERLEAVE))
+    )
+
+    def stats(scheme: str, bucket):
+        return (
+            g.groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"),
+                F.max("y").alias("max_y"),
+            )
+            .select(
+                F.lit(scheme).alias("scheme"),
+                "bucket", "n_rows", "min_x", "max_x", "min_y", "max_y",
+            )
+        )
+
+    return stats("zorder", F.expr("z >> 26")).unionAll(
+        stats("natural", F.expr("x >> 10"))
+    )

@@ -436,3 +436,19 @@ def test_bloom_decontaminate_corpus_side_never_shuffle_joins(spark):
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row bloom crossJoin
     assert "BroadcastHashJoin" in plan  # exact-confirm semi join
+
+
+def test_zorder_layout_no_global_sort_no_window(spark):
+    """The Morton fold is in-row and bucket stats are hash aggregates —
+    a window or single-partition sort here would serialize the write
+    path at scale.  The only SinglePartition exchanges are the two
+    scalar min/max normalization aggregates (partial-agg'd: only four
+    counters per task cross them, never rows)."""
+    from ocr_gang_spark.textops import zorder_layout_stats
+
+    plan = plan_of(zorder_layout_stats(spark, SF), mode="simple")
+    assert "Window" not in plan
+    assert "Sort" not in plan.replace("SortMergeJoin", "")
+    assert plan.count("Exchange SinglePartition") == 2
+    # bucket stats are real hash aggregates with map-side combine
+    assert "partial_min(x" in plan and "partial_max(y" in plan
