@@ -3606,3 +3606,121 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats("zorder", F.expr("z >> 26")).unionAll(
         stats("natural", F.expr("x >> 10"))
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2 rule family):
+# keep only lines that end in terminal punctuation and have >= 5 words;
+# drop lines mentioning javascript or containing '{'; drop the WHOLE
+# document if any line contains the lorem-ipsum placeholder.  The
+# testdata corpus is punctuation-free synthetic prose, so the rules are
+# exercised inject-then-detect (the lang-ID / line-dedup convention):
+# terminal '.' is appended deterministically to 2/3 of body lines, and
+# four deterministic doc_id-keyed trigger lines are injected so every
+# rule fires on a known sliver.
+# ---------------------------------------------------------------------------
+
+_C4_PUNCT = "('.', '!', '?')"
+
+
+def _c4_duck() -> str:
+    lt = _LINE_TOKENS
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tt FROM documents),
+    d AS (SELECT doc_id,
+            list_transform(range(0, (len(tt) + {lt - 1}) // {lt}),
+              i -> array_to_string(tt[i * {lt} + 1 : i * {lt} + {lt}], ' ')
+                   || CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END)
+            || CASE WHEN doc_id % 5 = 0 THEN ['too short.'] ELSE [] END
+            || CASE WHEN doc_id % 7 = 0
+                    THEN ['lorem ipsum dolor sit amet consectetur.'] ELSE [] END
+            || CASE WHEN doc_id % 11 = 0
+                    THEN ['please enable javascript to view this site.'] ELSE [] END
+            || CASE WHEN doc_id % 13 = 0
+                    THEN ['function main() {{ return 0; }}'] ELSE [] END AS ls
+          FROM t),
+    fl AS (SELECT doc_id, ls,
+             len(list_filter(ls, l -> right(l, 1) NOT IN {_C4_PUNCT})) AS n_no_punct,
+             len(list_filter(ls, l -> len(string_split(l, ' ')) < 5)) AS n_short,
+             len(list_filter(ls, l -> l LIKE '%javascript%')) AS n_js,
+             len(list_filter(ls, l -> l LIKE '%{{%')) AS n_brace,
+             len(list_filter(ls, l -> l LIKE '%lorem ipsum%')) > 0 AS lorem_doc,
+             list_filter(ls, l -> right(l, 1) IN {_C4_PUNCT}
+                                  AND len(string_split(l, ' ')) >= 5
+                                  AND l NOT LIKE '%javascript%'
+                                  AND l NOT LIKE '%{{%') AS kept
+           FROM d)
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(n_no_punct AS BIGINT) AS n_no_punct,
+           CAST(n_short AS BIGINT) AS n_short,
+           CAST(n_js AS BIGINT) AS n_js,
+           CAST(n_brace AS BIGINT) AS n_brace,
+           lorem_doc,
+           CAST(CASE WHEN lorem_doc THEN 0 ELSE len(kept) END AS BIGINT) AS n_kept,
+           CAST(CASE WHEN lorem_doc THEN 0 ELSE COALESCE(
+                CAST(list_sum(list_transform(kept, l -> length(l))) AS BIGINT), 0)
+                END AS BIGINT) AS kept_chars,
+           CASE WHEN lorem_doc OR len(kept) = 0 THEN NULL
+                ELSE md5(array_to_string(kept, chr(10))) END AS kept_md5
+    FROM fl
+    """
+
+
+@register("c4_line_filter_stats", _c4_duck())
+def c4_line_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-cleaning pass: per-document rule counters, kept-line
+    count/chars, and an md5 pin of the cleaned text itself.
+
+    100 TB shape: the ENTIRE pass is one in-row projection — re-lining,
+    rule evaluation, and the cleaned-text fold are array higher-order
+    functions over the token split, so the plan is scan -> project with
+    ZERO shuffles, no explode, no UDF; C4 cleaning at corpus scale is
+    embarrassingly parallel and this plan keeps it that way.  All
+    counters are BIGINT and the kept text is pinned by md5, so the
+    cross-engine hash never rests on floats."""
+    lt = _LINE_TOKENS
+    (docs,) = load(spark, sf_dir, "documents")
+    ls = F.expr(
+        f"""concat(
+          transform(
+            sequence(0, (size(split(text, ' ')) + {lt - 1}) DIV {lt} - 1),
+            i -> array_join(slice(split(text, ' '), i * {lt} + 1, {lt}), ' ')
+                 || (CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END)),
+          IF(doc_id % 5 = 0, array('too short.'), array()),
+          IF(doc_id % 7 = 0,
+             array('lorem ipsum dolor sit amet consectetur.'), array()),
+          IF(doc_id % 11 = 0,
+             array('please enable javascript to view this site.'), array()),
+          IF(doc_id % 13 = 0,
+             array('function main() {{ return 0; }}'), array()))"""
+    )
+    d = docs.select("doc_id", ls.alias("ls"))
+    kept = f"""filter(ls, l -> right(l, 1) IN {_C4_PUNCT}
+                     AND size(split(l, ' ')) >= 5
+                     AND NOT l LIKE '%javascript%'
+                     AND NOT l LIKE '%{{%')"""
+    return d.select(
+        "doc_id",
+        F.size("ls").cast("bigint").alias("n_lines"),
+        F.expr(f"size(filter(ls, l -> right(l, 1) NOT IN {_C4_PUNCT}))")
+        .cast("bigint").alias("n_no_punct"),
+        F.expr("size(filter(ls, l -> size(split(l, ' ')) < 5))")
+        .cast("bigint").alias("n_short"),
+        F.expr("size(filter(ls, l -> l LIKE '%javascript%'))")
+        .cast("bigint").alias("n_js"),
+        F.expr("size(filter(ls, l -> l LIKE '%{%'))")
+        .cast("bigint").alias("n_brace"),
+        F.expr("exists(ls, l -> l LIKE '%lorem ipsum%')").alias("lorem_doc"),
+        F.expr(f"IF(exists(ls, l -> l LIKE '%lorem ipsum%'), 0L, size({kept}))")
+        .cast("bigint").alias("n_kept"),
+        F.expr(
+            f"""IF(exists(ls, l -> l LIKE '%lorem ipsum%'), 0L,
+                   aggregate({kept}, 0L, (a, l) -> a + length(l)))"""
+        ).cast("bigint").alias("kept_chars"),
+        F.expr(
+            f"""IF(exists(ls, l -> l LIKE '%lorem ipsum%')
+                   OR size({kept}) = 0, NULL,
+                   md5(array_join({kept}, '\\n')))"""
+        ).alias("kept_md5"),
+    )

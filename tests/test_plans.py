@@ -452,3 +452,13 @@ def test_zorder_layout_no_global_sort_no_window(spark):
     assert plan.count("Exchange SinglePartition") == 2
     # bucket stats are real hash aggregates with map-side combine
     assert "partial_min(x" in plan and "partial_max(y" in plan
+
+
+def test_c4_line_filter_zero_shuffle(spark):
+    """C4 cleaning is one in-row projection: any Exchange/explode here
+    would put a shuffle under an embarrassingly-parallel 100 TB pass."""
+    from ocr_gang_spark.textops import c4_line_filter_stats
+
+    plan = plan_of(c4_line_filter_stats(spark, SF), mode="simple")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode — lines stay in-row
