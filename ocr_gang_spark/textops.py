@@ -3724,3 +3724,147 @@ def c4_line_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    md5(array_join({kept}, '\\n')))"""
         ).alias("kept_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring duplicate-span removal (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr shape).
+# A window of _DSS_L consecutive tokens that also occurs in ANOTHER
+# document marks its token range as duplicated; per document the flagged
+# windows are merged into maximal spans and the duplicate-token budget
+# is reported.  The reference algorithm builds a corpus suffix array;
+# the distributed equivalent is a shuffle of fixed-length window
+# fingerprints — same duplicates found (for matches >= L tokens), no
+# global sort.  L is 5 here against the ~30-token testdata docs, the
+# same scaled-convention note as the 13-gram->4-gram decontamination.
+# ---------------------------------------------------------------------------
+
+_DSS_L = 5
+# 60-bit window fingerprint (sign-safe BIGINT, corpus_snapshot_diff
+# convention): collisions are ~0 at any verified tier and IDENTICAL in
+# both engines either way, so the oracle is exact regardless.
+_DSS_H_DUCK = "('0x' || substr(md5({g}), 1, 15))::BIGINT"
+
+
+def _dss_duck() -> str:
+    L = _DSS_L
+    h = _DSS_H_DUCK.format(g="array_to_string(tt[k : k + {0}], ' ')".format(L - 1))
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tt FROM documents),
+    w AS (SELECT doc_id, k, {h} AS h
+          FROM (SELECT doc_id, tt, UNNEST(range(1, len(tt) - {L - 2})) AS k
+                FROM t)),
+    dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    fl AS (SELECT w.doc_id, list(w.k ORDER BY w.k) AS fl
+           FROM w JOIN dup ON w.h = dup.h GROUP BY w.doc_id),
+    st AS (SELECT doc_id, fl,
+                  list_transform(range(2, len(fl) + 1),
+                                 j -> fl[j] - fl[j - 1]) AS dl
+           FROM fl)
+    SELECT t.doc_id,
+           CAST(len(t.tt) AS BIGINT) AS n_tokens,
+           CAST(GREATEST(len(t.tt) - {L - 1}, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(len(st.fl), 0) AS BIGINT) AS n_dup_windows,
+           CAST(CASE WHEN st.doc_id IS NULL THEN 0
+                ELSE 1 + len(list_filter(st.dl, d -> d > {L})) END AS BIGINT)
+             AS n_dup_spans,
+           CAST(CASE WHEN st.doc_id IS NULL THEN 0
+                ELSE {L} + COALESCE(CAST(list_sum(
+                       list_transform(st.dl, d -> LEAST(d, {L}))) AS BIGINT), 0)
+                END AS BIGINT) AS dup_tokens,
+           CAST(CASE WHEN st.doc_id IS NULL THEN 0
+                ELSE ({L} + COALESCE(CAST(list_sum(
+                       list_transform(st.dl, d -> LEAST(d, {L}))) AS BIGINT), 0))
+                     * 1000000 // len(t.tt) END AS BIGINT) AS dup_token_ppm
+    FROM t LEFT JOIN st ON t.doc_id = st.doc_id
+    """
+
+
+@register("dup_substring_spans", _dss_duck())
+def dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplicate spans: per-doc count of
+    duplicated {L}-token windows, maximal merged spans, duplicate-token
+    budget and ppm fraction (integer-exact — no float under the hash).
+
+    100 TB shape: windows are fingerprinted IN-ROW (60-bit md5 prefix
+    over the joined window text) and only the narrow (doc_id, idx, h)
+    triple ever shuffles — the text itself never crosses the network.
+    Duplicate detection is one map-side-combined groupBy(h) (self-repeat
+    windows collapse in the combiner); the flag-back join re-uses the
+    same hash partitioning, so the whole operator is the two narrow
+    exchanges a corpus suffix-array build cannot beat.  Per-doc span
+    merging is an in-row fold over the sorted flagged indices: with
+    fixed window length L, covered = L + sum(min(delta, L)) and spans
+    split where delta > L — no interval struct fold needed.  The only
+    per-doc state is the flagged-index list, bounded by doc length
+    (the same bound as the document itself)."""
+    L = _DSS_L
+    (docs,) = load(spark, sf_dir, "documents")
+    docs = _spread(docs).select(
+        "doc_id", F.split("text", " ").alias("tt")
+    )
+    base = docs.select(
+        "doc_id",
+        F.size("tt").cast("bigint").alias("n_tokens"),
+        F.greatest(F.size("tt") - (L - 1), F.lit(0)).cast("bigint").alias("n_windows"),
+    )
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""IF(size(tt) >= {L},
+                    transform(sequence(1, size(tt) - {L - 1}),
+                      k -> struct(k AS k,
+                        CAST(conv(substring(md5(array_join(slice(tt, k, {L}), ' ')),
+                                            1, 15), 16, 10) AS BIGINT) AS h)),
+                    CAST(array() AS ARRAY<STRUCT<k: INT, h: BIGINT>>))"""
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.k").alias("k"), F.col("w.h").alias("h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    fl = (
+        wins.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("k")).alias("fl"))
+        .withColumn(
+            "dl",
+            # sequence() descends when start > stop, so guard the
+            # single-window case instead of generating [2, 1]
+            F.expr(
+                """IF(size(fl) >= 2,
+                      transform(sequence(2, size(fl)), j -> fl[j - 1] - fl[j - 2]),
+                      CAST(array() AS ARRAY<INT>))"""
+            ),
+        )
+        .withColumn("n_dup_windows", F.size("fl").cast("bigint"))
+        .withColumn(
+            "n_dup_spans",
+            (1 + F.expr(f"size(filter(dl, d -> d > {L}))")).cast("bigint"),
+        )
+        .withColumn(
+            "dup_tokens",
+            F.expr(
+                f"{L} + COALESCE(aggregate(dl, 0L, (a, d) -> a + LEAST(d, {L})), 0L)"
+            ).cast("bigint"),
+        )
+        .select("doc_id", "n_dup_windows", "n_dup_spans", "dup_tokens")
+    )
+    return (
+        base.join(fl, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.expr("COALESCE(dup_tokens, 0L) * 1000000 DIV n_tokens")
+            .cast("bigint")
+            .alias("dup_token_ppm"),
+        )
+    )

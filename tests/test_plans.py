@@ -462,3 +462,18 @@ def test_c4_line_filter_zero_shuffle(spark):
     plan = plan_of(c4_line_filter_stats(spark, SF), mode="simple")
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode — lines stay in-row
+
+
+def test_dup_substring_text_never_hash_shuffles(spark):
+    """ExactSubstr dedup: only the narrow (doc_id, k, h) triple may
+    cross a hash exchange — a text column in one means the corpus
+    payload is shuffling, which is the scale-killer this plan avoids.
+    (The one RoundRobin carrying text is _spread's input-parallelism
+    correction on the single-row-group testdata, a no-op at scale.)"""
+    from ocr_gang_spark.textops import dup_substring_spans
+
+    plan = plan_of(dup_substring_spans(spark, SF), mode="simple")
+    assert "Window" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
