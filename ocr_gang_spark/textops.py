@@ -3868,3 +3868,122 @@ def dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_token_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007), built
+# deterministic-by-construction so BOTH engines compute bit-identical
+# registers: element hash = 60-bit md5 prefix, bucket = h % 64, rank =
+# leading-zero count of the remaining 54 bits via length(bin(w)) —
+# no platform libm anywhere.  The per-language exact distinct count is
+# carried NEXT TO the estimate: a sketch query must show the error of
+# the shuffle it eliminates.  The raw HLL estimator is emitted without
+# the small-range linear-counting correction (ln() would put libm under
+# the cross-engine hash); the denominator S is exact BIGINT and pins
+# the full register state.  At 100 TB the register table is 64 rows per
+# group — the distinct shuffle this replaces is the whole corpus.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64
+_HLL_RMAX = 55  # h has 60 bits; w = h DIV 64 has 54 -> rho in [1, 55]
+# alpha_64 * m^2 * 2^55, written as one explicit left-to-right float
+# chain so Spark and DuckDB evaluate identically (IEEE ops, same order)
+# E-notation forces DOUBLE literals in BOTH engines (a bare 0.7213 is
+# DECIMAL in each, and their decimal arithmetic differs in the last ulp)
+_HLL_EST = (
+    "0.7213e0 / (1.0e0 + 1.079e0 / 64.0e0) * 4096.0e0 * 36028797018963968.0e0"
+    " / CAST({S} AS DOUBLE)"
+)
+
+
+def _hll_duck() -> str:
+    return f"""
+    WITH t AS (SELECT lang, string_split(text, ' ') AS tt FROM documents),
+    e AS (SELECT lang,
+                 UNNEST(CASE WHEN len(tt) >= 3
+                        THEN list_transform(range(1, len(tt) - 1),
+                             k -> tt[k] || ' ' || tt[k+1] || ' ' || tt[k+2])
+                        ELSE [] END) AS tok
+          FROM t),
+    hh AS (SELECT lang, tok,
+                  ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+           FROM e),
+    r AS (SELECT lang, h % {_HLL_M} AS bucket,
+                 MAX(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_RMAX}
+                     ELSE {_HLL_RMAX} - length(bin(h // {_HLL_M})) END) AS r
+          FROM hh GROUP BY 1, 2),
+    s AS (SELECT lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+                 CAST(MAX(r) AS BIGINT) AS max_rho,
+                 CAST(SUM(1::BIGINT << CAST({_HLL_RMAX} - r AS INT))
+                      + ({_HLL_M} - COUNT(*))
+                        * (1::BIGINT << {_HLL_RMAX}) AS BIGINT) AS hll_s
+          FROM r GROUP BY 1),
+    x AS (SELECT lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_exact
+          FROM e GROUP BY 1)
+    SELECT x.lang, x.n_tokens, x.n_distinct_exact,
+           s.n_buckets_used, s.max_rho, s.hll_s,
+           {_HLL_EST.format(S='s.hll_s')} AS hll_est
+    FROM x JOIN s ON x.lang = s.lang
+    """
+
+
+@register("hll_distinct_sketch", _hll_duck())
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HLL distinct 3-gram-shingle sketch vs the exact
+    distinct (3-9k distinct shingles per language at sf0.01 — inside
+    the raw estimator's accurate regime for m=64, unlike the 31-token
+    vocabulary).
+
+    100 TB shape: the sketch side shuffles 64 NARROW register rows per
+    language (map-side combined max), replacing the full-corpus distinct
+    exchange; here the exact count rides along as ground truth so the
+    estimator error is part of the pinned output.  rho is derived from
+    length(bin(w)) — pure integer/string ops, bit-identical across
+    engines; the float estimate is one fixed-order IEEE chain over the
+    exact BIGINT denominator."""
+    (docs,) = load(spark, sf_dir, "documents")
+    e = _spread(docs).select(
+        "lang",
+        F.explode(
+            F.expr(
+                """IF(size(split(text, ' ')) >= 3,
+                      transform(sequence(1, size(split(text, ' ')) - 2),
+                        k -> concat_ws(' ', slice(split(text, ' '), k, 3))),
+                      CAST(array() AS ARRAY<STRING>))"""
+            )
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    hh = e.select("lang", "tok", h.alias("h"))
+    r = (
+        hh.select(
+            "lang",
+            (F.col("h") % _HLL_M).alias("bucket"),
+            F.expr(
+                f"""CASE WHEN h DIV {_HLL_M} = 0 THEN {_HLL_RMAX}
+                    ELSE {_HLL_RMAX} - length(bin(h DIV {_HLL_M})) END"""
+            ).alias("rho"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    s = r.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_buckets_used"),
+        F.max("r").cast("bigint").alias("max_rho"),
+        (
+            F.sum(F.expr(f"shiftleft(1L, CAST({_HLL_RMAX} - r AS INT))"))
+            + (F.lit(_HLL_M) - F.count("*")) * F.lit(1 << _HLL_RMAX)
+        ).cast("bigint").alias("hll_s"),
+    )
+    x = hh.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("tok").cast("bigint").alias("n_distinct_exact"),
+    )
+    return x.join(s, "lang").select(
+        "lang", "n_tokens", "n_distinct_exact",
+        "n_buckets_used", "max_rho", "hll_s",
+        F.expr(_HLL_EST.format(S="hll_s")).alias("hll_est"),
+    )
