@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import extraction_queries  # noqa: F401  (registers entries)
 from . import media_queries  # noqa: F401  (registers entries)
 from . import preproc_queries  # noqa: F401  (registers entries)
+from . import sketch_queries  # noqa: F401  (registers entries)
 from . import textops  # noqa: F401  (registers entries)
 from . import streaming  # noqa: F401  (registers entries)
 from . import training_queries  # noqa: F401  (registers entries)

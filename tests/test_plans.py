@@ -477,3 +477,48 @@ def test_dup_substring_text_never_hash_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_semantic_dedup_grouped_not_self_joined(spark):
+    """SemDeDup pairs must form INSIDE the cluster groups (one grouped
+    Python stage after one hash shuffle on the cluster key), never via
+    a code-carrying self-join; the only joins allowed are the broadcast
+    centroid assignment."""
+    from ocr_gang_spark.sketch_queries import semantic_dedup
+
+    plan = plan_of(semantic_dedup(spark, SF), mode="simple")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_cms_registers_partial_agg_and_broadcast_probe(spark):
+    """The count-min register build must be map-side combined (the
+    whole point: D*W rows cross the exchange, not the token stream),
+    and the top-k probe joins against the BROADCAST register table."""
+    from ocr_gang_spark.sketch_queries import cms_heavy_hitters
+
+    df = cms_heavy_hitters(spark, SF)
+    assert "partial_count" in plan_of(df, mode="formatted")
+    assert "BroadcastHashJoin" in plan_of(df, mode="simple")
+
+
+def test_cooc_pmi_topk_is_take_ordered(spark):
+    """Collocation top-k must be TakeOrderedAndProject (per-partition
+    partial top-k), never a global sort of the scored bigram table."""
+    from ocr_gang_spark.sketch_queries import cooc_pmi_topk
+
+    plan = plan_of(cooc_pmi_topk(spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_nfc_normalize_zero_shuffle(spark):
+    """NFC normalization is one in-row Arrow-batched projection: no
+    hash exchange, no explode (the only Exchange allowed is _spread's
+    RoundRobin input-parallelism correction on tier data)."""
+    from ocr_gang_spark.sketch_queries import text_normalize_stats
+
+    plan = plan_of(text_normalize_stats(spark, SF), mode="simple")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" not in plan
+    assert "ArrowEvalPython" in plan  # the kernel is Arrow-batched
