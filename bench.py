@@ -64,6 +64,11 @@ HEADLINE = [
     "domain_quota_sample",
     "domain_mixture_weights",
     "bpe_merge_pairs",
+    "cms_heavy_hitters",
+    "quantile_hist_sketch",
+    "cooc_pmi_topk",
+    "semantic_dedup",
+    "text_normalize_stats",
     "bm25_retrieval_topk",
     "pagerank_domains",
     "corpus_snapshot_diff",

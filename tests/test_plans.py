@@ -356,10 +356,11 @@ def test_kmeans_broadcasts_centroids_and_argmin_is_aggregate(spark):
 
 
 def test_ivf_kmeans_broadcasts_index_and_takeordered_topk(spark):
-    """The trained-IVF search must broadcast the coarse index / probe
-    keys / query code into the member scan (the big side never shuffles
-    as a join input) and fetch top-k + exhaustive baseline via
-    TakeOrderedAndProject."""
+    """The trained-IVF search must never shuffle the member table as a
+    join input: the probe clusters and query code enter the fine scan
+    as LITERALS (the collected index artifact), the recall join is a
+    broadcast of the k-row exact set, and top-k + exhaustive baseline
+    are TakeOrderedAndProject."""
     from ocr_gang_spark.textops import ann_ivf_kmeans_topk
 
     plan = plan_of(ann_ivf_kmeans_topk(spark, SF), mode="simple")
