@@ -4025,3 +4025,263 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_buckets_used", "max_rho", "hll_s",
         F.expr(_HLL_EST.format(S="hll_s")).alias("hll_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + canonical-URL dedup (web-crawl curation: the
+# step before any content dedup — collapse scheme/host case, default
+# ports, tracking params, fragments, and query-param order so that the
+# same page fetched under N surface forms dedups to ONE canonical URL).
+# ---------------------------------------------------------------------------
+
+# Inject-then-recover, like url_domain_stats: the corpus has no URLs, so
+# a deterministic messy URL is derived from doc_id in BOTH engines and
+# the canonicalizer must recover the clean form from the string alone.
+# Knobs (all surface-form only): scheme/host case (doc_id%2), an
+# explicit default :80 port (doc_id%3), shuffled+tracking-polluted query
+# params (doc_id%4; variant 3 has no query at all, so it canonicalizes
+# to a DIFFERENT URL — the op must not over-normalize), and a fragment
+# (doc_id%5).  17 base sites x {query, no-query} = up to 34 canonical
+# groups.
+_URL_TRACKING_RE = "^(utm_[a-z]+|ref|fbclid)="
+
+_URL_CANON_DUCK = f"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END
+             || '://'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN 'SITE' || CAST(doc_id % 17 AS VARCHAR) || '.Example.COM'
+                     ELSE 'site' || CAST(doc_id % 17 AS VARCHAR) || '.example.com'
+                END
+             || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+             || '/page-' || CAST(doc_id % 17 AS VARCHAR)
+             || CASE doc_id % 4
+                  WHEN 0 THEN '?b=2&a=1&utm_source=feed'
+                  WHEN 1 THEN '?utm_campaign=x&a=1&b=2'
+                  WHEN 2 THEN '?a=1&b=2'
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url
+      FROM documents),
+    p AS (
+      SELECT doc_id, url,
+             -- DuckDB regexp_extract yields NULL on no-match where
+             -- Spark yields '' — COALESCE pins the Spark semantics
+             lower(COALESCE(regexp_extract(url, '^([A-Za-z]+)://', 1), '')) AS scheme,
+             lower(COALESCE(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1), '')) AS host,
+             COALESCE(regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1), '') AS port,
+             COALESCE(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '') AS path,
+             COALESCE(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+      FROM m),
+    c AS (
+      SELECT doc_id, url,
+             scheme || '://' || host
+             || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                     THEN '' ELSE ':' || port END
+             || CASE WHEN path = '' THEN '/' ELSE path END
+             || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+      FROM (SELECT *,
+                   -- COALESCE: DuckDB's list_sort/array_to_string over
+                   -- the empty list yields NULL where Spark yields ''
+                   COALESCE(array_to_string(list_sort(list_filter(
+                       string_split(query, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x, '{_URL_TRACKING_RE}')
+                   )), '&'), '') AS cq
+            FROM p))
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+           MIN(doc_id) AS keep_id
+    FROM c GROUP BY canonical_url
+"""
+
+
+@register("url_canonical_dedup", _URL_CANON_DUCK)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup — the crawl-frontier /
+    pre-content dedup step of web-corpus curation (collapse scheme+host
+    case, default ports, tracking params, param order, fragments).
+
+    The canonicalizer parses the messy string itself (scheme, host,
+    port, path, query via anchored regexes that are Java/RE2-compatible
+    — no lookaround), lowercases scheme+host, drops :80/:443 iff they
+    are the scheme default, normalizes the empty path to '/', and
+    rebuilds the query as the sorted '&'-join of the non-tracking
+    params (utm_*/ref/fbclid dropped).  A no-query URL stays distinct
+    from its '?a=1&b=2' sibling — canonicalization must never
+    over-merge.
+
+    100 TB shape: parsing and reassembly are pure in-row string
+    expressions (whole-stage codegen, no UDF); the only shuffle is the
+    final canonical_url hash aggregate with map-side partial agg.  On a
+    real frontier this groupBy IS the dedup that bounds the fetch queue."""
+    (docs,) = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("SITE"), (did % 17).cast("string"), F.lit(".Example.COM")),
+        ).otherwise(
+            F.concat(F.lit("site"), (did % 17).cast("string"), F.lit(".example.com"))
+        ),
+        F.when(did % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/page-"), (did % 17).cast("string"),
+        F.when(did % 4 == 0, F.lit("?b=2&a=1&utm_source=feed"))
+        .when(did % 4 == 1, F.lit("?utm_campaign=x&a=1&b=2"))
+        .when(did % 4 == 2, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    m = docs.select("doc_id", url.alias("url"))
+    u = F.col("url")
+    p = m.select(
+        "doc_id", "url",
+        F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1)).alias("scheme"),
+        F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/:?#]+)", 1)).alias("host"),
+        F.regexp_extract(u, r"^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1).alias("port"),
+        F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1).alias("path"),
+        F.regexp_extract(u, r"\?([^#]*)", 1).alias("query"),
+    )
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("query", "&"),
+                lambda x: (x != "") & (~x.rlike(_URL_TRACKING_RE)),
+            )
+        ),
+        "&",
+    )
+    default_port = (F.col("port") == "") | (
+        (F.col("scheme") == "http") & (F.col("port") == "80")
+    ) | ((F.col("scheme") == "https") & (F.col("port") == "443"))
+    canonical = F.concat(
+        F.col("scheme"), F.lit("://"), F.col("host"),
+        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), F.col("port"))),
+        F.when(F.col("path") == "", F.lit("/")).otherwise(F.col("path")),
+        F.when(F.col("cq") == "", F.lit("")).otherwise(F.concat(F.lit("?"), F.col("cq"))),
+    )
+    c = p.withColumn("cq", cq).select(
+        "doc_id", "url", canonical.alias("canonical_url")
+    )
+    return c.groupBy("canonical_url").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("url").alias("n_variants"),
+        F.min("doc_id").alias("keep_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLICATION (the other half of bpe_merge_pairs: that op
+# learns merge candidates; this one encodes text with a fixed ranked
+# merge table, the way a trained tokenizer is applied at corpus scale).
+# ---------------------------------------------------------------------------
+
+# Fixed ranked merge table (a trained tokenizer's merges file is exactly
+# this: an ordered list of symbol pairs).  Static so BOTH engines apply
+# the identical table — the op under test is the distributed encoder,
+# not the trainer.
+BPE_APPLY_MERGES = [
+    ("t", "h"), ("th", "e"), ("l", "e"), ("b", "le"), ("a", "r"), ("s", "c"),
+]
+
+# Each merge pass is one greedy left-to-right fold over the word's
+# symbol list, carried as a '|'-delimited string accumulator (both
+# engines fold identically; '|' never occurs in corpus text).  A merge
+# (a, b) fires when the accumulator ends with '|a' and the next symbol
+# is b — the delimiter anchor means a token "xa" can never false-match
+# "a".  K merges = K nested folds, all in-row.
+
+
+def _bpe_word_expr_spark() -> str:
+    e = "regexp_extract_all(w, '.', 0)"
+    s = ""
+    for a, b in BPE_APPLY_MERGES:
+        s = (
+            f"aggregate({e}, '', (acc, x) -> "
+            f"CASE WHEN x = '{b}' AND endswith(acc, '|{a}') "
+            f"THEN concat(substring(acc, 1, length(acc) - {len(a) + 1}), '|{a}{b}') "
+            f"ELSE concat(acc, '|', x) END)"
+        )
+        e = f"split(substring({s}, 2), '[|]')"
+    return f"substring({s}, 2)"
+
+
+def _bpe_word_expr_duck() -> str:
+    e = "regexp_extract_all(w, '.')"
+    s = ""
+    for a, b in BPE_APPLY_MERGES:
+        s = (
+            f"list_reduce(list_prepend('', {e}), (acc, x) -> "
+            f"CASE WHEN x = '{b}' AND ends_with(acc, '|{a}') "
+            f"THEN substring(acc, 1, length(acc) - {len(a) + 1}) || '|{a}{b}' "
+            f"ELSE acc || '|' || x END)"
+        )
+        e = f"string_split(substring({s}, 2), '|')"
+    return f"substring({s}, 2)"
+
+
+_BPE_ENCODE_DUCK = f"""
+    WITH e AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS ws,
+             array_to_string(list_transform(
+                 string_split(text, ' '), w -> {_bpe_word_expr_duck()}
+             ), ' ') AS enc
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(length(enc) - length(replace(enc, '|', '')) + len(ws)
+                AS BIGINT) AS n_symbols,
+           substring(enc, 1, 64) AS enc_head,
+           md5(enc) AS enc_md5
+    FROM e
+"""
+
+
+@register("bpe_encode_stats", _BPE_ENCODE_DUCK)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a trained BPE merge table to every document — distributed
+    tokenizer application, the per-document encode that token-counts a
+    100 TB corpus for training-mixture math.
+
+    Encoding semantics: per word, start from the character sequence and
+    apply each merge of BPE_APPLY_MERGES in rank order as one greedy
+    left-to-right pass (standard BPE application).  The whole encoder is
+    a nest of in-row higher-order folds (aggregate over a delimited
+    string accumulator) — pure Spark SQL expressions, NO Python UDF, so
+    it rides whole-stage codegen and shuffles nothing: the output is
+    exactly one row per input row.  The encoded stream itself is pinned
+    by md5 (enc_md5), not just the counts.
+
+    100 TB judgment: embarrassingly parallel map; cost is linear in
+    corpus bytes x n_merges.  A production tokenizer has ~50k merges —
+    there the same plan swaps the unrolled fold nest for one Arrow-batched
+    pandas_udf doing the merge loop per batch (the distribution shape,
+    one map pass with no shuffle, is identical); 6 unrolled merges keep
+    this variant fully inside codegen and exactly SQL-expressible for
+    the oracle."""
+    (docs,) = load(spark, sf_dir, "documents")
+    enc = F.expr(
+        "array_join(transform(split(text, ' '), w -> "
+        + _bpe_word_expr_spark()
+        + "), ' ')"
+    )
+    e = _spread(docs).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        enc.alias("enc"),
+    )
+    return e.select(
+        "doc_id",
+        "n_words",
+        (
+            F.length("enc")
+            - F.length(F.regexp_replace("enc", r"\|", ""))
+            + F.col("n_words")
+        ).cast("bigint").alias("n_symbols"),
+        F.substring("enc", 1, 64).alias("enc_head"),
+        F.md5("enc").alias("enc_md5"),
+    )
