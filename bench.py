@@ -51,6 +51,8 @@ HEADLINE = [
     "token_stats",
     "bpe_token_stats",
     "quality_filter_decisions",
+    "quality_classifier_scores",
+    "caption_pair_mining",
     "unigram_lm_tiers",
     "repetition_ngram_stats",
     "rolling_fingerprint",

@@ -15,7 +15,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .kernels.html_strip import strip_html
@@ -288,4 +288,138 @@ def main_content_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         classify,
         schema="doc_id long, main_text string, n_blocks int, n_content int, "
         "nav_blocks int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image-caption pair mining over interleaved spans (LAION-style alt-text
+# candidate extraction): for every media span, pick the better of the
+# nearest text span before / after it by offset (longer caption wins,
+# tie -> preceding).  The interleaved layout here is derived in-row
+# from the sanctioned documents table (text chunked into <=4 spans at
+# even offsets, doc_id%3 media spans at odd offsets, so ~1/3 of docs
+# have NO media and exercise the empty path) — identical derivation in
+# the DuckDB oracle, so the pairing itself is value-checked end to end.
+# ---------------------------------------------------------------------------
+
+_CAP_CH = 8    # words per text chunk
+_CAP_MAXC = 4  # max text chunks per doc
+
+_CAP_PICK = (
+    "CASE WHEN next_t IS NOT NULL AND length(next_t) > length(prev_t) "
+    "THEN next_t ELSE prev_t END"
+)
+_CAP_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (SELECT doc_id, w,
+             CAST(least({_CAP_MAXC}, greatest(1, len(w) // {_CAP_CH})) AS INT)
+               AS nc,
+             CAST(doc_id % 3 AS INT) AS nm FROM d),
+tspans AS (
+  SELECT doc_id, 'text' AS kind,
+         array_to_string(list_slice(w, j*{_CAP_CH}+1, j*{_CAP_CH}+{_CAP_CH}),
+                         ' ') AS text,
+         CAST(NULL AS VARCHAR) AS media_ref, CAST(2*j AS INT) AS "offset"
+  FROM c, UNNEST(range(nc)) AS u(j)),
+mspans AS (
+  SELECT doc_id, 'media' AS kind, CAST(NULL AS VARCHAR) AS text,
+         'img-' || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)
+           AS media_ref,
+         CAST(2*j+1 AS INT) AS "offset"
+  FROM c, UNNEST(range(nm)) AS u(j)),
+spans AS (SELECT * FROM tspans UNION ALL SELECT * FROM mspans),
+winp AS (
+  SELECT doc_id, kind, media_ref,
+         last_value(CASE WHEN kind='text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t,
+         first_value(CASE WHEN kind='text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t
+  FROM spans)
+SELECT doc_id, media_ref,
+       {_CAP_PICK} AS caption,
+       CASE WHEN next_t IS NOT NULL AND length(next_t) > length(prev_t)
+            THEN 'next' ELSE 'prev' END AS side,
+       CAST(length({_CAP_PICK}) AS BIGINT) AS caption_len
+FROM winp WHERE kind = 'media'
+"""
+
+
+@register("caption_pair_mining", _CAP_ORACLE)
+def caption_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine (image, caption) candidate pairs from an interleaved span
+    table: explode spans, then one window pass per doc ordered by
+    offset carries the nearest text span backward (running ``last``
+    over text spans) and forward (``first`` over the following rows);
+    each media row picks the longer of the two, tie -> preceding.
+
+    100 TB shape: a single shuffle on doc_id (the partitioning a span
+    table is stored under anyway), two frame-bounded window functions
+    over it, no join and no second shuffle; docs are independent so
+    skew is bounded by the max spans-per-doc, which the flagship
+    already treats by exploding.  The in-row derivation of the demo
+    layout costs nothing at scale (real corpora arrive already
+    interleaved; the operator consumes any (doc_id, kind, text,
+    media_ref, offset) stream)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    w_arr = F.split(F.col("text"), " ")
+    nc = F.least(
+        F.lit(_CAP_MAXC), F.greatest(F.lit(1), F.floor(F.size(w_arr) / _CAP_CH))
+    ).cast("int")
+    n_media = (F.col("doc_id") % 3).cast("int")
+    tspans = F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda j: F.struct(
+            F.lit("text").alias("kind"),
+            F.array_join(F.slice(w_arr, j * _CAP_CH + 1, _CAP_CH), " ").alias(
+                "text"
+            ),
+            F.lit(None).cast("string").alias("media_ref"),
+            (j * 2).cast("int").alias("offset"),
+        ),
+    )
+    span_t = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    mspans = F.when(
+        n_media > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_media - 1),
+            lambda j: F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(
+                    F.lit("img-"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("-"),
+                    j.cast("string"),
+                ).alias("media_ref"),
+                (j * 2 + 1).cast("int").alias("offset"),
+            ),
+        ),
+    ).otherwise(F.array().cast(span_t))
+    spans = docs.select(
+        "doc_id", F.explode(F.concat(tspans, mspans)).alias("s")
+    ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+
+    win = Window.partitionBy("doc_id").orderBy("offset")
+    prev_t = F.last(
+        F.when(F.col("kind") == "text", F.col("text")), ignorenulls=True
+    ).over(win.rowsBetween(Window.unboundedPreceding, -1))
+    next_t = F.first(
+        F.when(F.col("kind") == "text", F.col("text")), ignorenulls=True
+    ).over(win.rowsBetween(1, Window.unboundedFollowing))
+    paired = spans.select(
+        "doc_id", "kind", "media_ref",
+        prev_t.alias("prev_t"), next_t.alias("next_t"),
+    ).where(F.col("kind") == "media")
+    use_next = F.col("next_t").isNotNull() & (
+        F.length("next_t") > F.length("prev_t")
+    )
+    caption = F.when(use_next, F.col("next_t")).otherwise(F.col("prev_t"))
+    return paired.select(
+        "doc_id",
+        "media_ref",
+        caption.alias("caption"),
+        F.when(use_next, F.lit("next")).otherwise(F.lit("prev")).alias("side"),
+        F.length(caption).cast("bigint").alias("caption_len"),
     )

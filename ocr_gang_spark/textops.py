@@ -1069,6 +1069,65 @@ def quality_decisions_from(docs: DataFrame) -> DataFrame:
     )
 
 
+# Hashed linear quality classifier (fastText-style inference): the
+# model-based filter stage modern corpora run AFTER the rule-based
+# Gopher pass (e.g. the LLaMA/CCNet "looks like a reference page"
+# classifier).  Feature = md5-token-hash mod D (the hashing trick);
+# weights here are a deterministic formula of the feature id (Knuth
+# multiplicative hash -> centered [-500, 500] int) so both engines
+# compute the identical model with zero fixture I/O.  A trained model
+# swaps the formula for a broadcast int array lookup
+# (element_at(lit(w), f+1)) — same plan, same zero-shuffle shape.
+_QC_D = 2048          # hashed feature space
+_QC_A = 2654435761    # Knuth multiplicative constant
+# (f+1)*A <= 2049*2.7e9 < 2^43: no int64 overflow in either engine.
+
+
+def _qc_weight_spark(tok):
+    f = _tok_hash_spark(tok) % _QC_D
+    return ((f + 1) * F.lit(_QC_A)) % 1001 - 500
+
+
+_QC_WEIGHT_DUCK = (
+    f"((({_TOK_HASH_DUCK.format(t='t')} % {_QC_D} + 1) * {_QC_A}) % 1001 - 500)"
+)
+_QC_SCORE_DUCK = (
+    "CAST(list_sum(list_transform(string_split(text, ' '), "
+    f"t -> {_QC_WEIGHT_DUCK})) AS BIGINT)"
+)
+
+
+@register(
+    "quality_classifier_scores",
+    f"""
+    SELECT doc_id,
+           {_QC_SCORE_DUCK} AS score,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_feats,
+           CASE WHEN {_QC_SCORE_DUCK} > 0 THEN 'keep' ELSE 'drop' END
+             AS decision
+    FROM documents
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: hashed-n-gram linear classifier
+    inference over every document.  score = sum of per-token weights
+    w(md5_hash(tok) mod D); keep iff score > 0.  All-integer in-row
+    fold (one F.aggregate over the token array), zero shuffle, exact
+    cross-engine — the 100 TB shape is a narrow map-only scan where the
+    model rides the closure/broadcast, never a join."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + _qc_weight_spark(t)
+    )
+    return docs.select(
+        "doc_id",
+        score.alias("score"),
+        F.size(toks).cast("bigint").alias("n_feats"),
+        F.when(score > 0, F.lit("keep")).otherwise(F.lit("drop")).alias("decision"),
+    )
+
+
 # A BPE-ish pre-tokenizer: the GPT-2 pattern family's shape (optional
 # leading space + letter run | digit run | punctuation run) minus the
 # lookarounds, which RE2 (DuckDB) does not support.  The alternatives
