@@ -41,6 +41,7 @@ HEADLINE = [
     "jaccard_candidate_pairs",
     "dedup_pipeline_decisions",
     "dedup_components",
+    "sorted_neighborhood_pairs",
     "embedding_topk_cosine",
     "embedding_quantized_topk",
     "kmeans_quantized_assign",

@@ -4349,3 +4349,113 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("enc", 1, 64).alias("enc_head"),
         F.md5("enc").alias("enc_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood entity resolution (Hernandez & Stolfo, SIGMOD'95):
+# the classic linear-compare record-linkage pattern — block on a key,
+# sort within the block, compare each record only to its W following
+# neighbors, verify candidates with exact edit distance.  The corpus
+# has no labeled duplicates, so this is inject-then-detect (the
+# engine's established pattern): every 10th document gets a mutated
+# twin (first token replaced), the block/sort key starts at token 2 so
+# the mutation cannot separate the pair, and the detector must put the
+# twin within edit distance <= SN_DIST of the original.
+# ---------------------------------------------------------------------------
+
+SN_WINDOW = 2     # neighbors compared per record
+SN_DIST = 6       # match threshold ('zz' vs a <=8-char first token)
+SN_PREFIX = 120   # levenshtein on a bounded prefix: O(P^2) per pair cap
+
+_SN_PAIR_DUCK = (
+    "SELECT doc_id AS id1, n{k}_id AS id2, blk, "
+    f"CAST(levenshtein(substr(text,1,{SN_PREFIX}), "
+    f"substr(n{{k}}_text,1,{SN_PREFIX})) AS BIGINT) AS dist "
+    "FROM nbr WHERE n{k}_id IS NOT NULL"
+)
+
+_SN_DUCK = f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+mut AS (SELECT doc_id + 1000000 AS doc_id,
+               'zz' || substr(text, strpos(text, ' ')) AS text
+        FROM base WHERE doc_id % 10 = 0 AND strpos(text, ' ') > 0),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+sk AS (SELECT doc_id, text,
+              string_split(text, ' ')[2] AS blk,
+              array_to_string(list_slice(string_split(text, ' '), 2, 4), ' ')
+                AS sortkey
+       FROM corpus),
+nbr AS (SELECT doc_id, text, blk,
+               lead(doc_id, 1) OVER win AS n1_id,
+               lead(text, 1) OVER win AS n1_text,
+               lead(doc_id, 2) OVER win AS n2_id,
+               lead(text, 2) OVER win AS n2_text
+        FROM sk WINDOW win AS (PARTITION BY blk ORDER BY sortkey, doc_id)),
+pairs AS ({_SN_PAIR_DUCK.format(k=1)} UNION ALL {_SN_PAIR_DUCK.format(k=2)})
+SELECT id1, id2, blk, dist,
+       CASE WHEN dist <= {SN_DIST} THEN 'match' ELSE 'no' END AS decision
+FROM pairs
+"""
+
+
+@register("sorted_neighborhood_pairs", _SN_DUCK)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage: block on token 2, sort the
+    block on tokens 2-4, compare each record to its SN_WINDOW following
+    neighbors with exact Levenshtein over a bounded prefix, emit every
+    candidate pair with its distance and match decision.
+
+    100 TB shape: ONE shuffle (the block repartition the window
+    requires), then a per-partition sort and a fixed-W lead() — the
+    compare count is W*N, linear, never the quadratic all-pairs of a
+    naive fuzzy join; per-pair cost is capped at O(SN_PREFIX^2) by the
+    prefix bound.  Block-key granularity is the skew knob: a hot block
+    degrades to one big sorted run, still linear in compares (vs
+    quadratic for hash-block-then-cross-join linkage), and AQE skew
+    splitting cannot help a window, so at real scale the key would be
+    widened (tokens 2-3) before the sort — the detection contract is
+    unchanged as long as the key excludes the mutated token."""
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    mut = (
+        base.where((F.col("doc_id") % 10 == 0) & (F.instr("text", " ") > 0))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.lit("zz"), F.expr("substring(text, instr(text, ' '))")
+            ).alias("text"),
+        )
+    )
+    corpus = base.unionAll(mut)
+    w_arr = F.split(F.col("text"), " ")
+    sk = corpus.select(
+        "doc_id", "text",
+        F.element_at(w_arr, 2).alias("blk"),
+        F.array_join(F.slice(w_arr, 2, 3), " ").alias("sortkey"),
+    )
+    win = W.partitionBy("blk").orderBy("sortkey", "doc_id")
+    nbr = sk.select(
+        "doc_id", "text", "blk",
+        F.lead("doc_id", 1).over(win).alias("n1_id"),
+        F.lead("text", 1).over(win).alias("n1_text"),
+        F.lead("doc_id", 2).over(win).alias("n2_id"),
+        F.lead("text", 2).over(win).alias("n2_text"),
+    )
+
+    def _pairs(idc: str, tc: str) -> DataFrame:
+        return nbr.where(F.col(idc).isNotNull()).select(
+            F.col("doc_id").alias("id1"),
+            F.col(idc).alias("id2"),
+            "blk",
+            F.levenshtein(
+                F.substring("text", 1, SN_PREFIX), F.substring(tc, 1, SN_PREFIX)
+            ).cast("bigint").alias("dist"),
+        )
+
+    pairs = _pairs("n1_id", "n1_text").unionAll(_pairs("n2_id", "n2_text"))
+    return pairs.select(
+        "id1", "id2", "blk", "dist",
+        F.when(F.col("dist") <= SN_DIST, F.lit("match"))
+        .otherwise(F.lit("no"))
+        .alias("decision"),
+    )
