@@ -523,3 +523,42 @@ def test_nfc_normalize_zero_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Generate" not in plan
     assert "ArrowEvalPython" in plan  # the kernel is Arrow-batched
+
+
+def test_quality_classifier_zero_shuffle_no_udf(spark):
+    """fastText-style classifier inference is one in-row integer fold:
+    an Exchange or a Python eval node here would put a shuffle or the
+    slow path under a map-only 100 TB scan."""
+    from ocr_gang_spark.textops import quality_classifier_scores
+
+    plan = plan_of(quality_classifier_scores(spark, SF), mode="simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # built-in exprs only, no UDF
+
+
+def test_caption_mining_single_exchange_one_window(spark):
+    """Caption pair mining: one shuffle on doc_id, both neighbor frames
+    in ONE Window node, no join — a second Exchange or any join node
+    means the operator stopped reusing the span table's partitioning."""
+    from ocr_gang_spark.extraction_queries import caption_pair_mining
+
+    plan = plan_of(caption_pair_mining(spark, SF), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_sorted_neighborhood_single_exchange_no_join(spark):
+    """Sorted-neighborhood linkage: candidates come from lead() inside
+    the block window — one hash exchange on the block key and NO join
+    node (a join would mean the fuzzy match regressed to the quadratic
+    blocked cross-join)."""
+    from ocr_gang_spark.textops import sorted_neighborhood_pairs
+
+    plan = plan_of(sorted_neighborhood_pairs(spark, SF), mode="simple")
+    # union of base + mutated twins: each branch shuffles into the same
+    # block-key window partitioning; no other hash exchange allowed
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 2, plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
