@@ -75,6 +75,7 @@ HEADLINE = [
     "bm25_retrieval_topk",
     "pagerank_domains",
     "corpus_snapshot_diff",
+    "changelog_merge_read",
     "sequence_pack_bins",
     "stream_dedup_events",
     "stream_quality_decisions",

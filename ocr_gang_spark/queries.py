@@ -479,3 +479,78 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_prior").alias("prior_event_id"),
         (ts_us - F.col("c_rts")).cast("bigint").alias("signup_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Changelog merge-on-read (the Iceberg v2 MoR read path, expressed as a
+# plan): a base snapshot plus a versioned insert/update/delete changelog
+# resolve to the current view by keeping each key's highest-version row
+# and dropping keys whose latest op is a delete.  The sandbox has no
+# Iceberg jars (BENCH/BASELINE notes), so the FORMAT is out of reach —
+# but the merge semantics its readers implement are exactly this
+# one-window plan, and pinning it keeps the engine's upsert story
+# checkable.  The changelog is derived deterministically from the
+# sanctioned corpus: every 7th doc updated at v1, every 11th deleted at
+# v2 (keys divisible by both get update-then-delete — the delete wins).
+# ---------------------------------------------------------------------------
+
+_MOR_DUCK = """
+WITH base AS (SELECT doc_id, 0 AS version, 'I' AS op, text FROM documents),
+upd AS (SELECT doc_id, 1, 'U', 'v2 ' || text FROM documents WHERE doc_id % 7 = 0),
+del AS (SELECT doc_id, 2, 'D', CAST(NULL AS VARCHAR) FROM documents
+        WHERE doc_id % 11 = 0),
+log AS (SELECT * FROM base UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM del),
+w AS (SELECT doc_id, version, op, text,
+             row_number() OVER (PARTITION BY doc_id ORDER BY version DESC)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_versions
+      FROM log)
+SELECT doc_id, CAST(version AS BIGINT) AS cur_version, op,
+       md5(text) AS text_md5, CAST(n_versions AS BIGINT) AS n_versions
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register("changelog_merge_read", _MOR_DUCK)
+def changelog_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read over a versioned changelog: union base + deltas,
+    ONE hash shuffle on the key, latest-version-wins via row_number,
+    delete ops filtered after the pick.
+
+    100 TB shape: this is the read-side plan of an upsert table — the
+    union never materializes a join (equality deletes apply as a
+    window, not an anti-join), both window functions share the single
+    doc_id partitioning, and at scale the base snapshot arrives
+    key-clustered so the exchange degenerates to a local sort.  Skew
+    is bounded by versions-per-key (here <=3; a hot key's history is
+    still one partition's sorted run)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.lit(0).alias("version"), F.lit("I").alias("op"), "text"
+    )
+    upd = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.lit(1).alias("version"), F.lit("U").alias("op"),
+        F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+    )
+    dele = docs.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id", F.lit(2).alias("version"), F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    log = base.unionAll(upd).unionAll(dele)
+    win = W.partitionBy("doc_id").orderBy(F.desc("version"))
+    return (
+        log.select(
+            "doc_id", "version", "op", "text",
+            F.row_number().over(win).alias("rn"),
+            F.count("*").over(W.partitionBy("doc_id")).alias("n_versions"),
+        )
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "doc_id",
+            F.col("version").cast("bigint").alias("cur_version"),
+            "op",
+            F.md5("text").alias("text_md5"),
+            F.col("n_versions").cast("bigint").alias("n_versions"),
+        )
+    )

@@ -562,3 +562,18 @@ def test_sorted_neighborhood_single_exchange_no_join(spark):
     assert n_ex <= 2, plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_read_single_exchange_shared_by_both_windows(spark):
+    """Merge-on-read: one hash exchange on the key feeds BOTH window
+    functions (latest-version pick + version count); a join node or a
+    second exchange means the upsert path regressed to anti-join
+    deletes or stopped sharing the partitioning."""
+    from ocr_gang_spark.queries import changelog_merge_read
+
+    plan = plan_of(changelog_merge_read(spark, SF), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+    assert "Join" not in plan
+    # changelog filters reach the parquet scans
+    assert "PushedFilters: [IsNotNull(doc_id)]" in plan
