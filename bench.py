@@ -78,6 +78,7 @@ HEADLINE = [
     "changelog_merge_read",
     "sequence_pack_bins",
     "stream_dedup_events",
+    "stream_changelog_upsert",
     "stream_quality_decisions",
 ]
 

@@ -608,3 +608,124 @@ def stream_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_join_stream(
         spark, events_dir, checkpoint=f"{work}/cp", out_table=name,
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert as a stream: the streaming twin of changelog_merge_read.
+# ---------------------------------------------------------------------------
+
+def _mor_duck_sql() -> str:
+    from .queries import _MOR_DUCK
+
+    return _MOR_DUCK
+
+
+@register("stream_changelog_upsert", _mor_duck_sql())
+def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over a CDC changelog: the same
+    versioned I/U/D log changelog_merge_read resolves in one batch
+    arrives here as 3 micro-batches (one per version tier,
+    maxFilesPerTrigger=1, AvailableNow); each foreachBatch merges the
+    incoming rows into the materialized table with the SAME
+    latest-version-wins window and writes the next table GENERATION
+    (gen-<k> swap — never overwrite-while-reading).  Delete tombstones
+    persist in the materialized generations (a later batch may outrank
+    them) and are filtered only in the returned current view, so the
+    finished stream must equal the batch merge — which is what the
+    oracle checks.
+
+    The merge is ORDER-INDEPENDENT (the version column decides, not
+    arrival order), so the equality holds under any micro-batch
+    interleaving — stronger than the arrival-ordered streaming queries
+    above.  At scale foreachBatch-merge-into-table is exactly Spark's
+    documented upsert pattern for non-transactional sinks; the
+    generation swap is what Delta/Iceberg commit protocols do with
+    manifests instead of directories."""
+    import tempfile
+
+    from .queries import load
+
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.lit(0).alias("version"), F.lit("I").alias("op"), "text"
+    )
+    upd = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.lit(1).alias("version"), F.lit("U").alias("op"),
+        F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+    )
+    dele = docs.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id", F.lit(2).alias("version"), F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    log = base.unionAll(upd).unionAll(dele)
+
+    work = tempfile.mkdtemp(prefix="ocrgang_cdc_")
+    in_dir = _os.path.join(work, "in")
+    tbl_dir = _os.path.join(work, "tbl")
+    cp_dir = _os.path.join(work, "cp")
+    _os.makedirs(tbl_dir)
+    log.withColumn("f", F.col("version").cast("int")).repartition(
+        "f"
+    ).write.partitionBy("f").mode("overwrite").parquet(in_dir)
+
+    in_schema = "doc_id bigint, version int, op string, text string"
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+
+    from pyspark.sql import Window as W
+
+    def _gens():
+        return sorted(
+            int(d.split("-")[1])
+            for d in _os.listdir(tbl_dir)
+            if d.startswith("gen-")
+        )
+
+    def fb(batch_df: DataFrame, bid: int) -> None:
+        incoming = batch_df.select(
+            "doc_id", "version", "op",
+            F.md5("text").alias("text_md5"),
+            F.lit(1).cast("bigint").alias("n_versions"),
+        )
+        gens = _gens()
+        if gens:
+            prev = spark.read.parquet(
+                _os.path.join(tbl_dir, f"gen-{gens[-1]}")
+            )
+            incoming = prev.unionByName(incoming)
+        win = W.partitionBy("doc_id")
+        merged = (
+            incoming.select(
+                "*",
+                F.row_number()
+                .over(win.orderBy(F.desc("version")))
+                .alias("rn"),
+                F.sum("n_versions").over(win).alias("nv"),
+            )
+            .where(F.col("rn") == 1)
+            .select(
+                "doc_id", "version", "op", "text_md5",
+                F.col("nv").alias("n_versions"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            _os.path.join(tbl_dir, f"gen-{bid}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cur = spark.read.parquet(_os.path.join(tbl_dir, f"gen-{_gens()[-1]}"))
+    return cur.where(F.col("op") != "D").select(
+        "doc_id",
+        F.col("version").cast("bigint").alias("cur_version"),
+        "op", "text_md5", "n_versions",
+    )
