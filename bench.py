@@ -63,6 +63,7 @@ HEADLINE = [
     "pii_redact_stats",
     "tfidf_top_terms",
     "chunk_dedup",
+    "rag_chunk_plan",
     "decontaminate_overlap",
     "domain_quota_sample",
     "domain_mixture_weights",

@@ -4459,3 +4459,73 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no"))
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking: sliding windows of RAG_W tokens at stride RAG_S, the
+# retrieval-prep pass a corpus runs before embedding.  The tail window
+# snaps to the document end (start = n - W) instead of emitting a
+# fragment contained in its predecessor — the standard splitter rule.
+# Distinct from chunk_dedup, whose non-overlapping chunks feed dedup.
+# ---------------------------------------------------------------------------
+
+RAG_W, RAG_S = 10, 6
+
+
+@register(
+    "rag_chunk_plan",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (SELECT doc_id, w, len(w) AS n,
+                 CAST(1 + (greatest(0, len(w) - {RAG_W}) + {RAG_S} - 1)
+                      // {RAG_S} AS INT) AS nc
+          FROM d),
+    e AS (SELECT doc_id, w, n, k,
+                 least(k * {RAG_S}, greatest(0, n - {RAG_W})) AS st
+          FROM c, UNNEST(range(nc)) AS u(k))
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           CAST(st AS BIGINT) AS start_tok,
+           CAST(least({RAG_W}, n - st) AS BIGINT) AS n_toks,
+           md5(array_to_string(list_slice(w, st + 1, st + {RAG_W}), ' '))
+             AS chunk_md5
+    FROM e
+    """,
+)
+def rag_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunk plan per document: one in-row transform builds
+    the (start, length, md5) windows, posexplode emits them — a
+    Generate node, never a shuffle.  100 TB shape: embarrassingly
+    parallel map pass; output rows ~ n_tokens/stride per doc, each a
+    narrow fixed-width tuple (the chunk TEXT stays in-row as an md5
+    here; an embedding pipeline would slice it in the same expression
+    and feed the encoder UDF without materializing a chunk table)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.floor((F.greatest(F.lit(0), n - RAG_W) + RAG_S - 1) / RAG_S)
+    ).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.least(k * RAG_S, F.greatest(F.lit(0), n - RAG_W)),
+    )
+    chunks = F.transform(
+        starts,
+        lambda st: F.struct(
+            st.cast("bigint").alias("start_tok"),
+            F.least(F.lit(RAG_W), n - st).cast("bigint").alias("n_toks"),
+            F.md5(F.array_join(F.slice(toks, st + 1, RAG_W), " ")).alias(
+                "chunk_md5"
+            ),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "c.start_tok",
+        "c.n_toks",
+        "c.chunk_md5",
+    )

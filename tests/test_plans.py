@@ -577,3 +577,13 @@ def test_merge_read_single_exchange_shared_by_both_windows(spark):
     assert "Join" not in plan
     # changelog filters reach the parquet scans
     assert "PushedFilters: [IsNotNull(doc_id)]" in plan
+
+
+def test_rag_chunking_zero_shuffle(spark):
+    """Chunk planning is an in-row transform + posexplode: a Generate
+    node is expected, any Exchange is a regression on a map-only pass."""
+    from ocr_gang_spark.textops import rag_chunk_plan
+
+    plan = plan_of(rag_chunk_plan(spark, SF), mode="simple")
+    assert "Exchange" not in plan
+    assert "Generate" in plan
