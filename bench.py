@@ -95,6 +95,7 @@ HEADLINE_EXTRACT = [
     "hough_deskew",
     "media_metadata",
     "media_resize_stats",
+    "decode_quarantine_stats",
     "image_phash_dedup",
     "augmentation_counts",
     "pdf_layout_spans",

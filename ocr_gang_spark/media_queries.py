@@ -320,3 +320,69 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("keep_key DIV 10"), F.expr("keep_key % 10"),
         ).alias("keep_ref"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decode quarantine (dead-letter path): at 10^12 documents some blobs
+# ARRIVE corrupt, and a job that throws on the first bad byte is not a
+# pipeline.  Inject-then-detect: blobs whose (doc_id + span_idx) % 7
+# == 0 are truncated to 16 bytes (valid magic, unreadable body — the
+# realistic partial-upload shape), the decode kernel must quarantine
+# exactly those and decode everything else, across the full BMP/PNG/
+# JPEG/zlib format mix.  The oracle derives the expected status of
+# every ref from the same rule relationally.
+# ---------------------------------------------------------------------------
+
+_QUAR_TRUNC = 16
+
+
+@register(
+    "decode_quarantine_stats",
+    f"""
+    WITH refs AS (
+      SELECT printf('m42-doc-%08d-%d', doc_id, i) AS media_ref,
+             doc_id, i
+      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS i)
+      WHERE i <= doc_id % 2 + 1)
+    SELECT media_ref,
+           CASE WHEN (doc_id + i) % 7 = 0 THEN 'quarantined' ELSE 'ok' END
+             AS status
+    FROM refs
+    """,
+)
+def decode_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant decode over a corrupt-injected corpus: every blob is
+    decoded inside the Arrow kernel under a try/except, failures emit a
+    'quarantined' row instead of failing the task.  The value oracle
+    pins BOTH directions: a decoder that chokes on any healthy blob of
+    the format mix, or silently 'succeeds' on a truncated one, breaks
+    the hash.  100 TB shape: same map-only scan as the extraction
+    pipeline; the quarantine rows are the dead-letter table a resumable
+    run writes next to its checkpoint ledger instead of retrying
+    poisoned partitions forever."""
+    import re as _re
+
+    from .kernels.bmp import decode_media_blob
+
+    docs = spans_from_testdata(spark, sf_dir)
+    media = synth_media(spark, docs)
+
+    def classify(batches):
+        pat = _re.compile(r"doc-(\d+)-(\d+)$")
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["bytes"]):
+                m = pat.search(ref)
+                doc_id, i = int(m.group(1)), int(m.group(2))
+                data = bytes(blob)
+                if (doc_id + i) % 7 == 0:  # the injected corruption
+                    data = data[:_QUAR_TRUNC]
+                try:
+                    decode_media_blob(data)
+                    status = "ok"
+                except Exception:
+                    status = "quarantined"
+                rows.append((ref, status))
+            yield pd.DataFrame(rows, columns=["media_ref", "status"])
+
+    return media.mapInPandas(classify, schema="media_ref string, status string")
