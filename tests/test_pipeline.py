@@ -142,3 +142,26 @@ def test_extraction_over_testdata_runs(spark):
         text0 = r.spans[0].text
         assert text0 is not None and "<" not in text0  # boilerplate stripped
         assert all(s.text for s in r.spans if s.kind == "media")
+
+
+def test_span_input_order_invariance(spark):
+    """north_rule: the output span sequence is (kind, text, media_ref,
+    ORDER) — order must come from the offset column, never from the
+    input array's storage order.  Reversing every document's spans
+    array must produce an identical extraction."""
+    from pyspark.sql import functions as F
+
+    docs = synth_documents(spark, 12, seed=11, skew_frac=0.0, media_prob=0.7)
+    media = synth_media(spark, docs)
+    ordered = sorted(
+        map(tuple, extract_documents(docs, media).select(
+            "doc_id", "spans").collect())
+    )
+    shuffled_docs = docs.select(
+        "doc_id", F.reverse("spans").alias("spans")
+    )
+    shuffled = sorted(
+        map(tuple, extract_documents(shuffled_docs, media).select(
+            "doc_id", "spans").collect())
+    )
+    assert ordered == shuffled
