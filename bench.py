@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_pipeline_decisions",
     "dedup_components",
     "sorted_neighborhood_pairs",
+    "incremental_dedup_index",
     "embedding_topk_cosine",
     "embedding_quantized_topk",
     "kmeans_quantized_assign",
