@@ -587,3 +587,16 @@ def test_rag_chunking_zero_shuffle(spark):
     plan = plan_of(rag_chunk_plan(spark, SF), mode="simple")
     assert "Exchange" not in plan
     assert "Generate" in plan
+
+
+def test_incremental_dedup_no_cartesian_bounded_exchanges(spark):
+    """Incremental dedup: the band-key probe is a hash join (broadcast
+    at tier size, shuffle-hash with a bucketed index at scale) — never
+    a cartesian or a sort-merge over the band rows; the only hash
+    exchanges are the index aggregate and the per-doc verdict groupBy."""
+    from ocr_gang_spark.textops import incremental_dedup_index
+
+    plan = plan_of(incremental_dedup_index(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
