@@ -81,6 +81,8 @@ HEADLINE = [
     "sequence_pack_bins",
     "stream_dedup_events",
     "stream_changelog_upsert",
+    "stream_caption_pairs",
+    "epoch_shard_layout",
     "stream_quality_decisions",
 ]
 

@@ -363,6 +363,11 @@ def caption_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     interleaved; the operator consumes any (doc_id, kind, text,
     media_ref, offset) stream)."""
     (docs,) = load(spark, sf_dir, "documents")
+    return caption_pairs_from(docs)
+
+
+def caption_pairs_from(docs: DataFrame) -> DataFrame:
+    """DataFrame-level caption miner (shared with the streaming query)."""
     w_arr = F.split(F.col("text"), " ")
     nc = F.least(
         F.lit(_CAP_MAXC), F.greatest(F.lit(1), F.floor(F.size(w_arr) / _CAP_CH))

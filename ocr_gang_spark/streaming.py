@@ -729,3 +729,58 @@ def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("version").cast("bigint").alias("cur_version"),
         "op", "text_md5", "n_versions",
     )
+
+
+# ---------------------------------------------------------------------------
+# Caption mining as a continuous-ingest stream (interleaved payload).
+# ---------------------------------------------------------------------------
+
+def _cap_oracle_sql() -> str:
+    from .extraction_queries import _CAP_ORACLE
+
+    return _CAP_ORACLE
+
+
+@register("stream_caption_pairs", _cap_oracle_sql())
+def stream_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-caption pair mining over a document stream: 3 arrival
+    files consumed one per micro-batch, each foreachBatch runs the SAME
+    caption_pairs_from the batch query uses and appends pairs to the
+    sink.  The pairing window is per-document and documents never split
+    across batches (the arrival files partition on doc_id), so batch
+    boundaries cannot change any pair — the finished stream hash-equals
+    the batch oracle.  This is alt-text mining as crawl partitions
+    land: pairs stream out while the crawl is still running, instead of
+    a corpus-wide job afterwards."""
+    import tempfile
+
+    from .extraction_queries import caption_pairs_from
+    from .queries import load
+
+    (docs,) = load(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="ocrgang_scap_")
+    in_dir = _os.path.join(work, "in")
+    out_dir = _os.path.join(work, "out")
+    cp_dir = _os.path.join(work, "cp")
+    docs.select("doc_id", "text").withColumn(
+        "f", (F.col("doc_id") % 3).cast("int")
+    ).repartition("f").write.partitionBy("f").mode("overwrite").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+
+    def fb(batch_df: DataFrame, _bid: int) -> None:
+        caption_pairs_from(batch_df).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -4698,3 +4698,75 @@ def incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle-shard layout: the training-order pass.
+# A trainer wants each epoch to read the corpus in a fresh pseudo-random
+# order, sharded across data-loader workers — at 10^12 docs a global
+# ORDER BY random() is a non-starter, so the permutation is two-level:
+# shard = hash(doc_id, epoch) % N (a map), position within shard = a
+# window over (epoch, shard).  No global sort, no single partition, no
+# RNG — the order is a pure function of (doc_id, epoch), so re-running
+# epoch 3 after a crash reproduces byte-identical batches (T3's epoch
+# shuffle, reference training.c, re-expressed for a cluster).
+# ---------------------------------------------------------------------------
+
+SHARD_N, EPOCH_N = 8, 2
+
+
+@register(
+    "epoch_shard_layout",
+    f"""
+    WITH e AS (SELECT doc_id, CAST(u.e AS INT) AS epoch
+               FROM documents
+               CROSS JOIN (SELECT unnest(range({EPOCH_N})) AS e) u),
+    k AS (SELECT doc_id, epoch,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' ||
+                                     CAST(epoch AS VARCHAR)), 1, 12))::BIGINT
+                   AS k
+          FROM e)
+    SELECT doc_id, epoch, CAST(k % {SHARD_N} AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY epoch, k % {SHARD_N}
+                                   ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def epoch_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every (doc, epoch) a shard and an in-shard position from
+    the md5 of (doc_id, epoch): one crossJoin against the tiny epoch
+    range (broadcast literal), one hash exchange on (epoch, shard),
+    one window — the permutation a 1000-worker data loader consumes as
+    `WHERE shard = my_rank ORDER BY pos`.  Skew-free by construction
+    (md5 balances shards), and the shard count is the only knob that
+    changes layout, never correctness."""
+    (docs,) = load(spark, sf_dir, "documents")
+    epochs = docs.select("doc_id").crossJoin(
+        F.broadcast(
+            spark.range(EPOCH_N).select(F.col("id").cast("int").alias("epoch"))
+        )
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("doc_id").cast("string"),
+                    F.col("epoch").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = epochs.select(
+        "doc_id", "epoch", key.alias("k"),
+        (key % SHARD_N).cast("int").alias("shard"),
+    )
+    win = W.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id", "epoch", "shard",
+        (F.row_number().over(win) - 1).cast("bigint").alias("pos"),
+    )
