@@ -24,6 +24,17 @@ import numpy as np
 _FILE_HEADER = struct.Struct("<2sIHHI")
 _INFO_HEADER = struct.Struct("<IiiHHIIiiII")
 
+# Decode-bomb guards (dead-letter robustness at 10^12 blobs): a corrupt
+# header that *declares* absurd dimensions, or a small zlib payload that
+# *expands* into gigabytes, must raise ValueError BEFORE the allocation
+# happens — an executor that stalls or OOMs on one poisoned blob takes
+# its whole task (and every healthy blob in the same batch) down with
+# it, and `except Exception` in the quarantine kernel cannot catch an
+# OOM kill.  67 MP is ~40x the largest reference page; the byte cap
+# covers a 67 MP page at 4 bytes/px.  Shared by the PNG/JPEG decoders.
+MAX_PIXELS = 1 << 26
+MAX_DECOMPRESSED = (MAX_PIXELS << 2) + (1 << 16)
+
 
 def encode_bmp(rgb: np.ndarray) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24bpp BMP."""
@@ -71,7 +82,14 @@ def decode_media_blob(data: bytes) -> np.ndarray:
         gray = decode_jpeg_gray(data)
         return np.ascontiguousarray(np.repeat(gray[:, :, None], 3, axis=2))
     if data[:1] == b"\x78":
-        return decode_bmp(zlib.decompress(data))
+        # Bounded inflate: a zlib bomb stops at the cap instead of
+        # filling executor memory; truncated streams fall through to
+        # decode_bmp's own size checks (still a ValueError).
+        d = zlib.decompressobj()
+        out = d.decompress(data, MAX_DECOMPRESSED + 1)
+        if len(out) > MAX_DECOMPRESSED:
+            raise ValueError("zlib-BMP expands past the decode cap")
+        return decode_bmp(out)
     raise ValueError("unknown media blob format")
 
 
@@ -85,6 +103,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
     )
     if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
         raise ValueError(f"unsupported BMP (hdr={hdr_size} bpp={bpp} comp={compression})")
+    if w <= 0 or h == 0 or w * abs(h) > MAX_PIXELS:
+        raise ValueError("implausible BMP dimensions")
     bottom_up = h > 0
     h = abs(h)
     bytes_pp = bpp // 8

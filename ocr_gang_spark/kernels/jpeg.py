@@ -30,6 +30,8 @@ import struct
 
 import numpy as np
 
+from .bmp import MAX_PIXELS
+
 # Standard luminance quantization table (T.81 Annex K.1), natural order.
 QTABLE_LUM = np.array(
     [
@@ -331,6 +333,8 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
         raise ValueError("missing quantization table")
     if (0, dc_id) not in htables or (1, ac_id) not in htables:
         raise ValueError("missing Huffman table")
+    if h == 0 or w == 0 or h * w > MAX_PIXELS:
+        raise ValueError("implausible JPEG dimensions")
 
     # de-stuff the entropy segment up to EOI
     raw = data[scan_start:]

@@ -25,6 +25,8 @@ import zlib
 
 import numpy as np
 
+from .bmp import MAX_PIXELS
+
 _MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
@@ -136,10 +138,16 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if w is None or not idat:
         raise ValueError("truncated PNG")
+    if w == 0 or h == 0 or w * h > MAX_PIXELS:
+        raise ValueError("implausible PNG dimensions")
     bpp = {0: 1, 2: 3, 6: 4}[color_type]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    # Bounded inflate (see kernels/bmp.py MAX_PIXELS note): expect is
+    # capped by the dimension check above, so a zlib bomb in the IDAT
+    # stream stops at expect+1 bytes instead of filling executor memory.
     expect = h * (1 + w * bpp)
-    if raw.size != expect:
+    d = zlib.decompressobj()
+    raw = np.frombuffer(d.decompress(b"".join(idat), expect + 1), dtype=np.uint8)
+    if raw.size != expect or not d.eof:
         raise ValueError(f"PNG pixel data truncated: {raw.size} != {expect}")
     recon = _unfilter(raw.reshape(h, 1 + w * bpp), h, w, bpp)
     px = recon.reshape(h, w, bpp)
