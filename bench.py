@@ -79,6 +79,7 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "changelog_merge_read",
     "sequence_pack_bins",
+    "multimodal_pack_plan",
     "stream_dedup_events",
     "stream_changelog_upsert",
     "stream_caption_pairs",

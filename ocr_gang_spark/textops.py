@@ -2222,32 +2222,144 @@ def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack_from(docs)
 
 
+def _prefix_pack(t: DataFrame, cost_col: str, cum_col: str, budget: int) -> DataFrame:
+    """Two-level distributed prefix scan + bin assignment over
+    (doc_id, <cost_col>) — the shared packing core; see
+    sequence_pack_bins for why this is NOT a global window (an
+    unpartitioned cumulative sum is `Exchange SinglePartition`).
+    Adds <cum_col>, bin_id, bin_offset; integer-exact BIGINT."""
+    t = t.withColumn("bkt", F.expr(f"doc_id DIV {SEQ_PACK_SCAN_BUCKET}"))
+    w_in = (
+        W.partitionBy("bkt").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.withColumn("cum_in", F.sum(cost_col).over(w_in))
+    w_b = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    off = (
+        t.groupBy("bkt").agg(F.sum(cost_col).alias("tot"))
+        .withColumn("off", F.coalesce(F.sum("tot").over(w_b), F.lit(0).cast("bigint")))
+        .select("bkt", "off")
+    )
+    c = c.join(F.broadcast(off), "bkt").withColumn(
+        cum_col, F.col("off") + F.col("cum_in")
+    )
+    return c.drop("bkt", "cum_in", "off").withColumn(
+        "bin_id",
+        F.expr(f"({cum_col} - {cost_col}) DIV {budget}").cast("bigint"),
+    ).withColumn(
+        "bin_offset",
+        F.expr(f"({cum_col} - {cost_col}) % {budget}").cast("bigint"),
+    )
+
+
 def sequence_pack_from(docs: DataFrame) -> DataFrame:
     """DataFrame-level sequence packing (shared with the curation job);
     see sequence_pack_bins for the two-level prefix-scan plan notes."""
     t = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
-    ).withColumn("bkt", F.expr(f"doc_id DIV {SEQ_PACK_SCAN_BUCKET}"))
-    w_in = (
-        W.partitionBy("bkt").orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    c = t.withColumn("cum_in", F.sum("n_tokens").over(w_in))
-    w_b = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
-    off = (
-        t.groupBy("bkt").agg(F.sum("n_tokens").alias("tot"))
-        .withColumn("off", F.coalesce(F.sum("tot").over(w_b), F.lit(0).cast("bigint")))
-        .select("bkt", "off")
+    return _prefix_pack(t, "n_tokens", "cum_tokens", SEQ_PACK_BUDGET).select(
+        "doc_id", "n_tokens", "cum_tokens", "bin_id", "bin_offset"
     )
-    c = c.join(F.broadcast(off), "bkt").withColumn(
-        "cum_tokens", F.col("off") + F.col("cum_in")
+
+
+# Multimodal packing: media spans are not free — an interleaved
+# image-text trainer (Flamingo/MMC4/OBELICS family) budgets a fixed
+# number of visual tokens per image in the same context window the text
+# tokens occupy.  64 visual tokens per image is the common
+# resampler/projector output size; 4096 the context budget.
+MM_IMG_TOKENS = 64
+MM_PACK_BUDGET = 4096
+# the caption-miner's interleaved-layout constants (8 words/chunk, <=4
+# chunks) — imported lazily inside the query fn; mirrored here for the
+# module-level oracle string.  tests/test_textops.py pins the equality.
+_MM_CH, _MM_MAXC = 8, 4
+
+
+@register(
+    "multimodal_pack_plan",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (SELECT doc_id, w,
+                 CAST(least({_MM_MAXC}, greatest(1, len(w) // {_MM_CH})) AS BIGINT) AS nc,
+                 CAST(doc_id % 3 AS BIGINT) AS nm
+          FROM d),
+    t AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(nc), j ->
+                     len(list_slice(w, j*{_MM_CH}+1, j*{_MM_CH}+{_MM_CH}))))
+                   AS BIGINT) AS n_text_tokens,
+                 nm AS n_media_spans
+          FROM c),
+    s AS (SELECT doc_id, n_text_tokens, n_media_spans,
+                 n_text_tokens + {MM_IMG_TOKENS} * n_media_spans AS seq_cost
+          FROM t),
+    cs AS (SELECT *,
+                  CAST(SUM(seq_cost) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cost
+           FROM s)
+    SELECT doc_id, n_text_tokens, n_media_spans, seq_cost, cum_cost,
+           CAST((cum_cost - seq_cost) // {MM_PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST((cum_cost - seq_cost) % {MM_PACK_BUDGET} AS BIGINT) AS bin_offset
+    FROM cs
+    """,
+)
+def multimodal_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal sequence packing (the MMC4/OBELICS batch-
+    assembly step): each document's cost in the context window is its
+    text tokens PLUS a fixed MM_IMG_TOKENS visual-token budget per media
+    span; documents are packed atomically (never split across an image
+    boundary) into MM_PACK_BUDGET-token bins by cumulative cost over the
+    stable doc_id order.
+
+    The interleaved layout is the SAME in-row derivation caption_pair_
+    mining uses (text chunked into <=_CAP_MAXC spans of _CAP_CH words,
+    doc_id%3 media spans) — so the span stream being packed here is the
+    one the caption miner pairs and the flagship extracts; the oracle
+    derives it identically.  Text cost is summed from the per-span slice
+    sizes (not a closed form) so the operator stays correct for any
+    (kind, offset) span stream.
+
+    Scale shape: the per-doc cost is one in-row transform+fold (zero
+    shuffle), then the two-level distributed prefix scan shared with
+    sequence_pack_bins (_prefix_pack) — running sums inside doc_id-range
+    buckets after ONE hash exchange, a tiny level-2 offset table
+    broadcast back.  Integer-exact BIGINTs end to end; DuckDB's
+    list_sum returns HUGEINT so the oracle CASTs it (the r2
+    rolling-fingerprint lesson, tests/test_oracle_dtypes.py)."""
+    from .extraction_queries import _CAP_CH, _CAP_MAXC
+
+    (docs,) = load(spark, sf_dir, "documents")
+    w_arr = F.split(F.col("text"), " ")
+    nc = F.least(
+        F.lit(_CAP_MAXC),
+        F.greatest(F.lit(1), F.floor(F.size(w_arr) / _CAP_CH)),
+    ).cast("bigint")
+    nm = (F.col("doc_id") % 3).cast("bigint")
+    d = docs.select(
+        "doc_id", w_arr.alias("w"), nc.alias("nc"), nm.alias("n_media_spans")
     )
-    return c.select(
-        "doc_id", "n_tokens", "cum_tokens",
-        F.expr(f"(cum_tokens - n_tokens) DIV {SEQ_PACK_BUDGET}")
-        .cast("bigint").alias("bin_id"),
-        F.expr(f"(cum_tokens - n_tokens) % {SEQ_PACK_BUDGET}")
-        .cast("bigint").alias("bin_offset"),
+    text_cost = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.col("nc") - 1),
+            lambda j: F.size(
+                F.slice(F.col("w"), (j * _CAP_CH + 1).cast("int"), _CAP_CH)
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    t = d.select(
+        "doc_id",
+        text_cost.alias("n_text_tokens"),
+        "n_media_spans",
+        (text_cost + F.lit(MM_IMG_TOKENS) * F.col("n_media_spans")).alias(
+            "seq_cost"
+        ),
+    )
+    return _prefix_pack(t, "seq_cost", "cum_cost", MM_PACK_BUDGET).select(
+        "doc_id", "n_text_tokens", "n_media_spans", "seq_cost", "cum_cost",
+        "bin_id", "bin_offset",
     )
 
 
