@@ -41,6 +41,7 @@ HEADLINE = [
     "jaccard_candidate_pairs",
     "dedup_pipeline_decisions",
     "dedup_components",
+    "dedup_canonical_quality",
     "sorted_neighborhood_pairs",
     "incremental_dedup_index",
     "embedding_topk_cosine",

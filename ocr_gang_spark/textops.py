@@ -699,9 +699,10 @@ def verified_pairs_from(docs: DataFrame) -> DataFrame:
 DEDUP_CC_MAX_ITERS = 20
 
 
-@register(
-    "dedup_components",
-    f"""WITH RECURSIVE {_VERIFIED_CTES_DUCK.lstrip().removeprefix("WITH ")},
+# connected-components CTE stack (recursive transitive closure over the
+# verified near-dup pairs) — shared by dedup_components and the
+# quality-aware canonical selection
+_COMPONENTS_CTES_DUCK = f"""WITH RECURSIVE {_VERIFIED_CTES_DUCK.lstrip().removeprefix("WITH ")},
     edges AS (SELECT a_id AS a, b_id AS b FROM verified
               UNION SELECT b_id, a_id FROM verified),
     nodes AS (SELECT DISTINCT a AS id FROM edges),
@@ -712,7 +713,12 @@ DEDUP_CC_MAX_ITERS = 20
     ),
     comp AS (SELECT n AS doc_id, MIN(m) AS component_id FROM reach GROUP BY n),
     csz AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS component_size
-            FROM comp GROUP BY component_id)
+            FROM comp GROUP BY component_id)"""
+
+
+@register(
+    "dedup_components",
+    f"""{_COMPONENTS_CTES_DUCK}
     SELECT c.doc_id, c.component_id, s.component_size,
            CASE WHEN c.doc_id = c.component_id THEN 'keep' ELSE 'drop' END AS decision
     FROM comp c JOIN csz s USING (component_id)
@@ -1125,6 +1131,60 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         F.size(toks).cast("bigint").alias("n_feats"),
         F.when(score > 0, F.lit("keep")).otherwise(F.lit("drop")).alias("decision"),
+    )
+
+
+@register(
+    "dedup_canonical_quality",
+    f"""{_COMPONENTS_CTES_DUCK},
+    q AS (SELECT doc_id, {_QC_SCORE_DUCK} AS score FROM documents),
+    ranked AS (SELECT c.doc_id, c.component_id, s.component_size, q.score,
+                      row_number() OVER (PARTITION BY c.component_id
+                                         ORDER BY q.score DESC, c.doc_id)
+                        AS rn
+               FROM comp c
+               JOIN csz s USING (component_id)
+               JOIN q USING (doc_id))
+    SELECT doc_id, component_id, component_size, score,
+           CASE WHEN rn = 1 THEN 'keep' ELSE 'drop' END AS decision
+    FROM ranked
+    """,
+)
+def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup
+    component, keep the HIGHEST-quality member (hashed-linear
+    classifier score, tie -> min doc_id) instead of dedup_components'
+    earliest-id rule.  This is the survivor policy production dedup
+    actually wants — min-id keeps whichever crawl happened to be
+    ingested first, which for web corpora is often the truncated or
+    boilerplate-heavy variant of the cluster.
+
+    Scale shape: the component table is |dup-graph members| rows —
+    orders of magnitude smaller than the corpus — so the quality score
+    is computed only for members, AFTER the join prunes the scan
+    (score is a projection over the joined frame, never a full-corpus
+    pass followed by a throwaway join).  One hash join on doc_id, one
+    window partitioned by component_id (bounded by the max cluster
+    size, the same skew bound dedup_components already carries), both
+    shuffles on keys the dedup lineage has already established."""
+    comp = components_from(_verified_pairs_spark(spark, sf_dir))
+    (docs,) = load(spark, sf_dir, "documents")
+    members = docs.select("doc_id", "text").join(comp, "doc_id")
+    toks = F.split(F.col("text"), " ")
+    score = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + _qc_weight_spark(t)
+    )
+    scored = members.select(
+        "doc_id", "component_id", "component_size", score.alias("score")
+    )
+    w = W.partitionBy("component_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id", "component_id", "component_size", "score",
+        F.when(F.col("rn") == 1, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("decision"),
     )
 
 
