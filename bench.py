@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_pipeline_decisions",
     "dedup_components",
     "dedup_canonical_quality",
+    "leakage_safe_split",
     "sorted_neighborhood_pairs",
     "incremental_dedup_index",
     "embedding_topk_cosine",

@@ -1188,6 +1188,67 @@ def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# leakage-safe split: hash buckets 0-89 train / 90-94 val / 95-99 test
+_SPLIT_TRAIN_END, _SPLIT_VAL_END = 90, 95
+
+
+@register(
+    "leakage_safe_split",
+    f"""{_COMPONENTS_CTES_DUCK},
+    g AS (SELECT d.doc_id,
+                 COALESCE(c.component_id, d.doc_id) AS group_id,
+                 c.component_id IS NOT NULL AS is_dup_member
+          FROM documents d LEFT JOIN comp c USING (doc_id)),
+    h AS (SELECT doc_id, group_id, is_dup_member,
+                 {_TOK_HASH_DUCK.format(t="CAST(group_id AS VARCHAR)")} % 100
+                   AS bucket
+          FROM g)
+    SELECT doc_id, group_id, is_dup_member,
+           CASE WHEN bucket < {_SPLIT_TRAIN_END} THEN 'train'
+                WHEN bucket < {_SPLIT_VAL_END} THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split hash is taken
+    over a GROUP key — the near-dup component id for dup-graph members,
+    the doc_id itself for singletons — so two near-duplicate documents
+    can never land in different splits (the classic eval-contamination
+    bug a row-hash split commits).  90/5/5 by md5 bucket, deterministic
+    and engine-exact (same 32-bit md5-prefix bridge every hashed
+    operator here uses).
+
+    Scale shape: one left join of the corpus against the (much smaller)
+    component table on doc_id, then a pure in-row hash + case — no
+    second shuffle, no window.  The join key is the corpus's natural
+    partitioning; at 10^12 docs the component side joins shuffle-hash
+    (it exceeds broadcast thresholds but is orders of magnitude smaller
+    than the corpus)."""
+    comp = components_from(_verified_pairs_spark(spark, sf_dir)).select(
+        "doc_id", "component_id"
+    )
+    (docs,) = load(spark, sf_dir, "documents")
+    g = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("group_id"),
+        F.col("component_id").isNotNull().alias("is_dup_member"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("group_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    return g.select(
+        "doc_id", "group_id", "is_dup_member",
+        F.when(bucket < _SPLIT_TRAIN_END, F.lit("train"))
+        .when(bucket < _SPLIT_VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 # A BPE-ish pre-tokenizer: the GPT-2 pattern family's shape (optional
 # leading space + letter run | digit run | punctuation run) minus the
 # lookarounds, which RE2 (DuckDB) does not support.  The alternatives
