@@ -98,6 +98,7 @@ HEADLINE = [
 # local[8]).  Override knob for experiments: SPARK_GRAFT_EXTRACT_CPUS.
 HEADLINE_EXTRACT = [
     "ocr_extract_spans",
+    "ocr_confidence_stats",
     "hough_deskew",
     "media_metadata",
     "media_resize_stats",

@@ -156,6 +156,80 @@ def glyph_matrix_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(dump, schema="media_ref string, matrix_txt string")
 
 
+# softmax-margin floor below which a page is routed to review; clean
+# atlas pages sit >= ~998000 ppm, injected-noise pages <= ~40000 ppm
+# (synth.OCR_NOISE_RATE) — the threshold splits a 25x gap.
+OCR_REVIEW_PPM = 900_000
+
+
+@register(
+    "ocr_confidence_stats",
+    _expected_oracle(
+        "expected_confidence",
+        "media_ref, degraded, n_glyphs, min_margin_ppm, sum_margin_ppm, "
+        "decision",
+    ),
+)
+def ocr_confidence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR rejection routing: per-page softmax top1-top2 margin
+    aggregates (kernels/nn.classify_margin_ppm) with an accept/review
+    decision at OCR_REVIEW_PPM.  The reference pipeline takes argmax
+    unconditionally (ocr.c:158); at 10^12 documents, unconditionally
+    trusting every degraded scan is how garbage enters the training
+    corpus — low-margin pages are routed to 'review' instead.
+
+    Inject-then-detect honesty (like lang-ID/deskew): every
+    synth.OCR_NOISE_EVERY-th document's pages are deterministically
+    degraded (salt-and-pepper at OCR_NOISE_RATE) BEFORE the margin
+    pass, and the test asserts the router flags exactly the degraded
+    slice.  Scale shape: per-blob mapInPandas (no shuffle), NN forward
+    batched per Arrow batch and deduplicated by matrix content —
+    identical plan to the flagship's media branch."""
+    from .kernels.bmp import decode_media_blob
+    from .kernels.image_ops import binarize
+    from .kernels.ocr import page_margin_stats
+    from .synth import inject_scan_noise, is_degraded_ref
+
+    docs = spans_from_testdata(spark, sf_dir)
+    media = synth_media(spark, docs)
+    weights_bc = broadcast_weights(spark)
+
+    def stats(batches):
+        w = weights_bc.value
+        for pdf in batches:
+            refs = [str(r) for r in pdf["media_ref"]]
+            pages = []
+            flags = []
+            for ref, blob in zip(refs, pdf["bytes"]):
+                bw = binarize(decode_media_blob(bytes(blob)))
+                degraded = is_degraded_ref(ref)
+                if degraded:
+                    bw = inject_scan_noise(ref, bw)
+                pages.append(bw)
+                flags.append(degraded)
+            rows = []
+            for ref, degraded, (n, mn, sm) in zip(
+                refs, flags, page_margin_stats(pages, w)
+            ):
+                decision = (
+                    "review"
+                    if mn is not None and mn < OCR_REVIEW_PPM
+                    else "accept"
+                )
+                rows.append((ref, degraded, n, mn, sm, decision))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "degraded", "n_glyphs",
+                         "min_margin_ppm", "sum_margin_ppm", "decision"],
+            )
+
+    return media.mapInPandas(
+        stats,
+        schema="media_ref string, degraded boolean, n_glyphs int, "
+        "min_margin_ppm long, sum_margin_ppm long, decision string",
+    )
+
+
 @register(
     "html_strip_dirty",
     # closed-form value oracle for the REAL stripping branches (script/

@@ -297,6 +297,28 @@ def classify(matrices: np.ndarray, w: OcrWeights) -> np.ndarray:
     return CLASS_CHARS[np.argmax(logits, axis=1)]
 
 
+def classify_margin_ppm(matrices: np.ndarray, w: OcrWeights):
+    """classify() plus a per-glyph confidence: the softmax top1-top2
+    probability margin, floored to integer parts-per-million so the
+    value is hash-exact across engines/fixtures (float64 softmax is
+    deterministic, but an integer column removes any doubt at the
+    comparison layer).
+
+    The reference applies softmax before IndexAnswer (ocr.c:158,
+    tools.c:165-185); the margin is the natural rejection statistic on
+    top of it — it needs no extra forward pass and no calibration
+    data.  Returns (chars (B,) '<U1', margin_ppm (B,) int64)."""
+    flat = cnn_forward_binary(matrices, conv_lut_for(w))
+    logits = mlp_forward(flat, w)
+    p = softmax(logits)
+    top2 = np.partition(p, -2, axis=1)
+    margin = top2[:, -1] - top2[:, -2]
+    return (
+        CLASS_CHARS[np.argmax(logits, axis=1)],
+        np.floor(margin * 1e6).astype(np.int64),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Weight-file IO — reference versioned ASCII format
 # (save_network/load_network tools.c:252-329, save_cnn/load_cnn tools.c:604-667)

@@ -19,7 +19,7 @@ import numpy as np
 
 from .bmp import decode_bmp
 from .image_ops import binarize, segment_page
-from .nn import OcrWeights, classify
+from .nn import OcrWeights, classify, classify_margin_ppm
 
 # Content-addressed memoization (semantically transparent: identical
 # input bytes -> identical output by purity of the kernels).  Real
@@ -112,4 +112,46 @@ def ocr_pages_to_text(pages: Iterable[np.ndarray], weights: OcrWeights) -> List[
             for slots in layout
         ]
         out.append("\n".join(text_lines))
+    return out
+
+
+def page_margin_stats(bw_pages: Iterable[np.ndarray], weights: OcrWeights):
+    """Per-page confidence aggregates for rejection routing: segment
+    each (already binarized) page, classify every glyph instance with
+    classify_margin_ppm, and reduce to
+    ``(n_glyphs, min_margin_ppm | None, sum_margin_ppm)``.
+
+    Margins are aggregated per glyph INSTANCE (a repeated shape counts
+    each occurrence), but the NN forward runs once per DISTINCT matrix
+    in the batch — same dedup-and-batch shape as ocr_pages_to_text,
+    kept separate so the exact-match text path stays untouched.  Pages
+    with zero glyphs return (0, None, 0)."""
+    layouts: List[List[int]] = []  # per page: matrix-slot indices
+    novel: List[np.ndarray] = []
+    pending: dict[bytes, int] = {}
+    for bw in bw_pages:
+        slots = []
+        for line in segment_page(bw):
+            for mat in line:
+                if mat is None:
+                    continue
+                key = mat.tobytes()
+                idx = pending.get(key)
+                if idx is None:
+                    idx = len(novel)
+                    pending[key] = idx
+                    novel.append(mat)
+                slots.append(idx)
+        layouts.append(slots)
+    if novel:
+        _, ppm = classify_margin_ppm(np.stack(novel), weights)
+    else:
+        ppm = np.empty(0, dtype=np.int64)
+    out = []
+    for slots in layouts:
+        if not slots:
+            out.append((0, None, 0))
+            continue
+        vals = ppm[slots]
+        out.append((len(slots), int(vals.min()), int(vals.sum())))
     return out

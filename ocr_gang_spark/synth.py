@@ -181,6 +181,32 @@ def blob_for_ref(ref: str) -> bytes:
     return encode_media_blob(rgb)
 
 
+# Deterministic scan degradation (inject-then-detect, same honesty
+# pattern as lang-ID and deskew): every OCR_NOISE_EVERY-th document's
+# pages get salt-and-pepper flips at OCR_NOISE_RATE, so the confidence
+# router (extraction_queries.ocr_confidence_stats) has real degraded
+# pages to flag.  Measured separation on this corpus: clean pages'
+# min softmax margin >= ~0.998, degraded <= ~0.04.
+OCR_NOISE_EVERY = 5
+OCR_NOISE_RATE = 0.05
+
+
+def is_degraded_ref(ref: str) -> bool:
+    """True for refs whose document is in the degraded slice
+    (ref format m{seed}-doc-{did:08d}-{i})."""
+    return int(ref.split("-")[2]) % OCR_NOISE_EVERY == 0
+
+
+def inject_scan_noise(ref: str, bw: np.ndarray) -> np.ndarray:
+    """Flip OCR_NOISE_RATE of the binarized page's pixels, seeded by
+    ref (pure function: fixture generation replays it exactly)."""
+    rng = _rng("scan-noise", ref)
+    flips = rng.random(bw.shape) < OCR_NOISE_RATE
+    out = bw.copy()
+    out[flips] = 255 - out[flips]
+    return out
+
+
 def spans_from_testdata(spark: SparkSession, sf_dir: str, seed: int = 42,
                         media_per_doc: int = 2) -> DataFrame:
     """Derive a spans-shaped documents table from the driver-generated

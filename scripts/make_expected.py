@@ -263,6 +263,68 @@ def expected_rows_for(sf_dir: str):
     return ext, seg, dump, crosschecked
 
 
+def _brute_margin_ppm(mat: np.ndarray, w) -> int:
+    """Independent margin re-derivation: dense float64 conv path (NOT
+    the LUT the kernel batches through) on the single sample, explicit
+    math.exp softmax, explicit two-max scan."""
+    import math
+
+    from ocr_gang_spark.kernels.nn import cnn_forward, mlp_forward
+
+    flat = cnn_forward(mat[None, :, :], w.filters, w.conv_biases)
+    logits = mlp_forward(flat, w)[0]
+    mx = max(float(v) for v in logits)
+    exps = [math.exp(float(v) - mx) for v in logits]
+    tot = sum(exps)
+    probs = sorted(e / tot for e in exps)
+    return int(np.floor((probs[-1] - probs[-2]) * 1e6))
+
+
+def expected_confidence_rows_for(sf_dir: str, weights):
+    """Offline run of the confidence-routing pipeline (binarize ->
+    optional injected degradation -> page_margin_stats -> decision);
+    every CROSSCHECK_EVERY-th document's pages get every glyph margin
+    re-derived via the dense-conv/naive-softmax brute path."""
+    from ocr_gang_spark.extraction_queries import OCR_REVIEW_PPM
+    from ocr_gang_spark.kernels.bmp import decode_media_blob
+    from ocr_gang_spark.kernels.image_ops import binarize as bz
+    from ocr_gang_spark.kernels.ocr import page_margin_stats
+    from ocr_gang_spark.synth import (
+        blob_for_ref,
+        inject_scan_noise,
+        is_degraded_ref,
+    )
+
+    key = corpus_key_of(sf_dir)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    rows = []
+    crosschecked = []
+    for did in docs.column("doc_id").to_pylist():
+        for i in range(1, did % MEDIA_PER_DOC + 2):
+            ref = f"m{SEED}-doc-{did:08d}-{i}"
+            bw = bz(decode_media_blob(blob_for_ref(ref)))
+            degraded = is_degraded_ref(ref)
+            if degraded:
+                bw = inject_scan_noise(ref, bw)
+            ((n, mn, sm),) = page_margin_stats([bw], weights)
+            decision = (
+                "review" if mn is not None and mn < OCR_REVIEW_PPM else "accept"
+            )
+            rows.append((key, ref, degraded, n, mn, sm, decision))
+            if did % CROSSCHECK_EVERY == 0:
+                from ocr_gang_spark.kernels.image_ops import segment_page
+
+                mats = [m for line in segment_page(bw) for m in line
+                        if m is not None]
+                assert len(mats) == n, f"{ref}: glyph count mismatch"
+                if mats:
+                    brute = [_brute_margin_ppm(m, weights) for m in mats]
+                    assert min(brute) == mn, f"{ref}: brute min margin mismatch"
+                    assert sum(brute) == sm, f"{ref}: brute sum margin mismatch"
+                crosschecked.append(ref)
+    return rows, crosschecked
+
+
 def expected_preproc_rows_for(sf_dir: str):
     """Offline NumPy run of the preprocessing kernels (Otsu / Hough
     deskew / connected components) over the SAME decoded blobs the
@@ -436,6 +498,18 @@ def main() -> None:
         pre_rows += r
         pre_crosschecked += xc
 
+    from ocr_gang_spark.kernels.nn import load_weights
+
+    weights = load_weights(
+        os.path.join(FIXDIR, "ocrwb.txt"), os.path.join(FIXDIR, "cnnwb.txt")
+    )
+    conf_rows = []
+    conf_crosschecked = []
+    for sf_dir in SF_DIRS:
+        r, xc = expected_confidence_rows_for(sf_dir, weights)
+        conf_rows += r
+        conf_crosschecked += xc
+
     import json
 
     with open(os.path.join(FIXDIR, "expected_crosscheck.json"), "w") as f:
@@ -459,6 +533,13 @@ def main() -> None:
                     "checked": ["line boxes (loop scan of inky-row runs)",
                                 "n_glyphs (loop scan of inky-column runs)"],
                     "refs": sorted(set(seg_crosschecked)),
+                },
+                "confidence": {
+                    "checked": ["per-glyph softmax margin ppm re-derived via "
+                                "the dense float64 conv (not the batched LUT) "
+                                "+ explicit math.exp softmax + two-max scan; "
+                                "min/sum aggregates must match exactly"],
+                    "refs": sorted(set(conf_crosschecked)),
                 },
             },
             f,
@@ -490,6 +571,29 @@ def main() -> None:
         compression="zstd",
     )
     print(f"wrote expected_preproc.parquet ({len(pre_rows)} rows)")
+
+    conf_schema = pa.schema(
+        [
+            ("corpus_key", pa.string()),
+            ("media_ref", pa.string()),
+            ("degraded", pa.bool_()),
+            ("n_glyphs", pa.int32()),
+            ("min_margin_ppm", pa.int64()),
+            ("sum_margin_ppm", pa.int64()),
+            ("decision", pa.string()),
+        ]
+    )
+    cols = list(zip(*conf_rows))
+    pq.write_table(
+        pa.table(
+            {f.name: pa.array(cols[i], type=f.type) for i, f in enumerate(conf_schema)},
+            schema=conf_schema,
+        ),
+        os.path.join(FIXDIR, "expected_confidence.parquet"),
+        compression="zstd",
+    )
+    print(f"wrote expected_confidence.parquet ({len(conf_rows)} rows, "
+          f"{len(set(conf_crosschecked))} refs cross-derived)")
 
     aug_rows = expected_augmentation_rows()
     aug_schema = pa.schema(
