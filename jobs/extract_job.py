@@ -73,6 +73,10 @@ def main() -> None:
     # stand-in for the north rule's "N executors vs 4N executors"
     p.add_argument("--exec-mode", choices=["threads", "processes"],
                    default=None)
+    p.add_argument("--compact-target-bytes", type=int, default=None,
+                   help="after the run, compact small-file output "
+                        "partitions up to this size into one file each "
+                        "(the Iceberg OPTIMIZE analog)")
     args = p.parse_args()
 
     spark = build_session(args.cpus, exec_mode=args.exec_mode)
@@ -116,18 +120,22 @@ def main() -> None:
         deskew=args.deskew, on_error=args.on_error,
     )
     wall = time.time() - t0
-    print(
-        json.dumps(
-            {
-                "run_id": result.run_id,
-                "mode": args.mode,
-                "n_parts_processed": result.n_parts_processed,
-                "n_docs": result.n_docs,
-                "wall_sec": round(wall, 3),
-                "docs_per_sec": round(result.n_docs / wall, 2) if wall > 0 else None,
-            }
-        )
-    )
+    line = {
+        "run_id": result.run_id,
+        "mode": args.mode,
+        "n_parts_processed": result.n_parts_processed,
+        "n_docs": result.n_docs,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(result.n_docs / wall, 2) if wall > 0 else None,
+    }
+    if args.compact_target_bytes:
+        from ocr_gang_spark.checkpoint import compact_output
+
+        c = compact_output(spark, args.output,
+                           target_bytes=args.compact_target_bytes)
+        line["compacted_parts"] = c.n_parts_compacted
+        line["compacted_files"] = f"{c.files_before}->{c.files_after}"
+    print(json.dumps(line))
     spark.stop()
 
 

@@ -212,6 +212,131 @@ def run_extraction(
     return RunResult(run_id, len(metrics_rows), n_docs, wall_ms)
 
 
+@dataclass
+class CompactResult:
+    run_id: str
+    n_parts_compacted: int
+    files_before: int
+    files_after: int
+    n_rows: int
+
+
+COMPACTION_LOG = "_compactions.json"
+
+
+def _part_file_stats(output_dir: str) -> dict[int, tuple[int, int]]:
+    """{part_id: (n_files, total_bytes)} from the directory listing —
+    metadata only, no data scan.  On a real cluster this is the Iceberg
+    manifest read (data_files per partition); local-FS walk is the
+    sandbox stand-in, same as the run manifest."""
+    stats: dict[int, tuple[int, int]] = {}
+    if not os.path.isdir(output_dir):
+        return stats
+    for name in os.listdir(output_dir):
+        if not name.startswith("part_id="):
+            continue
+        pid = int(name.split("=", 1)[1])
+        n, b = 0, 0
+        for f in os.listdir(os.path.join(output_dir, name)):
+            if f.endswith(".parquet"):
+                n += 1
+                b += os.path.getsize(os.path.join(output_dir, name, f))
+        if n:
+            stats[pid] = (n, b)
+    return stats
+
+
+def compact_output(
+    spark: SparkSession,
+    output_dir: str,
+    target_bytes: int = 128 << 20,
+    run_id: str | None = None,
+) -> CompactResult:
+    """Small-file maintenance over a part_id-partitioned output table —
+    the Iceberg OPTIMIZE/rewrite_data_files analog.  Resumed runs,
+    streaming micro-batches and high write parallelism all strand many
+    small files per partition; at 10^12 documents the scan-planning and
+    object-store-request cost of those files dominates reads, so
+    compaction is a first-class maintenance operator, not a nicety.
+
+    Mechanics: pick partitions holding >1 file whose TOTAL bytes fit
+    the target (the small-file bin — partitions already larger than
+    target_bytes are left alone; their files are doing their job),
+    read exactly those partitions (partition-pruned scan), rewrite via
+    one hash repartition on part_id (each selected partition lands in
+    one task => exactly one output file), and swap with dynamic
+    partition overwrite — the same idempotent commit run_extraction
+    uses, so untouched partitions are never rewritten.  Rows are
+    validated pre/post (count per partition must match; loud failure
+    otherwise) and every compaction appends a JSON lineage entry
+    (run_id, parts, files before/after, rows) to _compactions.json
+    next to the data.  Iceberg note: on a real cluster the swap is a
+    snapshot commit (atomic, time-travelable); the parquet
+    dynamic-overwrite stand-in has a crash window between partition
+    replacements, which a re-run heals idempotently."""
+    run_id = run_id or f"compact-{int(time.time() * 1000)}"
+    stats = _part_file_stats(output_dir)
+    todo = {
+        pid: (n, b)
+        for pid, (n, b) in stats.items()
+        if n > 1 and b <= target_bytes
+    }
+    if not todo:
+        return CompactResult(run_id, 0, 0, 0, 0)
+
+    pids = sorted(todo)
+    src = spark.read.parquet(output_dir).where(F.col("part_id").isin(pids))
+    # Spark (correctly) refuses to overwrite a path it is reading from;
+    # localCheckpoint materializes the pruned partitions to executor
+    # storage and detaches the plan from the source files.  Memory bound
+    # = sum of the SELECTED partitions' bytes, each <= target_bytes by
+    # the todo filter — for a huge backlog, call repeatedly with a
+    # narrower target.  (Iceberg commits read+replace as one snapshot,
+    # no materialization needed — see module docstring.)
+    src = src.localCheckpoint(eager=True)
+    n_before = src.count()
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    src.repartition("part_id").write.mode("overwrite").partitionBy(
+        "part_id"
+    ).parquet(output_dir)
+
+    after = _part_file_stats(output_dir)
+    n_after = (
+        spark.read.parquet(output_dir)
+        .where(F.col("part_id").isin(pids))
+        .count()
+    )
+    if n_after != n_before:
+        raise RuntimeError(
+            f"compaction row-count mismatch on parts {pids}: "
+            f"{n_before} before vs {n_after} after"
+        )
+
+    files_before = sum(n for n, _ in todo.values())
+    files_after = sum(after.get(pid, (0, 0))[0] for pid in pids)
+    entry = {
+        "run_id": run_id,
+        "ts": int(time.time() * 1000),
+        "parts": pids,
+        "files_before": files_before,
+        "files_after": files_after,
+        "n_rows": n_before,
+        "target_bytes": target_bytes,
+    }
+    log_path = os.path.join(output_dir, COMPACTION_LOG)
+    log = []
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            log = json.load(f)
+    log.append(entry)
+    tmp = log_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(log, f, sort_keys=True)
+    os.replace(tmp, log_path)
+    return CompactResult(run_id, len(pids), files_before, files_after, n_before)
+
+
 def load_output(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(output_dir)
 

@@ -1,0 +1,77 @@
+"""compact_output (the Iceberg OPTIMIZE stand-in): small-file
+partitions collapse to one file each, values are untouched, large
+partitions are left alone, a second pass is a no-op, and the lineage
+log records what happened."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_gang_spark.checkpoint import (
+    COMPACTION_LOG,
+    _part_file_stats,
+    compact_output,
+)
+
+N_PARTS = 6
+ROWS = 600
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    """A part_id-partitioned table where every partition holds several
+    small files (the post-resume / micro-batch shape)."""
+    out = str(tmp_path / "out")
+    df = spark.range(ROWS).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % N_PARTS).cast("int").alias("part_id"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    # high write parallelism strands ~8 files per partition
+    df.repartition(8).write.partitionBy("part_id").parquet(out)
+    return out
+
+
+def rows_of(spark, out):
+    return sorted(
+        (r.doc_id, r.part_id, r.payload)
+        for r in spark.read.parquet(out).collect()
+    )
+
+
+def test_compacts_values_intact(spark, fragmented):
+    before_stats = _part_file_stats(fragmented)
+    assert all(n > 1 for n, _ in before_stats.values())
+    before_rows = rows_of(spark, fragmented)
+
+    res = compact_output(spark, fragmented)
+    assert res.n_parts_compacted == N_PARTS
+    assert res.files_after == N_PARTS  # one file per partition
+    assert res.files_before == sum(n for n, _ in before_stats.values())
+    assert res.n_rows == ROWS
+
+    after_stats = _part_file_stats(fragmented)
+    assert all(n == 1 for n, _ in after_stats.values())
+    assert rows_of(spark, fragmented) == before_rows
+
+    log = json.load(open(os.path.join(fragmented, COMPACTION_LOG)))
+    assert len(log) == 1 and log[0]["n_rows"] == ROWS
+
+
+def test_second_pass_is_noop(spark, fragmented):
+    compact_output(spark, fragmented)
+    res2 = compact_output(spark, fragmented)
+    assert res2.n_parts_compacted == 0
+    log = json.load(open(os.path.join(fragmented, COMPACTION_LOG)))
+    assert len(log) == 1  # no-op passes do not append lineage
+
+
+def test_large_partitions_left_alone(spark, fragmented):
+    stats = _part_file_stats(fragmented)
+    # a target below every partition's size => nothing qualifies
+    smallest = min(b for _, b in stats.values())
+    res = compact_output(spark, fragmented, target_bytes=smallest - 1)
+    assert res.n_parts_compacted == 0
+    assert _part_file_stats(fragmented) == stats
