@@ -600,3 +600,52 @@ def test_incremental_dedup_no_cartesian_bounded_exchanges(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_multimodal_pack_uses_two_level_scan(spark):
+    """Same contract as sequence_pack_bins: the multimodal cost scan
+    must partition by bucket, broadcast the offset table, and keep the
+    only SinglePartition exchange on the tiny level-2 window."""
+    from ocr_gang_spark.textops import multimodal_pack_plan
+
+    plan = plan_of(multimodal_pack_plan(spark, SF), mode="simple")
+    assert "hashpartitioning(bkt" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_canonical_quality_window_partitions_by_component(spark):
+    """Survivor ranking must run under the component hash partitioning
+    (bounded by max cluster size), never a global window, and the
+    component lineage must come from the materialized cache."""
+    from ocr_gang_spark.textops import dedup_canonical_quality
+
+    plan = plan_of(dedup_canonical_quality(spark, SF), mode="simple")
+    assert "hashpartitioning(component_id" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # reads the CC loop's cache
+
+
+def test_leakage_split_is_one_join_no_window(spark):
+    """Split assignment is a left join + in-row hash: no window, no
+    SinglePartition exchange, no cartesian anywhere."""
+    from ocr_gang_spark.textops import leakage_safe_split
+
+    plan = plan_of(leakage_safe_split(spark, SF), mode="simple")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_ocr_confidence_is_map_only_with_explicit_parallelism(spark):
+    """Confidence routing is a per-blob map: no join, no window, and
+    exactly ONE exchange — the explicit repartition that protects the
+    CPU-bound NN stage from AQE coalescing (media-branch convention)."""
+    from ocr_gang_spark.extraction_queries import ocr_confidence_stats
+
+    plan = plan_of(ocr_confidence_stats(spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+    assert "REPARTITION_BY_NUM" in plan
