@@ -108,6 +108,7 @@ HEADLINE_EXTRACT = [
     "pdf_layout_spans",
     "main_content_blocks",
     "stream_extraction_spans",
+    "stream_confidence",
 ]
 EXTRACT_CPUS = 8
 

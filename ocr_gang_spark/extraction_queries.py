@@ -185,14 +185,18 @@ def ocr_confidence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice.  Scale shape: per-blob mapInPandas (no shuffle), NN forward
     batched per Arrow batch and deduplicated by matrix content —
     identical plan to the flagship's media branch."""
+    docs = spans_from_testdata(spark, sf_dir)
+    media = synth_media(spark, docs)
+    return confidence_stats_from(media, broadcast_weights(spark))
+
+
+def confidence_stats_from(media: DataFrame, weights_bc) -> DataFrame:
+    """DataFrame-level confidence routing over (media_ref, bytes) —
+    shared with the streaming variant (streaming.stream_confidence)."""
     from .kernels.bmp import decode_media_blob
     from .kernels.image_ops import binarize
     from .kernels.ocr import page_margin_stats
     from .synth import inject_scan_noise, is_degraded_ref
-
-    docs = spans_from_testdata(spark, sf_dir)
-    media = synth_media(spark, docs)
-    weights_bc = broadcast_weights(spark)
 
     def stats(batches):
         w = weights_bc.value

@@ -457,6 +457,68 @@ def stream_extraction_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_confidence",
+    # the SAME committed fixture the batch confidence router
+    # hash-matches: streamed routing must be value-identical to it
+    f"""
+    SELECT media_ref, degraded, n_glyphs, min_margin_ppm, sum_margin_ppm,
+           decision
+    FROM read_parquet('{_FIXTURES}/expected_confidence.parquet')
+    WHERE corpus_key = (SELECT CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT)
+                        AS VARCHAR) FROM documents)
+    """,
+)
+def stream_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR confidence routing as a continuous-ingest stream: media
+    blobs arrive as 3 time-ordered parquet files consumed one per
+    micro-batch (maxFilesPerTrigger=1, AvailableNow); each micro-batch
+    runs the SAME confidence_stats_from the batch router uses inside
+    foreachBatch and appends decisions.  Routing is per-blob, so batch
+    boundaries cannot change any decision — the finished stream must
+    hash-equal the batch fixture, which the driver checks.  This is
+    the triage shape at 10^12 docs: scans land continuously, degraded
+    pages route to review within one micro-batch instead of after a
+    full-corpus pass."""
+    import tempfile
+
+    from .extraction_queries import confidence_stats_from
+    from .pipeline import broadcast_weights
+    from .synth import spans_from_testdata, synth_media
+
+    docs = spans_from_testdata(spark, sf_dir)
+    media = synth_media(spark, docs)
+    weights_bc = broadcast_weights(spark)
+    work = tempfile.mkdtemp(prefix="ocrgang_sconf_")
+    in_dir = _os.path.join(work, "in")
+    out_dir = _os.path.join(work, "out")
+    cp_dir = _os.path.join(work, "cp")
+    media.withColumn(
+        "f", F.pmod(F.xxhash64("media_ref"), F.lit(3)).cast("int")
+    ).repartition("f").write.partitionBy("f").mode("overwrite").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("media_ref string, bytes binary")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+
+    def fb(batch_df: DataFrame, _bid: int) -> None:
+        confidence_stats_from(batch_df, weights_bc).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 from .textops import _qf_duck  # noqa: E402
 
 
