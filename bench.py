@@ -99,6 +99,7 @@ HEADLINE = [
 HEADLINE_EXTRACT = [
     "ocr_extract_spans",
     "ocr_confidence_stats",
+    "ocr_caption_agreement",
     "hough_deskew",
     "media_metadata",
     "media_resize_stats",

@@ -234,6 +234,150 @@ def confidence_stats_from(media: DataFrame, weights_bc) -> DataFrame:
     )
 
 
+# char-trigram Jaccard bands for the OCR/caption agreement score
+AGREE_HIGH_PPM, AGREE_MID_PPM = 120_000, 30_000
+
+_AGREE_PICK = (
+    "CASE WHEN next_t IS NOT NULL AND length(next_t) > length(prev_t) "
+    "THEN next_t ELSE prev_t END"
+)
+_AGREE_ORACLE = f"""
+WITH sp AS (SELECT doc_id, kind, text, media_ref, "offset"
+            FROM read_parquet('{_FIXTURES}/expected_extraction.parquet')
+            WHERE corpus_key = {_CORPUS_KEY_SQL}),
+winp AS (
+  SELECT doc_id, kind, media_ref, text AS ocr_t,
+         last_value(CASE WHEN kind='text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t,
+         first_value(CASE WHEN kind='text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t
+  FROM sp),
+m AS (SELECT doc_id, media_ref, ocr_t, {_AGREE_PICK} AS caption
+      FROM winp WHERE kind = 'media'),
+t AS (SELECT doc_id, media_ref,
+             CAST(length(ocr_t) AS BIGINT) AS ocr_len,
+             CAST(length(caption) AS BIGINT) AS caption_len,
+             list_distinct(list_transform(
+               range(1, greatest(length(ocr_t) - 1, CAST(1 AS BIGINT))),
+               i -> substr(ocr_t, CAST(i AS INT), 3))) AS ta,
+             list_distinct(list_transform(
+               range(1, greatest(length(caption) - 1, CAST(1 AS BIGINT))),
+               i -> substr(caption, CAST(i AS INT), 3))) AS tb
+      FROM m),
+s AS (SELECT doc_id, media_ref, ocr_len, caption_len,
+             CAST(len(list_intersect(ta, tb)) AS BIGINT) AS tri_overlap,
+             CAST(len(ta) AS BIGINT) AS na, CAST(len(tb) AS BIGINT) AS nb
+      FROM t)
+SELECT doc_id, media_ref, ocr_len, caption_len, tri_overlap,
+       CASE WHEN na + nb - tri_overlap > 0
+            THEN CAST((tri_overlap * 1000000) // (na + nb - tri_overlap)
+                      AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS jac_ppm,
+       CASE WHEN na + nb - tri_overlap > 0
+             AND (tri_overlap * 1000000) // (na + nb - tri_overlap)
+                 >= {AGREE_HIGH_PPM} THEN 'high'
+            WHEN na + nb - tri_overlap > 0
+             AND (tri_overlap * 1000000) // (na + nb - tri_overlap)
+                 >= {AGREE_MID_PPM} THEN 'mid'
+            ELSE 'low' END AS band
+FROM s
+"""
+
+
+@register("ocr_caption_agreement", _AGREE_ORACLE)
+def ocr_caption_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical image-text alignment over EXTRACTED interleaved spans:
+    for each media span, pair its OCR'd text with the nearest extracted
+    text span (the caption miner's longer-of-prev/next rule) and score
+    agreement as the char-trigram Jaccard in integer ppm, banded
+    low/mid/high.  This is the pre-embedding alignment signal a
+    multimodal curation pipeline computes after extraction — captions
+    that share no surface text with what's IN the image are the weak
+    pairs a contrastive trainer wants downweighted.
+
+    Oracle strength: the OCR text itself is the flagship's pinned
+    fixture, but the pairing windows and the trigram/Jaccard scoring
+    are recomputed RELATIONALLY by DuckDB over that fixture — so this
+    row is a true cross-engine value check of the alignment logic, not
+    a fixture echo.  Honesty note: on THIS corpus the page renderer's
+    glyph text is unrelated to the document words, so the score
+    correctly concentrates at 0/'low' (p100 ~27k ppm at sf0.01) —
+    the discrimination property (identical text -> 1e6 ppm 'high',
+    disjoint -> 0 'low') is pinned on constructed spans in
+    tests/test_caption_agreement.py.  Scale shape: one shuffle
+    (doc_id) + two frame-bounded windows + in-row set ops — identical
+    plan family to caption_pair_mining."""
+    docs = spans_from_testdata(spark, sf_dir)
+    media = synth_media(spark, docs)
+    out = extract_documents(docs, media, broadcast_weights(spark))
+    spans = out.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    return caption_agreement_from(spans)
+
+
+def caption_agreement_from(spans: DataFrame) -> DataFrame:
+    """DataFrame-level agreement scorer over an exploded span stream
+    (doc_id, kind, text, media_ref, offset) — see ocr_caption_agreement."""
+    win = Window.partitionBy("doc_id").orderBy("offset")
+    prev_t = F.last(
+        F.when(F.col("kind") == "text", F.col("text")), ignorenulls=True
+    ).over(win.rowsBetween(Window.unboundedPreceding, -1))
+    next_t = F.first(
+        F.when(F.col("kind") == "text", F.col("text")), ignorenulls=True
+    ).over(win.rowsBetween(1, Window.unboundedFollowing))
+    m = (
+        spans.select(
+            "doc_id", "kind", "media_ref",
+            F.col("text").alias("ocr_t"),
+            prev_t.alias("prev_t"), next_t.alias("next_t"),
+        )
+        .where(F.col("kind") == "media")
+        .withColumn(
+            "caption",
+            F.when(
+                F.col("next_t").isNotNull()
+                & (F.length("next_t") > F.length("prev_t")),
+                F.col("next_t"),
+            ).otherwise(F.col("prev_t")),
+        )
+    )
+
+    def tri(col: str):
+        return F.expr(
+            f"CASE WHEN length({col}) >= 3 THEN "
+            f"array_distinct(transform(sequence(1, length({col}) - 2), "
+            f"i -> substring({col}, i, 3))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+
+    t = m.select(
+        "doc_id", "media_ref",
+        F.length("ocr_t").cast("bigint").alias("ocr_len"),
+        F.length("caption").cast("bigint").alias("caption_len"),
+        tri("ocr_t").alias("ta"), tri("caption").alias("tb"),
+    )
+    s = t.select(
+        "doc_id", "media_ref", "ocr_len", "caption_len",
+        F.size(F.array_intersect("ta", "tb")).cast("bigint").alias("tri_overlap"),
+        F.size("ta").cast("bigint").alias("na"),
+        F.size("tb").cast("bigint").alias("nb"),
+    )
+    union = F.col("na") + F.col("nb") - F.col("tri_overlap")
+    jac = F.expr("(tri_overlap * 1000000) DIV (na + nb - tri_overlap)")
+    jac_ppm = F.when(union > 0, jac).otherwise(F.lit(0)).cast("bigint")
+    return s.select(
+        "doc_id", "media_ref", "ocr_len", "caption_len", "tri_overlap",
+        jac_ppm.alias("jac_ppm"),
+        F.when(jac_ppm >= AGREE_HIGH_PPM, F.lit("high"))
+        .when(jac_ppm >= AGREE_MID_PPM, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("band"),
+    )
+
+
 @register(
     "html_strip_dirty",
     # closed-form value oracle for the REAL stripping branches (script/
