@@ -337,6 +337,45 @@ def compact_output(
     return CompactResult(run_id, len(pids), files_before, files_after, n_before)
 
 
+def clean_orphans(output_dir: str, n_parts: int) -> dict:
+    """Orphan cleanup for the output table — the Iceberg
+    remove_orphan_files analog, closing the two documented local-FS
+    hazards a snapshot store would prevent:
+
+    * **stale partition dirs from an older n_parts** — dynamic
+      overwrite only replaces the new partitioning's dirs, so a
+      part_id >= n_parts dir left by a previous configuration would
+      silently DUPLICATE documents on read (run_extraction's manifest
+      refuses the resume, but a cleared-manifest rerun could still
+      read the stale dirs);
+    * **write-protocol leftovers** (_temporary staging trees from a
+      crashed commit).
+
+    Deliberately NOT removed: in-range partition dirs (live data),
+    the compaction log and run manifest.  Returns
+    {removed_part_dirs, removed_staging} counts; pure local-FS
+    metadata work, no Spark job."""
+    import shutil
+
+    removed_parts, removed_staging = [], 0
+    if not os.path.isdir(output_dir):
+        return {"removed_part_dirs": [], "removed_staging": 0}
+    for name in list(os.listdir(output_dir)):
+        path = os.path.join(output_dir, name)
+        if name.startswith("part_id="):
+            pid = int(name.split("=", 1)[1])
+            if not (0 <= pid < n_parts):
+                shutil.rmtree(path)
+                removed_parts.append(pid)
+        elif name.startswith("_temporary") or name.startswith(".spark-staging"):
+            shutil.rmtree(path, ignore_errors=True)
+            removed_staging += 1
+    return {
+        "removed_part_dirs": sorted(removed_parts),
+        "removed_staging": removed_staging,
+    }
+
+
 def load_output(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(output_dir)
 

@@ -75,3 +75,29 @@ def test_large_partitions_left_alone(spark, fragmented):
     res = compact_output(spark, fragmented, target_bytes=smallest - 1)
     assert res.n_parts_compacted == 0
     assert _part_file_stats(fragmented) == stats
+
+
+def test_clean_orphans_removes_stale_partitions_only(spark, fragmented):
+    import os
+    import shutil
+
+    from ocr_gang_spark.checkpoint import clean_orphans
+
+    before = rows_of(spark, fragmented)
+    # simulate an old-n_parts leftover and a crashed-commit staging tree
+    stale = os.path.join(fragmented, "part_id=99")
+    shutil.copytree(os.path.join(fragmented, "part_id=0"), stale)
+    os.makedirs(os.path.join(fragmented, "_temporary", "0"))
+
+    # stale dir would duplicate part-0 rows on read
+    assert len(rows_of(spark, fragmented)) > len(before)
+
+    res = clean_orphans(fragmented, n_parts=N_PARTS)
+    assert res == {"removed_part_dirs": [99], "removed_staging": 1}
+    assert rows_of(spark, fragmented) == before
+
+    # idempotent; live dirs untouched
+    assert clean_orphans(fragmented, n_parts=N_PARTS) == {
+        "removed_part_dirs": [],
+        "removed_staging": 0,
+    }
