@@ -57,6 +57,7 @@ HEADLINE = [
     "quality_filter_decisions",
     "quality_classifier_scores",
     "caption_pair_mining",
+    "caption_negative_samples",
     "unigram_lm_tiers",
     "repetition_ngram_stats",
     "rolling_fingerprint",

@@ -650,3 +650,82 @@ def caption_pairs_from(docs: DataFrame) -> DataFrame:
         F.when(use_next, F.lit("next")).otherwise(F.lit("prev")).alias("side"),
         F.length(caption).cast("bigint").alias("caption_len"),
     )
+
+
+# contrastive negative sampling: B hash-assigned training batches, K
+# in-batch negatives per (image, caption) pair
+NEG_BATCHES, NEG_K = 16, 2
+
+_NEG_ORACLE = f"""
+WITH pairs AS ({_CAP_ORACLE.strip()}),
+pb AS (SELECT doc_id, media_ref, caption,
+              ('0x' || substr(md5(media_ref), 1, 8))::BIGINT % {NEG_BATCHES}
+                AS batch_id
+       FROM pairs),
+rk AS (SELECT *,
+              CAST(row_number() OVER (PARTITION BY batch_id
+                                      ORDER BY md5(media_ref)) AS BIGINT) AS r,
+              CAST(COUNT(*) OVER (PARTITION BY batch_id) AS BIGINT) AS bs
+       FROM pb),
+ex AS (SELECT rk.*, CAST(u.j AS BIGINT) AS j
+       FROM rk, UNNEST([{", ".join(str(j) for j in range(1, NEG_K + 1))}]) AS u(j))
+SELECT e.doc_id, e.media_ref, e.caption, e.batch_id,
+       e.j AS neg_rank,
+       n.media_ref AS neg_media_ref, n.caption AS neg_caption,
+       (n.doc_id = e.doc_id) AS same_doc
+FROM ex e
+JOIN rk n ON n.batch_id = e.batch_id
+         AND n.r = ((e.r - 1 + e.j) % e.bs) + 1
+WHERE n.media_ref <> e.media_ref
+"""
+
+
+@register("caption_negative_samples", _NEG_ORACLE)
+def caption_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive
+    image-text training (the CLIP/SigLIP data-prep step after caption
+    mining): pairs are hash-assigned to NEG_BATCHES training batches
+    (md5-prefix of media_ref — engine-exact), ranked inside their batch
+    by md5 order (a deterministic shuffle), and each pair takes the
+    next NEG_K pairs' captions cyclically as negatives.  same_doc flags
+    the rare negative drawn from the anchor's own document (a trainer
+    downweights or masks those); self-negatives (bs==1 wrap) are
+    excluded in both engines.
+
+    Scale shape: negatives come from WITHIN a hash batch — exactly the
+    in-batch-negatives semantics trainers use — so every window
+    partitions by batch_id (parallel, bounded by batch size) and the
+    cyclic pick is a hash JOIN on (batch_id, rank), never a global
+    window or cross join.  Two shuffles total on the same key."""
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = caption_pairs_from(docs).select("doc_id", "media_ref", "caption")
+    h = F.conv(F.substring(F.md5("media_ref"), 1, 8), 16, 10).cast("bigint")
+    pb = pairs.withColumn("batch_id", h % NEG_BATCHES)
+    wb = Window.partitionBy("batch_id")
+    rk = pb.withColumn(
+        "r", F.row_number().over(wb.orderBy(F.md5("media_ref"))).cast("bigint")
+    ).withColumn("bs", F.count("*").over(wb).cast("bigint"))
+    ex = rk.withColumn(
+        "j",
+        F.explode(
+            F.array(*[F.lit(j).cast("bigint") for j in range(1, NEG_K + 1)])
+        ),
+    )
+    neg = rk.select(
+        F.col("batch_id").alias("nb"),
+        F.col("r").alias("nr"),
+        F.col("doc_id").alias("neg_doc"),
+        F.col("media_ref").alias("neg_media_ref"),
+        F.col("caption").alias("neg_caption"),
+    )
+    out = ex.join(
+        neg,
+        (F.col("batch_id") == F.col("nb"))
+        & (F.col("nr") == (F.col("r") - 1 + F.col("j")) % F.col("bs") + 1),
+    )
+    return out.where(F.col("neg_media_ref") != F.col("media_ref")).select(
+        "doc_id", "media_ref", "caption", "batch_id",
+        F.col("j").alias("neg_rank"),
+        "neg_media_ref", "neg_caption",
+        (F.col("neg_doc") == F.col("doc_id")).alias("same_doc"),
+    )
