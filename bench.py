@@ -101,6 +101,8 @@ HEADLINE_EXTRACT = [
     "ocr_extract_spans",
     "ocr_confidence_stats",
     "ocr_caption_agreement",
+    "interleaved_text_render",
+    "media_resolution_report",
     "hough_deskew",
     "media_metadata",
     "media_resize_stats",

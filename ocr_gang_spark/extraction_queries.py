@@ -729,3 +729,162 @@ def caption_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_media_ref", "neg_caption",
         (F.col("neg_doc") == F.col("doc_id")).alias("same_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-text export: the EXTRACTED span sequence re-serialized into
+# one training document per doc_id — text spans verbatim, media spans as
+# an <img:ref> placeholder followed by their OCR text (the interleaved
+# text+image convention multimodal trainers consume).  Spans join with
+# a single '\n'.
+# ---------------------------------------------------------------------------
+
+_RENDER_ORACLE = f"""
+WITH sp AS (SELECT doc_id, kind, text, media_ref, "offset"
+            FROM read_parquet('{_FIXTURES}/expected_extraction.parquet')
+            WHERE corpus_key = {_CORPUS_KEY_SQL}),
+r AS (SELECT doc_id, "offset",
+             CASE WHEN kind = 'media'
+                  THEN '<img:' || media_ref || '>' || chr(10) || text
+                  ELSE text END AS piece,
+             CAST(kind = 'media' AS INT) AS is_media
+      FROM sp),
+g AS (SELECT doc_id,
+             string_agg(piece, chr(10) ORDER BY "offset") AS rendered,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(is_media) AS BIGINT) AS n_media
+      FROM r GROUP BY doc_id)
+SELECT doc_id, n_spans, n_media,
+       CAST(length(rendered) AS BIGINT) AS rendered_len,
+       md5(rendered) AS rendered_md5
+FROM g
+"""
+
+
+@register("interleaved_text_render", _RENDER_ORACLE)
+def interleaved_text_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-text export: re-serialize each document's EXTRACTED
+    span sequence into one interleaved training document — text spans
+    verbatim, each media span as an ``<img:ref>`` placeholder line
+    followed by its OCR text, pieces joined by newlines in offset
+    order.  This is the last hop before tokenization: what
+    sequence-packing bins and the epoch shard layout actually ship.
+
+    The driver compares the rendered document via md5 + length (the
+    full string stays executor-side); the oracle recomputes the SAME
+    serialization relationally over the pinned extraction fixture, so
+    ordering, placeholder format and the join convention are all
+    cross-engine-checked.  Scale shape: the extraction output is
+    already one row per doc with the spans array in order — the render
+    is a pure in-row fold (transform + array_join + md5), ZERO
+    additional shuffle after the pipeline's own."""
+    docs = spans_from_testdata(spark, sf_dir)
+    media = synth_media(spark, docs)
+    out = extract_documents(docs, media, broadcast_weights(spark))
+    piece = F.transform(
+        "spans",
+        lambda s: F.when(
+            s.kind == "media",
+            F.concat(F.lit("<img:"), s.media_ref, F.lit(">\n"), s.text),
+        ).otherwise(s.text),
+    )
+    rendered = F.array_join(piece, "\n")
+    n_media = F.aggregate(
+        F.transform(
+            "spans", lambda s: F.when(s.kind == "media", 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return out.select(
+        "doc_id",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        n_media.cast("bigint").alias("n_media"),
+        F.length(rendered).cast("bigint").alias("rendered_len"),
+        F.md5(rendered).alias("rendered_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Media-resolution report: at ingest scale the doc table and the blob
+# store land separately, so some media_refs don't resolve yet.  The
+# blob-store snapshot is simulated deterministically (a ref is resolved
+# iff md5int(ref) % 7 != 0, ~14% pending) — inject-then-detect like the
+# degraded-scan slice.
+# ---------------------------------------------------------------------------
+
+_RESOLVE_MOD = 7
+
+_RESOLVE_ORACLE = f"""
+WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS nm FROM documents),
+m AS (SELECT doc_id, nm,
+             list_transform(range(nm), j ->
+               'img-' || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR))
+               AS refs
+      FROM d),
+r AS (SELECT doc_id, nm,
+             list_filter(refs, x ->
+               ('0x' || substr(md5(x), 1, 8))::BIGINT % {_RESOLVE_MOD} = 0)
+               AS missing
+      FROM m)
+SELECT doc_id,
+       nm AS n_media,
+       nm - CAST(len(missing) AS BIGINT) AS n_resolved,
+       CAST(len(missing) AS BIGINT) AS n_missing,
+       CASE WHEN len(missing) > 0 THEN list_sort(missing)[1] END
+         AS first_missing_ref,
+       CASE WHEN nm = 0 THEN 'no_media'
+            WHEN len(missing) = 0 THEN 'full'
+            WHEN len(missing) = nm THEN 'blocked'
+            ELSE 'partial' END AS status
+FROM r
+"""
+
+
+@register("media_resolution_report", _RESOLVE_ORACLE)
+def media_resolution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dangling-media-ref report over the interleaved layout: per
+    document, how many of its media spans resolve against the current
+    blob-store snapshot — the planning input for incremental
+    re-extraction (blocked/partial docs are re-enqueued when the blobs
+    backfill; checkpoint.run_extraction's anti-join resume then
+    processes exactly those).  The snapshot membership is the
+    deterministic md5 rule above, identical in both engines.
+
+    Scale shape: ZERO shuffle — the ref list is derived in-row from
+    the span layout and membership is an in-row hash filter; no join
+    against a blob manifest is needed when membership is decidable
+    from the ref (content-addressed stores), and when it isn't, this
+    becomes one left-anti join on media_ref, the corpus's natural key."""
+    (docs,) = load(spark, sf_dir, "documents")
+    nm = (F.col("doc_id") % 3).cast("bigint")
+    refs = F.when(
+        nm > 0,
+        F.transform(
+            F.sequence(F.lit(0), nm - 1),
+            lambda j: F.concat(
+                F.lit("img-"), F.col("doc_id").cast("string"),
+                F.lit("-"), j.cast("string"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select("doc_id", nm.alias("n_media"), refs.alias("refs"))
+    missing = F.filter(
+        "refs",
+        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
+        % _RESOLVE_MOD
+        == 0,
+    )
+    r = d.select("doc_id", "n_media", missing.alias("missing"))
+    n_miss = F.size("missing").cast("bigint")
+    return r.select(
+        "doc_id", "n_media",
+        (F.col("n_media") - n_miss).alias("n_resolved"),
+        n_miss.alias("n_missing"),
+        F.when(n_miss > 0, F.array_min("missing")).alias("first_missing_ref"),
+        F.when(F.col("n_media") == 0, F.lit("no_media"))
+        .when(n_miss == 0, F.lit("full"))
+        .when(n_miss == F.col("n_media"), F.lit("blocked"))
+        .otherwise(F.lit("partial"))
+        .alias("status"),
+    )
