@@ -649,3 +649,36 @@ def test_ocr_confidence_is_map_only_with_explicit_parallelism(spark):
     assert "Window" not in plan
     assert plan.count("Exchange") == 1
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_caption_negatives_batched_never_global(spark):
+    """In-batch negatives: windows partition by batch_id, the cyclic
+    pick is a hash join — no SinglePartition, no cartesian, no SMJ."""
+    from ocr_gang_spark.extraction_queries import caption_negative_samples
+
+    plan = plan_of(caption_negative_samples(spark, SF), mode="simple")
+    assert "hashpartitioning(batch_id" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_text_render_adds_no_shuffle(spark):
+    """The render is an in-row fold over the pipeline's output: no
+    window, and only the pipeline's own single blob join."""
+    from ocr_gang_spark.extraction_queries import interleaved_text_render
+
+    plan = plan_of(interleaved_text_render(spark, SF), mode="simple")
+    assert "Window" not in plan
+    assert plan.count("ShuffledHashJoin") == 1  # the pipeline's blob join
+    assert "SortMergeJoin" not in plan
+
+
+def test_media_resolution_is_scan_only(spark):
+    """Zero shuffle, zero joins: ref derivation + membership filter are
+    in-row."""
+    from ocr_gang_spark.extraction_queries import media_resolution_report
+
+    plan = plan_of(media_resolution_report(spark, SF), mode="simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
