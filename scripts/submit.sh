@@ -1,6 +1,6 @@
 #!/bin/bash
 # spark-submit deployment (north_rule: --py-files packaging, multi-executor).
-# Usage: scripts/submit.sh [--job extract|curate] [job args...]
+# Usage: scripts/submit.sh [--job extract|curate|mmcurate] [job args...]
 #        (env: SPARK_GRAFT_CPUS=32)
 set -euo pipefail
 JOB="extract"
