@@ -184,7 +184,14 @@ def _stream_data(obj: bytes, objs: Dict[int, bytes]) -> Optional[bytes]:
             data = data[:end].rstrip(b"\r\n")
     filt = _dict_value(d, b"Filter")
     if filt and b"FlateDecode" in filt:
-        data = zlib.decompress(data)
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as e:
+            # corrupt/truncated Flate payload: normalize to the module's
+            # clean-failure contract (a raw zlib.error escaping an
+            # executor task is an unexpected exception type for the
+            # quarantine routing; tests/test_pdf_fuzz.py pins this)
+            raise ValueError(f"undecodable FlateDecode stream: {e}") from e
     return data
 
 
@@ -337,12 +344,21 @@ def _tokenize(data: bytes):
                 j += 1
             yield ("num", float(data[i:j]))
             i = j
+        elif c == 0x25:  # % comment — skip to end of line (PDF 7.2.4)
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
         else:  # operator keyword
             j = i
             while j < n and data[j] not in b" \t\r\n\x00\x0c()<>[]{}/%":
                 j += 1
-            yield ("op", data[i:j])
-            i = j
+            if j > i:
+                yield ("op", data[i:j])
+            # stray delimiter bytes ()}{> land here with j == i (binary
+            # garbage reaching the tokenizer, e.g. a corrupt /Filter
+            # name leaving a Flate payload undecoded): force progress —
+            # an empty-op spin is the same executor-wedge class as the
+            # lone-'<' bug (tests/test_pdf_fuzz.py pins both)
+            i = max(j, i + 1)
 
 
 # --------------------------------------------------------------------------
