@@ -60,20 +60,31 @@ def curation_decisions(docs: DataFrame) -> DataFrame:
 
     Columns: doc_id, keep (bool), stage ('kept' | 'quality' | 'dedup'),
     drop_reasons (quality rule names, '' otherwise), bin_id/bin_offset
-    (packing assignment for kept docs, NULL otherwise).
+    (packing assignment for kept docs, NULL otherwise), group_id (the
+    near-dup component group key the split is hashed on; == doc_id for
+    docs with no verified duplicate) and split ('train'/'val'/'test'
+    for kept docs, NULL otherwise — hashed on group_id so surviving
+    docs whose near-dups were dropped still land deterministically
+    with their cluster, the leakage-safe rule of
+    textops.leakage_safe_split).
 
     Order of stages follows the production convention: cheap per-row
     quality rules first (they shrink the corpus before the shuffling
     stages), dedup over the survivors, packing over what remains.
     """
     q = quality_decisions_from(docs).select("doc_id", "keep", "drop_reasons")
+    nulls = [
+        F.lit(None).cast("bigint").alias("bin_id"),
+        F.lit(None).cast("bigint").alias("bin_offset"),
+        F.lit(None).cast("bigint").alias("group_id"),
+        F.lit(None).cast("string").alias("split"),
+    ]
     q_drop = q.where(~F.col("keep")).select(
         "doc_id",
         F.lit(False).alias("keep"),
         F.lit("quality").alias("stage"),
         "drop_reasons",
-        F.lit(None).cast("bigint").alias("bin_id"),
-        F.lit(None).cast("bigint").alias("bin_offset"),
+        *nulls,
     )
     q_docs = docs.join(
         q.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
@@ -85,10 +96,31 @@ def curation_decisions(docs: DataFrame) -> DataFrame:
         F.lit(False).alias("keep"),
         F.lit("dedup").alias("stage"),
         F.lit("near_dup").alias("drop_reasons"),
-        F.lit(None).cast("bigint").alias("bin_id"),
-        F.lit(None).cast("bigint").alias("bin_offset"),
+        *nulls,
     )
     kept_docs = q_docs.join(dup_drop_ids, "doc_id", "left_anti")
+    # leakage-safe split for the survivors: hash the component group key
+    # (the component table is already computed above — one small left
+    # join, in-row md5 bucket; same 90/5/5 rule as leakage_safe_split)
+    group = kept_docs.select("doc_id").join(
+        comps.select("doc_id", "component_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component_id", "doc_id").alias("group_id")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("group_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    split_of = group.select(
+        "doc_id",
+        F.col("group_id").cast("bigint").alias("group_id"),
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
     packed = sequence_pack_from(kept_docs).select(
         "doc_id",
         F.lit(True).alias("keep"),
@@ -96,7 +128,7 @@ def curation_decisions(docs: DataFrame) -> DataFrame:
         F.lit("").alias("drop_reasons"),
         "bin_id",
         "bin_offset",
-    )
+    ).join(split_of, "doc_id")
     return packed.unionByName(q_drop).unionByName(d_drop)
 
 
@@ -134,6 +166,10 @@ def run_curation(
             "n_parts": int(n_parts),
             "jaccard_t": float(DEDUP_JACCARD_T),
             "pack_budget": int(SEQ_PACK_BUDGET),
+            # decisions-table schema version: bumping it makes resumes
+            # against a pre-split decisions dir refuse loudly instead of
+            # failing on a missing column
+            "decisions_schema": 2,
         },
     )
     t0 = time.time()
@@ -160,7 +196,9 @@ def run_curation(
         .collect()[0]["b"]
     )
 
-    kept = decisions.where(F.col("keep")).select("doc_id", "bin_id", "bin_offset")
+    kept = decisions.where(F.col("keep")).select(
+        "doc_id", "bin_id", "bin_offset", "split"
+    )
     out = with_part_id(docs.join(kept, "doc_id"), n_parts)
     done = completed_parts(spark, checkpoint_dir, n_parts)
     done_ids = {r.part_id for r in done.collect()}

@@ -85,3 +85,27 @@ def test_manifest_refuses_changed_options(spark, docs, tmp_path):
     run_curation(spark, docs, out, cp, n_parts=N_PARTS)
     with pytest.raises(ValueError, match="refusing to resume"):
         run_curation(spark, docs, out, cp, n_parts=N_PARTS * 2)
+
+
+def test_split_is_leakage_safe_and_kept_only(spark, docs):
+    import hashlib
+
+    from ocr_gang_spark.curation import curation_decisions
+
+    d = curation_decisions(docs).collect()
+    kept = [r for r in d if r.keep]
+    assert kept and all(r.split in ("train", "val", "test") for r in kept)
+    assert all(r.split is None and r.group_id is None for r in d if not r.keep)
+    for r in kept:
+        # the group key is the component min-member.  Under the min-id
+        # survivor policy the kept member IS the min member, so
+        # group_id == doc_id for every kept doc — the group hash only
+        # diverges from a row hash under a different survivor policy
+        # (e.g. quality-argmax), which is exactly why the key is stored
+        # rather than re-derived at split time.
+        assert r.group_id == r.doc_id
+        b = int(hashlib.md5(str(r.group_id).encode()).hexdigest()[:8], 16) % 100
+        want = "train" if b < 90 else ("val" if b < 95 else "test")
+        assert r.split == want, (r.doc_id, r.group_id)
+    # the component join path is exercised: dedup drops exist
+    assert any(r.stage == "dedup" for r in d)
