@@ -17,8 +17,16 @@ def docs(spark):
     return synth_flat_documents(spark, N_DOCS, seed=7).cache()
 
 
-def test_decisions_partition_the_corpus(spark, docs):
-    d = curation_decisions(docs).cache()
+@pytest.fixture(scope="module")
+def decisions(spark, docs):
+    """One shared run of the full decisions pipeline (quality + LSH +
+    components + pack + split) — it is the expensive part of this file,
+    and every consistency test reads the same deterministic output."""
+    return curation_decisions(docs).cache()
+
+
+def test_decisions_partition_the_corpus(spark, docs, decisions):
+    d = decisions
     assert d.count() == N_DOCS
     assert d.select("doc_id").distinct().count() == N_DOCS
     by_stage = {r["stage"]: r["n"] for r in
@@ -30,23 +38,21 @@ def test_decisions_partition_the_corpus(spark, docs):
     # every kept doc has a bin assignment, every dropped doc has none
     assert d.where(F.col("keep") & F.col("bin_id").isNull()).count() == 0
     assert d.where(~F.col("keep") & F.col("bin_id").isNotNull()).count() == 0
-    d.unpersist()
 
 
-def test_quality_stage_matches_standalone_filter(spark, docs):
-    d = curation_decisions(docs)
+def test_quality_stage_matches_standalone_filter(spark, docs, decisions):
+    d = decisions
     q = quality_decisions_from(docs)
     dq = {r.doc_id for r in d.where(F.col("stage") == "quality").collect()}
     qq = {r.doc_id for r in q.where(~F.col("keep")).collect()}
     assert dq == qq
 
 
-def test_injected_dup_is_dropped_and_its_base_kept(spark, docs):
+def test_injected_dup_is_dropped_and_its_base_kept(spark, docs, decisions):
     """Every FLAT_DUP_EVERY-th doc is a one-word-off copy of its
     predecessor; the pair member with the LARGER id must drop (min-id
     canonical) whenever both pass quality."""
-    d = curation_decisions(docs)
-    rows = {r.doc_id: r for r in d.collect()}
+    rows = {r.doc_id: r for r in decisions.collect()}
     found = 0
     for dup_id in range(2 * FLAT_DUP_EVERY - 1, N_DOCS, FLAT_DUP_EVERY):
         base_id = dup_id - 1
@@ -87,12 +93,10 @@ def test_manifest_refuses_changed_options(spark, docs, tmp_path):
         run_curation(spark, docs, out, cp, n_parts=N_PARTS * 2)
 
 
-def test_split_is_leakage_safe_and_kept_only(spark, docs):
+def test_split_is_leakage_safe_and_kept_only(spark, docs, decisions):
     import hashlib
 
-    from ocr_gang_spark.curation import curation_decisions
-
-    d = curation_decisions(docs).collect()
+    d = decisions.collect()
     kept = [r for r in d if r.keep]
     assert kept and all(r.split in ("train", "val", "test") for r in kept)
     assert all(r.split is None and r.group_id is None for r in d if not r.keep)
