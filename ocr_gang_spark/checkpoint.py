@@ -114,6 +114,8 @@ def run_extraction(
     weights_bc=None,
     deskew: bool = False,
     on_error: str = "fail",
+    with_margins: bool = False,
+    degrade_slice: bool = False,
 ) -> RunResult:
     """One (possibly resuming) extraction run.
 
@@ -126,11 +128,13 @@ def run_extraction(
     # from a different n_parts (full reprocess), but dynamic partition
     # overwrite only replaces the NEW part_id dirs — stale dirs from the
     # old partitioning would silently duplicate documents in the output;
-    # on_error changes what rows corrupt blobs produce
+    # on_error changes what rows corrupt blobs produce; margin/degrade
+    # flags change the output schema and the OCR input respectively
     _check_run_manifest(
         checkpoint_dir,
         {"deskew": bool(deskew), "n_parts": int(n_parts),
-         "on_error": str(on_error)},
+         "on_error": str(on_error), "with_margins": bool(with_margins),
+         "degrade_slice": bool(degrade_slice)},
     )
     weights_bc = weights_bc or broadcast_weights(spark)
     t0 = time.time()
@@ -151,7 +155,8 @@ def run_extraction(
 
     extracted = extract_documents(
         remaining.drop("part_id"), media, weights_bc, deskew=deskew,
-        on_error=on_error,
+        on_error=on_error, with_margins=with_margins,
+        degrade_slice=degrade_slice,
     )
     # per-doc span stats become plain columns so the lineage pass can
     # read 3 small columns instead of re-exploding the spans arrays

@@ -155,3 +155,87 @@ def page_margin_stats(bw_pages: Iterable[np.ndarray], weights: OcrWeights):
         vals = ppm[slots]
         out.append((len(slots), int(vals.min()), int(vals.sum())))
     return out
+
+
+def _cls_margin_cache(weights: OcrWeights) -> OrderedDict:
+    cache = getattr(weights, "_cls_margin_cache", None)
+    if cache is None:
+        cache = OrderedDict()
+        object.__setattr__(weights, "_cls_margin_cache", cache)
+    return cache
+
+
+def ocr_pages_to_text_margins(pages, weights: OcrWeights):
+    """Fused single-pass OCR + confidence: returns
+    ``(texts, [(n_glyphs, min_margin_ppm | None, sum_margin_ppm)])``
+    with texts IDENTICAL to ocr_pages_to_text (same segmentation, same
+    argmax — classify_margin_ppm shares the forward).
+
+    This is the production margin path: the separate
+    page_margin_stats pass re-runs decode+segment+forward, which at
+    10^12 blobs doubles the NN cost; here margins ride the extraction
+    forward for free.  Separate memo cache (values are (char, ppm)
+    pairs) so the exact-match text path's cache shape is untouched."""
+    cache = _cls_margin_cache(weights)
+    layouts = []  # per page: list of lines of (str|None|int, ppm|None)
+    novel: List[np.ndarray] = []
+    novel_keys: List[bytes] = []
+    pending: dict[bytes, int] = {}
+
+    while len(_MAT_CACHE) > _MAT_CACHE_MAX:
+        _MAT_CACHE.popitem(last=False)
+    for rgb in pages:
+        bw = binarize(rgb)
+        layout = []
+        for line in segment_page(bw, matrix_cache=_MAT_CACHE):
+            slots = []
+            for mat in line:
+                if mat is None:
+                    slots.append(None)
+                    continue
+                key = mat.tobytes()
+                hit = cache.get(key)
+                if hit is not None:
+                    cache.move_to_end(key)
+                    slots.append(hit)
+                    continue
+                idx = pending.get(key)
+                if idx is None:
+                    idx = len(novel)
+                    pending[key] = idx
+                    novel.append(mat)
+                    novel_keys.append(key)
+                slots.append(idx)
+            layout.append(slots)
+        layouts.append(layout)
+
+    if novel:
+        chars, ppms = classify_margin_ppm(np.stack(novel), weights)
+        for key, ch, ppm in zip(novel_keys, chars, ppms):
+            cache[key] = (str(ch), int(ppm))
+        while len(cache) > _CLS_CACHE_MAX:
+            cache.popitem(last=False)
+        resolved = [(str(c), int(p)) for c, p in zip(chars, ppms)]
+    else:
+        resolved = []
+
+    texts, stats = [], []
+    for layout in layouts:
+        text_lines = []
+        ppm_vals = []
+        for slots in layout:
+            chs = []
+            for s in slots:
+                if s is None:
+                    chs.append(" ")
+                    continue
+                ch, ppm = s if isinstance(s, tuple) else resolved[s]
+                chs.append(ch)
+                ppm_vals.append(ppm)
+            text_lines.append("".join(chs))
+        texts.append("\n".join(text_lines))
+        if ppm_vals:
+            stats.append((len(ppm_vals), min(ppm_vals), sum(ppm_vals)))
+        else:
+            stats.append((0, None, 0))
+    return texts, stats

@@ -18,12 +18,16 @@ Three stages, each with the resume discipline its data size demands:
   OCR-text convention, extraction_queries.interleaved_text_render),
   write partitioned by part_id with the shared done-part ledger.
 
-Cost honesty: the confidence pass re-decodes and re-classifies the
-media blobs (a second NN pass over media).  At 10^12 scale you would
-fold margin emission into stage E instead; here the flagship's span
-schema is pinned by the reference-equality fixtures, so the job trades
-a second map-only pass for leaving the exact-match path untouched —
-the trade is documented, not hidden.
+Single-pass confidence: stage E runs the extraction pipeline with
+``with_margins=True`` (kernels/ocr.ocr_pages_to_text_margins — margins
+ride the SAME NN forward; text output pinned identical to the default
+path) and ``degrade_slice=True`` (the inject-then-detect demo input:
+every OCR_NOISE_EVERY-th document's pages are deterministically
+degraded BEFORE OCR, as degraded scans arrive degraded in production).
+Stage D then reads the per-doc ``doc_min_margin_ppm`` column straight
+off the extracted table — no second decode/NN pass over the blobs.
+The exact-match flagship never sets either flag, so the
+reference-equality fixtures are untouched.
 """
 
 from __future__ import annotations
@@ -41,7 +45,7 @@ from .checkpoint import (
     run_extraction,
     with_part_id,
 )
-from .extraction_queries import OCR_REVIEW_PPM, confidence_stats_from
+from .extraction_queries import OCR_REVIEW_PPM
 from .textops import MM_IMG_TOKENS, MM_PACK_BUDGET, _prefix_pack
 
 MM_CHECKPOINT_SCHEMA = (
@@ -49,12 +53,10 @@ MM_CHECKPOINT_SCHEMA = (
     "wall_ms long, status string, run_id string"
 )
 
-# media_ref convention: m{seed}-{doc_id}-{span_idx} (synth.media_ref_for)
-_REF_DOC_RE = r"^m\d+-(.+)-\d+$"
 
-
-def mm_decisions(extracted: DataFrame, media: DataFrame, weights_bc) -> DataFrame:
-    """Per-document multimodal curation decisions.
+def mm_decisions(extracted: DataFrame) -> DataFrame:
+    """Per-document multimodal curation decisions, computed entirely
+    from the margin-carrying extracted table (single NN pass).
 
     Columns: doc_id, accept (bool), reason ('' | 'low_confidence'),
     n_media, min_margin_ppm (NULL for media-free docs), seq_cost,
@@ -63,13 +65,6 @@ def mm_decisions(extracted: DataFrame, media: DataFrame, weights_bc) -> DataFram
     A document is rejected iff ANY of its pages routes to review
     (min page margin < OCR_REVIEW_PPM) — one bad scan poisons the
     whole interleaved sequence, so the gate is doc-level."""
-    conf = confidence_stats_from(media, weights_bc).select(
-        F.regexp_extract("media_ref", _REF_DOC_RE, 1).alias("doc_id"),
-        "min_margin_ppm",
-    )
-    doc_margin = conf.groupBy("doc_id").agg(
-        F.min("min_margin_ppm").alias("min_margin_ppm")
-    )
     text_cost = F.aggregate(
         F.transform(
             "spans",
@@ -87,12 +82,12 @@ def mm_decisions(extracted: DataFrame, media: DataFrame, weights_bc) -> DataFram
         F.lit(0),
         lambda acc, x: acc + x,
     ).cast("bigint")
-    costs = extracted.select(
+    d = extracted.select(
         "doc_id",
         n_media.alias("n_media"),
         (text_cost + F.lit(MM_IMG_TOKENS) * n_media).alias("seq_cost"),
+        F.col("doc_min_margin_ppm").alias("min_margin_ppm"),
     )
-    d = costs.join(doc_margin, "doc_id", "left")
     accept = F.col("min_margin_ppm").isNull() | (
         F.col("min_margin_ppm") >= OCR_REVIEW_PPM
     )
@@ -163,22 +158,22 @@ def run_mm_curation(
     t0 = time.time()
 
     # Stage E — resumable extraction (its own ledger under extract_cp/)
+    # with the single-pass margin column and the degraded demo slice
     run_extraction(
         spark, docs, media,
         os.path.join(workdir, "extracted"),
         os.path.join(workdir, "extract_cp"),
         n_parts=n_parts, run_id=f"{run_id}-extract", weights_bc=weights_bc,
+        with_margins=True, degrade_slice=True,
     )
     extracted = spark.read.parquet(os.path.join(workdir, "extracted")).select(
-        "doc_id", "spans"
+        "doc_id", "spans", "doc_min_margin_ppm"
     )
 
     # Stage D — atomic decisions table, reused when present
     decisions_dir = os.path.join(workdir, "decisions")
     if not os.path.exists(os.path.join(decisions_dir, "_SUCCESS")):
-        mm_decisions(extracted, media, weights_bc).write.mode(
-            "overwrite"
-        ).parquet(decisions_dir)
+        mm_decisions(extracted).write.mode("overwrite").parquet(decisions_dir)
     decisions = spark.read.parquet(decisions_dir)
     n_rejected = decisions.where(~F.col("accept")).count()
     n_bins = (

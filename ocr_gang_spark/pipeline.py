@@ -120,6 +120,8 @@ def extract_media_spans(
     deskew: bool = False,
     skew_treatment: bool = True,
     on_error: str = "fail",
+    with_margins: bool = False,
+    degrade_slice: bool = False,
 ) -> DataFrame:
     """kind='media' branch: resolve blobs, OCR them in Arrow batches.
 
@@ -151,6 +153,16 @@ def extract_media_spans(
     kind='error' span carrying the exception summary, the rest of the
     batch is unaffected, and corrupt inputs are VISIBLE in the output
     instead of killing a thousand-executor stage at hour nine.
+
+    ``with_margins=True`` emits an extra ``min_margin_ppm`` column
+    (per-page softmax-margin floor) from the SAME forward pass — the
+    single-pass confidence path the multimodal curation job uses
+    (kernels/ocr.ocr_pages_to_text_margins; text output is identical
+    to the default path, pinned by test).  ``degrade_slice=True``
+    applies the deterministic synth degradation (inject_scan_noise_rgb)
+    to every OCR_NOISE_EVERY-th document's pages AFTER decode — the
+    inject-then-detect demo input; both flags are off on the
+    exact-match flagship path.
     """
     if on_error not in ("fail", "quarantine"):
         raise ValueError(f"on_error must be 'fail' or 'quarantine', got {on_error!r}")
@@ -170,6 +182,9 @@ def extract_media_spans(
         media_spans = media_spans.repartition(n_tasks, "doc_id")
 
     def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernels.ocr import ocr_pages_to_text_margins
+        from .synth import inject_scan_noise_rgb, is_degraded_ref
+
         w = weights_bc.value
         quarantine = on_error == "quarantine"
         for pdf in batches:
@@ -180,6 +195,10 @@ def extract_media_spans(
                     continue
                 try:
                     page = decode_media_blob(bytes(b))
+                    if degrade_slice and is_degraded_ref(str(pdf["media_ref"].iloc[i])):
+                        page = inject_scan_noise_rgb(
+                            str(pdf["media_ref"].iloc[i]), page
+                        )
                     if deskew:
                         page = deskew_page(page)
                 except Exception as ex:
@@ -189,34 +208,47 @@ def extract_media_spans(
                     continue
                 idx.append(i)
                 pages.append(page)
-            texts = ocr_pages_to_text(pages, w) if pages else []
+            if with_margins:
+                texts, stats = (
+                    ocr_pages_to_text_margins(pages, w) if pages else ([], [])
+                )
+            else:
+                texts = ocr_pages_to_text(pages, w) if pages else []
+                stats = [(0, None, 0)] * len(texts)
             out = [None] * len(pdf)
             kind = ["media"] * len(pdf)
-            for i, t in zip(idx, texts):
+            margins = [None] * len(pdf)
+            for i, t, st in zip(idx, texts, stats):
                 out[i] = t
+                margins[i] = st[1]
             for i, msg in errs.items():
                 out[i] = msg
                 kind[i] = "error"
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "kind": pd.Series(kind, dtype=object),
-                    "text": pd.Series(out, dtype=object),
-                    "media_ref": pdf["media_ref"],
-                    "offset": pdf["offset"],
-                }
-            )
+            cols = {
+                "doc_id": pdf["doc_id"],
+                "kind": pd.Series(kind, dtype=object),
+                "text": pd.Series(out, dtype=object),
+                "media_ref": pdf["media_ref"],
+                "offset": pdf["offset"],
+            }
+            if with_margins:
+                cols["min_margin_ppm"] = pd.Series(margins, dtype="Int64")
+            yield pd.DataFrame(cols)
 
     out_schema = "doc_id string, kind string, text string, media_ref string, offset int"
+    if with_margins:
+        out_schema += ", min_margin_ppm long"
     return media_spans.mapInPandas(ocr_batches, schema=out_schema)
 
 
-def reassemble(extracted: DataFrame) -> DataFrame:
+def reassemble(extracted: DataFrame, extra_aggs=None) -> DataFrame:
     """Ordered span reassembly per document (N8's relational analog).
 
     array_sort on struct(offset first) gives document order (offsets are
     unique per doc); the final transform restores the input_hint field
-    order (kind, text, media_ref, offset).
+    order (kind, text, media_ref, offset).  ``extra_aggs`` ride the
+    SAME groupBy (no second shuffle) — used by the margin path to carry
+    the per-doc confidence floor next to the spans.
     """
     sorted_spans = F.array_sort(
         F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
@@ -230,7 +262,9 @@ def reassemble(extracted: DataFrame) -> DataFrame:
             s.offset.alias("offset"),
         ),
     )
-    return extracted.groupBy("doc_id").agg(reordered.alias("spans"))
+    return extracted.groupBy("doc_id").agg(
+        reordered.alias("spans"), *(extra_aggs or [])
+    )
 
 
 def extract_documents(
@@ -240,6 +274,8 @@ def extract_documents(
     spark: SparkSession | None = None,
     deskew: bool = False,
     on_error: str = "fail",
+    with_margins: bool = False,
+    degrade_slice: bool = False,
 ) -> DataFrame:
     """Full pipeline: documents + media -> documents with extracted spans.
 
@@ -248,15 +284,30 @@ def extract_documents(
     the acceptance invariant is equality with the reference binary,
     which has no deskew.  ``on_error='quarantine'`` turns corrupt blobs
     into kind='error' spans instead of failed tasks (see
-    extract_media_spans)."""
+    extract_media_spans).  ``with_margins=True`` adds a per-document
+    ``doc_min_margin_ppm`` column (min page confidence margin over the
+    doc's media spans, NULL for media-free docs) aggregated in the SAME
+    groupBy as the span reassembly — the single-pass confidence gate
+    the multimodal curation job reads; ``degrade_slice`` is its
+    inject-then-detect demo input (see extract_media_spans)."""
     if weights_bc is None:
         spark = spark or docs.sparkSession
         weights_bc = broadcast_weights(spark)
     spans = explode_spans(docs)
     text_out = extract_text_spans(spans)
     media_out = extract_media_spans(spans, media, weights_bc, deskew=deskew,
-                                    on_error=on_error)
-    return reassemble(text_out.unionByName(media_out))
+                                    on_error=on_error,
+                                    with_margins=with_margins,
+                                    degrade_slice=degrade_slice)
+    if not with_margins:
+        return reassemble(text_out.unionByName(media_out))
+    text_m = text_out.withColumn(
+        "min_margin_ppm", F.lit(None).cast("long")
+    )
+    return reassemble(
+        text_m.unionByName(media_out),
+        extra_aggs=[F.min("min_margin_ppm").alias("doc_min_margin_ppm")],
+    )
 
 
 def extraction_metrics(extracted: DataFrame) -> DataFrame:

@@ -207,6 +207,20 @@ def inject_scan_noise(ref: str, bw: np.ndarray) -> np.ndarray:
     return out
 
 
+def inject_scan_noise_rgb(ref: str, rgb: np.ndarray) -> np.ndarray:
+    """RGB-domain twin of inject_scan_noise: SAME seeded (h, w) flip
+    mask, each chosen pixel inverted across channels.  On the pure
+    black/white atlas pages binarize(inject_rgb(page)) ==
+    inject_bw(binarize(page)) pixel-for-pixel (pinned by test), so the
+    single-pass extraction margin path sees the exact degradation the
+    two-pass confidence router sees."""
+    rng = _rng("scan-noise", ref)
+    flips = rng.random(rgb.shape[:2]) < OCR_NOISE_RATE
+    out = rgb.copy()
+    out[flips] = 255 - out[flips]
+    return out
+
+
 def spans_from_testdata(spark: SparkSession, sf_dir: str, seed: int = 42,
                         media_per_doc: int = 2) -> DataFrame:
     """Derive a spans-shaped documents table from the driver-generated

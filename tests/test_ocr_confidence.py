@@ -18,8 +18,16 @@ from ocr_gang_spark.kernels.nn import (
     cnn_forward_binary,
     conv_lut_for,
 )
-from ocr_gang_spark.kernels.ocr import page_margin_stats
-from ocr_gang_spark.synth import OCR_NOISE_EVERY, inject_scan_noise
+from ocr_gang_spark.kernels.ocr import (
+    ocr_pages_to_text,
+    ocr_pages_to_text_margins,
+    page_margin_stats,
+)
+from ocr_gang_spark.synth import (
+    OCR_NOISE_EVERY,
+    inject_scan_noise,
+    inject_scan_noise_rgb,
+)
 
 
 @pytest.fixture(scope="module")
@@ -74,6 +82,38 @@ def test_noise_injection_is_deterministic():
     b = inject_scan_noise("m42-doc-00000005-1", bw)
     assert np.array_equal(a, b)
     assert not np.array_equal(a, bw)
+
+
+def test_rgb_noise_commutes_with_binarize():
+    # the single-pass extraction path degrades in RGB before binarize;
+    # the two-pass router degrades the binarized page — same mask, same
+    # result, so both gates see the identical degraded input
+    for ref in ["m42-doc-00000005-1", "m42-doc-00000010-0"]:
+        _, rgb = page_for_ref(ref)
+        via_rgb = binarize(inject_scan_noise_rgb(ref, rgb))
+        via_bw = inject_scan_noise(ref, binarize(rgb))
+        assert np.array_equal(via_rgb, via_bw)
+
+
+def test_margins_path_text_identical_and_stats_match(weights):
+    # fused single-pass path: texts byte-identical to the exact-match
+    # path, stats equal to the separate page_margin_stats pass
+    refs = [
+        "m42-doc-00000005-1",  # degraded slice member
+        "m42-doc-00000007-1",
+        "m42-doc-00000012-0",
+    ]
+    pages = []
+    for ref in refs:
+        _, rgb = page_for_ref(ref)
+        if int(ref.split("-")[2]) % OCR_NOISE_EVERY == 0:
+            rgb = inject_scan_noise_rgb(ref, rgb)
+        pages.append(rgb)
+    pages.append(np.full((40, 60, 3), 255, dtype=np.uint8))  # empty page
+    texts, stats = ocr_pages_to_text_margins(pages, weights)
+    assert texts == ocr_pages_to_text(pages, weights)
+    assert stats == page_margin_stats([binarize(p) for p in pages], weights)
+    assert stats[-1] == (0, None, 0)
 
 
 def test_router_flags_degraded_slice(spark):
