@@ -682,3 +682,24 @@ def test_media_resolution_is_scan_only(spark):
     plan = plan_of(media_resolution_report(spark, SF), mode="simple")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_margin_extraction_adds_no_shuffle(spark):
+    """Single-pass confidence: with_margins=True must produce the SAME
+    exchange structure as the default path — the doc_min_margin_ppm
+    aggregate rides the existing reassembly groupBy, never a second
+    pass or join over the blobs."""
+    from ocr_gang_spark.pipeline import extract_documents
+
+    docs = synth_documents(spark, 8, seed=1)
+    media = synth_media(spark, docs)
+    base = plan_of(extract_documents(docs, media, spark=spark), mode="simple")
+    marg = plan_of(
+        extract_documents(docs, media, spark=spark, with_margins=True),
+        mode="simple",
+    )
+    assert marg.count("Exchange") == base.count("Exchange")
+    assert marg.count("ShuffledHashJoin") == base.count("ShuffledHashJoin") == 1
+    # one aggregation pair (partial+final), not a second pass
+    assert marg.count("HashAggregate") == base.count("HashAggregate")
+    assert "SortMergeJoin" not in marg and "BroadcastHashJoin" not in marg
