@@ -55,6 +55,7 @@ def main() -> None:
     p.add_argument("--run-id", default=None)
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--exec-mode", choices=["threads", "processes"], default=None)
+    p.add_argument("--on-error", choices=["fail", "quarantine"], default="fail")
     args = p.parse_args()
 
     spark = build_session(args.cpus, exec_mode=args.exec_mode)
@@ -80,7 +81,7 @@ def main() -> None:
     t0 = time.time()
     res = run_mm_curation(
         spark, docs, media, args.workdir,
-        n_parts=args.n_parts, run_id=args.run_id,
+        n_parts=args.n_parts, run_id=args.run_id, on_error=args.on_error,
     )
     wall = time.time() - t0
     print(json.dumps({
@@ -92,6 +93,7 @@ def main() -> None:
         "n_bins": res.n_bins,
         "wall_sec": round(wall, 3),
     }))
+    spark.stop()
 
 
 if __name__ == "__main__":

@@ -46,6 +46,7 @@ from .textops import (
     components_from,
     quality_decisions_from,
     sequence_pack_from,
+    split_label_expr,
     verified_pairs_from,
 )
 
@@ -107,19 +108,10 @@ def curation_decisions(docs: DataFrame) -> DataFrame:
     ).select(
         "doc_id", F.coalesce("component_id", "doc_id").alias("group_id")
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("group_id").cast("string")), 1, 8), 16, 10
-        ).cast("bigint")
-        % 100
-    )
     split_of = group.select(
         "doc_id",
         F.col("group_id").cast("bigint").alias("group_id"),
-        F.when(bucket < 90, F.lit("train"))
-        .when(bucket < 95, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        split_label_expr(F.col("group_id")).alias("split"),
     )
     packed = sequence_pack_from(kept_docs).select(
         "doc_id",

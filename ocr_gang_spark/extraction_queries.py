@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .kernels.html_strip import strip_html
-from .pipeline import broadcast_weights, extract_documents
+from .pipeline import (
+    broadcast_weights,
+    extract_documents,
+    rendered_interleaved_expr,
+)
 from .queries import load, register
 from .synth import spans_from_testdata, synth_media
 
@@ -781,14 +785,7 @@ def interleaved_text_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spans_from_testdata(spark, sf_dir)
     media = synth_media(spark, docs)
     out = extract_documents(docs, media, broadcast_weights(spark))
-    piece = F.transform(
-        "spans",
-        lambda s: F.when(
-            s.kind == "media",
-            F.concat(F.lit("<img:"), s.media_ref, F.lit(">\n"), s.text),
-        ).otherwise(s.text),
-    )
-    rendered = F.array_join(piece, "\n")
+    rendered = rendered_interleaved_expr("spans")
     n_media = F.aggregate(
         F.transform(
             "spans", lambda s: F.when(s.kind == "media", 1).otherwise(0)

@@ -344,9 +344,6 @@ def _tokenize(data: bytes):
                 j += 1
             yield ("num", float(data[i:j]))
             i = j
-        elif c == 0x25:  # % comment — skip to end of line (PDF 7.2.4)
-            j = data.find(b"\n", i)
-            i = n if j < 0 else j + 1
         else:  # operator keyword
             j = i
             while j < n and data[j] not in b" \t\r\n\x00\x0c()<>[]{}/%":

@@ -137,11 +137,18 @@ def run_mm_curation(
     n_parts: int = 64,
     run_id: str | None = None,
     weights_bc=None,
+    on_error: str = "fail",
 ) -> MMCurationResult:
     """One (possibly resuming) multimodal curation run.  Layout under
     ``workdir``: extracted/ + extract_cp/ (stage E), decisions/ (stage
-    D, atomic), shards/ + cp/ (stage M ledger)."""
-    from .pipeline import broadcast_weights
+    D, atomic), shards/ + cp/ (stage M ledger).
+
+    ``on_error='quarantine'`` is the 10^12-blob posture: corrupt blobs
+    become kind='error' spans in stage E instead of failed tasks;
+    stage M's shared render expression drops them, so exception text
+    never reaches a training shard and their seq_cost is zero in both
+    the decisions table and the shipped bytes."""
+    from .pipeline import broadcast_weights, rendered_interleaved_expr
 
     run_id = run_id or f"mm-{int(time.time() * 1000)}"
     weights_bc = weights_bc or broadcast_weights(spark)
@@ -153,6 +160,7 @@ def run_mm_curation(
             "review_ppm": int(OCR_REVIEW_PPM),
             "img_tokens": int(MM_IMG_TOKENS),
             "pack_budget": int(MM_PACK_BUDGET),
+            "on_error": str(on_error),
         },
     )
     t0 = time.time()
@@ -164,7 +172,7 @@ def run_mm_curation(
         os.path.join(workdir, "extracted"),
         os.path.join(workdir, "extract_cp"),
         n_parts=n_parts, run_id=f"{run_id}-extract", weights_bc=weights_bc,
-        with_margins=True, degrade_slice=True,
+        with_margins=True, degrade_slice=True, on_error=on_error,
     )
     extracted = spark.read.parquet(os.path.join(workdir, "extracted")).select(
         "doc_id", "spans", "doc_min_margin_ppm"
@@ -185,17 +193,10 @@ def run_mm_curation(
     kept = decisions.where(F.col("accept")).select(
         "doc_id", "bin_id", "bin_offset", "seq_cost"
     )
-    piece = F.transform(
-        "spans",
-        lambda s: F.when(
-            s.kind == "media",
-            F.concat(F.lit("<img:"), s.media_ref, F.lit(">\n"), s.text),
-        ).otherwise(s.text),
-    )
     out = with_part_id(
         extracted.join(kept, "doc_id").select(
             "doc_id", "bin_id", "bin_offset", "seq_cost",
-            F.array_join(piece, "\n").alias("rendered"),
+            rendered_interleaved_expr("spans").alias("rendered"),
         ),
         n_parts,
     )

@@ -113,6 +113,30 @@ def deskew_page(rgb):
     return np.repeat(fixed[:, :, None], 3, axis=2)
 
 
+def _ocr_quarantine_fallback(pages, idx, errs, run_ocr):
+    """Batch OCR raised under ``on_error='quarantine'``: isolate the
+    raising page(s) by re-running OCR one page at a time, recording
+    raisers into ``errs`` (mutated in place, keyed by batch position)
+    so they surface as kind='error' spans while every healthy blob in
+    the same Arrow batch still produces text.  Before this fallback the
+    quarantine try covered only decode/degrade/deskew, so a single
+    pathological page could still fail the whole task (r3 self-review).
+    The batch path stays the fast path — this runs only after it raised.
+
+    Returns (texts, stats, surviving idx)."""
+    texts, stats, kept = [], [], []
+    for k, page in enumerate(pages):
+        try:
+            t1, s1 = run_ocr([page])
+        except Exception as ex:  # noqa: BLE001 — quarantine = catch all
+            errs[idx[k]] = f"{type(ex).__name__}: {ex}"[:200]
+            continue
+        kept.append(idx[k])
+        texts.extend(t1)
+        stats.extend(s1)
+    return texts, stats, kept
+
+
 def extract_media_spans(
     spans: DataFrame,
     media: DataFrame,
@@ -208,13 +232,22 @@ def extract_media_spans(
                     continue
                 idx.append(i)
                 pages.append(page)
-            if with_margins:
-                texts, stats = (
-                    ocr_pages_to_text_margins(pages, w) if pages else ([], [])
+            def run_ocr(pgs):
+                if with_margins:
+                    return (
+                        ocr_pages_to_text_margins(pgs, w) if pgs else ([], [])
+                    )
+                t = ocr_pages_to_text(pgs, w) if pgs else []
+                return t, [(0, None, 0)] * len(t)
+
+            try:
+                texts, stats = run_ocr(pages)
+            except Exception:
+                if not quarantine:
+                    raise
+                texts, stats, idx = _ocr_quarantine_fallback(
+                    pages, idx, errs, run_ocr
                 )
-            else:
-                texts = ocr_pages_to_text(pages, w) if pages else []
-                stats = [(0, None, 0)] * len(texts)
             out = [None] * len(pdf)
             kind = ["media"] * len(pdf)
             margins = [None] * len(pdf)
@@ -239,6 +272,32 @@ def extract_media_spans(
     if with_margins:
         out_schema += ", min_margin_ppm long"
     return media_spans.mapInPandas(ocr_batches, schema=out_schema)
+
+
+def rendered_interleaved_expr(spans_col: str = "spans"):
+    """The ONE interleaved training-text serialization rule: text spans
+    verbatim, each media span as an ``<img:ref>`` placeholder line
+    followed by its OCR text, pieces newline-joined in span (offset)
+    order.  ``kind='error'`` spans — quarantined decode/OCR failures —
+    are dropped BEFORE rendering, so exception summaries can never be
+    serialized into training shards (and their cost stays zero, which
+    is exactly what ``mm_decisions`` charges them).  Shared by the
+    oracle-pinned `interleaved_text_render` query and the mm curation
+    job's stage M — previously two verbatim copies of the lambda, so a
+    format change could pass every render test while the job silently
+    shipped the old format (r3 self-review).
+
+    Pure in-row expression (filter + transform + array_join): adds no
+    shuffle wherever it is used."""
+    kept = F.filter(spans_col, lambda s: s.kind != F.lit("error"))
+    piece = F.transform(
+        kept,
+        lambda s: F.when(
+            s.kind == "media",
+            F.concat(F.lit("<img:"), s.media_ref, F.lit(">\n"), s.text),
+        ).otherwise(s.text),
+    )
+    return F.array_join(piece, "\n")
 
 
 def reassemble(extracted: DataFrame, extra_aggs=None) -> DataFrame:

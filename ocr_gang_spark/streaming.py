@@ -19,6 +19,32 @@ EVENTS_SCHEMA = (
 )
 
 
+def write_batch_idempotent(df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Replay-safe foreachBatch parquet sink: the batch lands under its
+    own ``bid=<batch_id>`` partition via DYNAMIC partition overwrite,
+    so a micro-batch re-run after a crash between the sink commit and
+    the checkpoint advance REPLACES its own rows instead of appending
+    them a second time.  Plain ``mode('append')`` sinks are only
+    at-least-once under that crash window (r3 self-review) — this is
+    the same idempotency move as checkpoint.py's part_id overwrite and
+    the changelog stream's gen-<bid> swap, expressed as one helper all
+    foreachBatch parquet sinks share.  ``read_batches`` drops the
+    bookkeeping column on the way back out."""
+    (
+        df.withColumn("bid", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bid")
+        .parquet(out_dir)
+    )
+
+
+def read_batches(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read a `write_batch_idempotent` sink back, without the bid
+    partition column."""
+    return spark.read.parquet(out_dir).drop("bid")
+
+
 def windowed_event_counts_stream(
     spark: SparkSession, sf_dir: str, checkpoint: str, out_table: str = "stream_counts"
 ) -> DataFrame:
@@ -399,9 +425,10 @@ def extraction_stream(
     weights_bc = broadcast_weights(spark)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        extract_documents(batch_df, media_p, weights_bc).write.mode(
-            "append"
-        ).parquet(out_dir)
+        write_batch_idempotent(
+            extract_documents(batch_df, media_p, weights_bc),
+            out_dir, batch_id,
+        )
         open(os.path.join(marker_dir, f"b{batch_id:05d}"), "w").close()
 
     stream = (
@@ -416,7 +443,7 @@ def extraction_stream(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return read_batches(spark, out_dir)
 
 
 @register(
@@ -513,9 +540,9 @@ def stream_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread = batch_df.repartition(
             batch_df.sparkSession.sparkContext.defaultParallelism, "media_ref"
         )
-        confidence_stats_from(spread, weights_bc).write.mode(
-            "append"
-        ).parquet(out_dir)
+        write_batch_idempotent(
+            confidence_stats_from(spread, weights_bc), out_dir, _bid
+        )
 
     q = (
         stream.writeStream.foreachBatch(fb)
@@ -524,7 +551,7 @@ def stream_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return read_batches(spark, out_dir)
 
 
 from .textops import _qf_duck  # noqa: E402
@@ -569,7 +596,7 @@ def stream_quality_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fb(batch_df: DataFrame, _bid: int) -> None:
-        quality_decisions_from(batch_df).write.mode("append").parquet(out_dir)
+        write_batch_idempotent(quality_decisions_from(batch_df), out_dir, _bid)
 
     q = (
         stream.writeStream.foreachBatch(fb)
@@ -578,7 +605,7 @@ def stream_quality_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return read_batches(spark, out_dir)
 
 
 def _load_docs(spark: SparkSession, sf_dir: str):
@@ -844,7 +871,7 @@ def stream_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fb(batch_df: DataFrame, _bid: int) -> None:
-        caption_pairs_from(batch_df).write.mode("append").parquet(out_dir)
+        write_batch_idempotent(caption_pairs_from(batch_df), out_dir, _bid)
 
     q = (
         stream.writeStream.foreachBatch(fb)
@@ -853,4 +880,4 @@ def stream_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return read_batches(spark, out_dir)

@@ -1192,6 +1192,27 @@ def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_TRAIN_END, _SPLIT_VAL_END = 90, 95
 
 
+def split_label_expr(group_id_col):
+    """The 90/5/5 leakage-safe split rule as a single reusable column
+    expression: md5 of the group key -> first 8 hex digits -> %100 ->
+    train/val/test by ``_SPLIT_TRAIN_END``/``_SPLIT_VAL_END``.  The ONE
+    source of the bucket rule — `leakage_safe_split` (the pinned
+    operator) and `curation.curation_decisions` (the production job)
+    both call this, so retuning the thresholds can never silently move
+    one of them and not the other (r3 self-review finding)."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(group_id_col.cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        F.when(bucket < _SPLIT_TRAIN_END, F.lit("train"))
+        .when(bucket < _SPLIT_VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 @register(
     "leakage_safe_split",
     f"""{_COMPONENTS_CTES_DUCK},
@@ -1234,18 +1255,9 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("component_id", "doc_id").alias("group_id"),
         F.col("component_id").isNotNull().alias("is_dup_member"),
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("group_id").cast("string")), 1, 8), 16, 10
-        ).cast("bigint")
-        % 100
-    )
     return g.select(
         "doc_id", "group_id", "is_dup_member",
-        F.when(bucket < _SPLIT_TRAIN_END, F.lit("train"))
-        .when(bucket < _SPLIT_VAL_END, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        split_label_expr(F.col("group_id")).alias("split"),
     )
 
 

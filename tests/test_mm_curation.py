@@ -53,6 +53,40 @@ def test_shards_render_and_pack(run):
         assert r.rendered.count("<img:") == n_media
 
 
+def test_quarantine_keeps_error_spans_out_of_shards(spark, tmp_path):
+    """on_error='quarantine' (now threaded through the mm job, r3
+    self-review): a corrupt blob becomes a kind='error' span in stage E,
+    stage M's shared render DROPS it — no exception text in any shard —
+    and the manifest pins the flag so a resume with a different
+    on_error refuses."""
+    from ocr_gang_spark.synth import synth_documents
+
+    docs = synth_documents(spark, 40, seed=11, skew_frac=0.0, media_prob=1.0)
+    media = synth_media(spark, docs)
+    bad_ref = media.select("media_ref").orderBy("media_ref").first()[0]
+    corrupted = media.withColumn(
+        "bytes",
+        F.when(F.col("media_ref") == bad_ref,
+               F.lit(b"\x00not-an-image")).otherwise(F.col("bytes")),
+    )
+    wd = str(tmp_path / "mmq")
+    run_mm_curation(spark, docs, corrupted, wd, n_parts=4,
+                    on_error="quarantine")
+    extracted = spark.read.parquet(wd + "/extracted")
+    err_rows = extracted.select(
+        F.explode("spans").alias("s")
+    ).where(F.col("s.kind") == "error").collect()
+    assert len(err_rows) >= 1  # the corrupt blob is visible upstream
+    err_texts = {r.s.text for r in err_rows}
+    shards = spark.read.parquet(wd + "/shards")
+    for r in shards.collect():
+        assert f"<img:{bad_ref}>" not in r.rendered
+        assert not any(t in r.rendered for t in err_texts)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        run_mm_curation(spark, docs, corrupted, wd, n_parts=4,
+                        on_error="fail")
+
+
 def test_resume_is_noop_and_manifest_pins(run):
     spark, wd, docs, media, _ = run
     res2 = run_mm_curation(spark, docs, media, wd, n_parts=N_PARTS)

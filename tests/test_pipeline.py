@@ -106,6 +106,29 @@ def test_corrupt_blob_quarantine_vs_fail(spark):
         extract_documents(docs, corrupted, on_error="bogus")
 
 
+def test_ocr_quarantine_fallback_isolates_raiser():
+    """The quarantine promise covers the OCR stage too: when batch OCR
+    raises, the per-page fallback quarantines exactly the raising page
+    and every healthy page in the Arrow batch still produces text
+    (r3 self-review — previously only decode was inside the try)."""
+    from ocr_gang_spark.pipeline import _ocr_quarantine_fallback
+
+    pages = ["good-a", "pathological", "good-b"]
+    idx = [0, 2, 5]  # batch positions of the decodable blobs
+    errs = {}
+
+    def run_ocr(pgs):
+        if "pathological" in pgs:
+            raise RuntimeError("segmentation blew up")
+        return [p.upper() for p in pgs], [(0, None, 0)] * len(pgs)
+
+    texts, stats, kept = _ocr_quarantine_fallback(pages, idx, errs, run_ocr)
+    assert kept == [0, 5]
+    assert texts == ["GOOD-A", "GOOD-B"]
+    assert stats == [(0, None, 0), (0, None, 0)]
+    assert list(errs) == [2] and "RuntimeError" in errs[2]
+
+
 def test_metrics_match_span_counts(spark, extracted):
     docs = synth_documents(spark, N_DOCS, seed=SEED, skew_frac=0.1)
     media = synth_media(spark, docs)

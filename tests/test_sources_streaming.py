@@ -211,6 +211,24 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     assert g == e and len(g) > 0
 
 
+def test_foreachbatch_sink_replay_is_idempotent(spark, tmp_path):
+    """The shared foreachBatch parquet sink must absorb a micro-batch
+    REPLAY (crash between sink commit and checkpoint advance) without
+    duplicating rows — the at-least-once hole the plain append sinks
+    had (r3 self-review)."""
+    from ocr_gang_spark.streaming import read_batches, write_batch_idempotent
+
+    out = str(tmp_path / "sink")
+    b0 = spark.range(0, 5).withColumnRenamed("id", "k")
+    b1 = spark.range(5, 8).withColumnRenamed("id", "k")
+    write_batch_idempotent(b0, out, 0)
+    write_batch_idempotent(b1, out, 1)
+    write_batch_idempotent(b1, out, 1)  # replay of batch 1
+    got = sorted(r.k for r in read_batches(spark, out).collect())
+    assert got == list(range(8))
+    assert read_batches(spark, out).columns == ["k"]
+
+
 def test_extraction_stream_multi_batch_matches_batch(spark, tmp_path):
     """The flagship as a stream: >=2 genuine micro-batches, and the
     streamed output equals the batch pipeline's row for row (documents
