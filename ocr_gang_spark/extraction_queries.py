@@ -885,3 +885,124 @@ def media_resolution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("partial"))
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion (the archive format web-scale corpora actually arrive
+# in).  Inject-then-extract, like url_domain_stats: the documents table
+# is serialized into multi-record WARC/1.0 files (warcinfo + one HTTP
+# response record per document, kernels/warc.py writer), then the
+# reader — which sees ONLY the bytes — must recover every field.  The
+# oracle derives the same fields relationally from the doc_id rules, so
+# the hash pins the writer+reader round-trip AND the field extraction.
+# ---------------------------------------------------------------------------
+
+_WARC_DOCS_PER_FILE = 20
+
+
+@register(
+    "warc_ingest_records",
+    f"""
+    SELECT doc_id // {_WARC_DOCS_PER_FILE} AS file_id,
+           doc_id,
+           'https://host' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS http_status,
+           lang AS content_lang,
+           CAST(length(text) AS BIGINT) AS body_len,
+           md5(text) AS body_md5
+    FROM documents
+    """,
+)
+def warc_ingest_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source: serialize documents into WARC/1.0 archive files,
+    then parse the raw bytes back into per-response rows (target URI,
+    HTTP status, a content-language header, the page body) — the S1/S2
+    source family extended to the archive container the extraction tier
+    ingests at 10^12 documents (reference reads loose files from a
+    directory, `main.c:174-204`; WARC is that directory scan's
+    web-scale analog).
+
+    100 TB shape: the groupBy here exists only to SYNTHESIZE the
+    archive files (bounded {_WARC_DOCS_PER_FILE}-record lists; real runs
+    read existing WARCs via the binaryFile source, so the group stage
+    disappears).  The parse stage — the part that exists at target
+    scale — is a per-blob Arrow-batched kernel with ZERO shuffle, and
+    each record carries its byte ``offset`` so a resumable reader can
+    checkpoint per-record lineage inside a file (dropped here; the
+    round-trip fields are the oracle surface).  Field hashing/length
+    stay relational (JVM md5) — the kernel only moves bytes to rows."""
+    from .kernels.warc import (
+        encode_http_response, encode_warc_file, encode_warc_record,
+        parse_warc_responses,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("doc_id") / _WARC_DOCS_PER_FILE).cast("bigint").alias("file_id"),
+        F.struct("doc_id", "text", "lang").alias("rec"),
+    )
+    files = d.groupBy("file_id").agg(
+        F.sort_array(F.collect_list("rec")).alias("recs")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            blobs = []
+            for fid, recs in zip(pdf["file_id"], pdf["recs"]):
+                encoded = []
+                for r in recs:
+                    did = int(r["doc_id"])
+                    body = r["text"].encode("utf-8")
+                    http = encode_http_response(
+                        404 if did % 17 == 0 else 200,
+                        "Not Found" if did % 17 == 0 else "OK",
+                        [("Content-Type", "text/html; charset=utf-8"),
+                         ("X-Content-Lang", r["lang"])],
+                        body,
+                    )
+                    encoded.append(encode_warc_record(
+                        "response",
+                        [("WARC-Record-ID", f"<urn:synth:doc-{did}>"),
+                         ("WARC-Target-URI",
+                          f"https://host{did % 7}.example.com/doc/{did}"),
+                         ("WARC-Date", "2026-01-01T00:00:00Z"),
+                         ("Content-Type",
+                          "application/http;msgtype=response")],
+                        http,
+                    ))
+                blobs.append((int(fid), encode_warc_file(encoded, str(fid))))
+            yield pd.DataFrame(blobs, columns=["file_id", "blob"])
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for fid, blob in zip(pdf["file_id"], pdf["blob"]):
+                for r in parse_warc_responses(bytes(blob)):
+                    uri = r["target_uri"] or ""
+                    rows.append((
+                        int(fid),
+                        int(uri.rsplit("/", 1)[-1]),
+                        uri,
+                        int(r["http_status"]),
+                        r["http_headers"].get("x-content-lang"),
+                        r["body"].decode("utf-8"),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "file_id", "doc_id", "target_uri", "http_status",
+                "content_lang", "body",
+            ])
+
+    parsed = (
+        files.mapInPandas(build, schema="file_id bigint, blob binary")
+        .mapInPandas(
+            parse,
+            schema="file_id bigint, doc_id bigint, target_uri string, "
+            "http_status int, content_lang string, body string",
+        )
+    )
+    return parsed.select(
+        "file_id", "doc_id", "target_uri", "http_status", "content_lang",
+        F.length("body").cast("bigint").alias("body_len"),
+        F.md5("body").alias("body_md5"),
+    )

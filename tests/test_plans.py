@@ -703,3 +703,20 @@ def test_margin_extraction_adds_no_shuffle(spark):
     # one aggregation pair (partial+final), not a second pass
     assert marg.count("HashAggregate") == base.count("HashAggregate")
     assert "SortMergeJoin" not in marg and "BroadcastHashJoin" not in marg
+
+
+def test_warc_parse_stage_has_single_synth_exchange(spark):
+    """warc_ingest_records: the ONLY exchange allowed is the file-synth
+    groupBy (which does not exist in real runs — WARCs arrive as files);
+    the build -> parse -> field-hash chain after it must be
+    exchange-free, or the per-blob reader gained a shuffle that would
+    move archive bytes across the network at 10^12-document scale."""
+    from ocr_gang_spark.extraction_queries import warc_ingest_records
+
+    plan = plan_of(warc_ingest_records(spark, SF), mode="simple")
+    assert plan.count("Exchange") == 1
+    # bounded collect_list: partial-agg below the exchange too
+    assert "ObjectHashAggregate" in plan
+    # both kernel stages present, field hashing stays relational (JVM md5)
+    assert plan.count("MapInPandas") == 2
+    assert "md5" in plan
