@@ -1006,3 +1006,96 @@ def warc_ingest_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("body").cast("bigint").alias("body_len"),
         F.md5("body").alias("body_md5"),
     )
+
+
+@register(
+    "warc_extract_main_content",
+    # end-to-end web-extraction chain oracle: only 200s are extracted
+    # (the 404 rule is doc_id % 17 == 0) and the strip of the fixed
+    # template is closed-form, same as html_strip_dirty
+    """
+    SELECT doc_id, text || chr(10) || 'tail & done' AS clean_text
+    FROM documents WHERE doc_id % 17 <> 0
+    """,
+)
+def warc_extract_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full web-extraction ingest chain under ONE value hash:
+    documents -> WARC archive files whose HTTP bodies are the corpus
+    text wrapped in the fixed boilerplate template -> parse the raw
+    archive bytes -> keep HTTP 200 responses only (a 404's error page
+    must never enter the corpus) -> strip_html recovers the main
+    content.  Composes the WARC reader with the boilerplate-strip
+    kernel exactly the way a crawl-ingest job would chain them.
+
+    100 TB shape: identical to warc_ingest_records — the one exchange
+    is file synthesis (absent when reading real archives); parse +
+    status-gate + strip run as Arrow-batched kernels with zero shuffle,
+    so the chain's cost is pure per-byte CPU that scales with executor
+    count."""
+    from .kernels.warc import (
+        encode_http_response, encode_warc_file, encode_warc_record,
+        parse_warc_responses,
+    )
+
+    tpl = (
+        "<head><title>t</title></head><div>%s</div>"
+        "<script>var x=1;</script><p>tail &amp; done</p>"
+    )
+    (docs,) = load(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("doc_id") / _WARC_DOCS_PER_FILE).cast("bigint").alias("file_id"),
+        F.struct("doc_id", "text").alias("rec"),
+    )
+    files = d.groupBy("file_id").agg(
+        F.sort_array(F.collect_list("rec")).alias("recs")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            blobs = []
+            for fid, recs in zip(pdf["file_id"], pdf["recs"]):
+                encoded = []
+                for r in recs:
+                    did = int(r["doc_id"])
+                    nf = did % 17 == 0
+                    body = (
+                        b"<html>gone</html>" if nf
+                        else (tpl % r["text"]).encode("utf-8")
+                    )
+                    http = encode_http_response(
+                        404 if nf else 200,
+                        "Not Found" if nf else "OK",
+                        [("Content-Type", "text/html; charset=utf-8")],
+                        body,
+                    )
+                    encoded.append(encode_warc_record(
+                        "response",
+                        [("WARC-Record-ID", f"<urn:synth:doc-{did}>"),
+                         ("WARC-Target-URI",
+                          f"https://host{did % 7}.example.com/doc/{did}"),
+                         ("WARC-Date", "2026-01-01T00:00:00Z"),
+                         ("Content-Type",
+                          "application/http;msgtype=response")],
+                        http,
+                    ))
+                blobs.append((int(fid), encode_warc_file(encoded, str(fid))))
+            yield pd.DataFrame(blobs, columns=["file_id", "blob"])
+
+    def parse_strip(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["blob"]:
+                for r in parse_warc_responses(bytes(blob)):
+                    if r["http_status"] != 200:
+                        continue
+                    uri = r["target_uri"] or ""
+                    rows.append((
+                        int(uri.rsplit("/", 1)[-1]),
+                        strip_html(r["body"].decode("utf-8")),
+                    ))
+            yield pd.DataFrame(rows, columns=["doc_id", "clean_text"])
+
+    return (
+        files.mapInPandas(build, schema="file_id bigint, blob binary")
+        .mapInPandas(parse_strip, schema="doc_id bigint, clean_text string")
+    )

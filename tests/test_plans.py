@@ -720,3 +720,14 @@ def test_warc_parse_stage_has_single_synth_exchange(spark):
     # both kernel stages present, field hashing stays relational (JVM md5)
     assert plan.count("MapInPandas") == 2
     assert "md5" in plan
+
+
+def test_warc_extract_chain_is_single_exchange(spark):
+    """warc_extract_main_content: the ingest->parse->status-gate->strip
+    chain keeps the warc_ingest_records shape — one synth exchange, two
+    kernel stages, nothing else."""
+    from ocr_gang_spark.extraction_queries import warc_extract_main_content
+
+    plan = plan_of(warc_extract_main_content(spark, SF), mode="simple")
+    assert plan.count("Exchange") == 1
+    assert plan.count("MapInPandas") == 2
