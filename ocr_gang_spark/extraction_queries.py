@@ -899,10 +899,10 @@ def media_resolution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WARC_DOCS_PER_FILE = 20
 
-
-@register(
-    "warc_ingest_records",
-    f"""
+# shared by the batch query and stream_warc_ingest (streaming.py): the
+# recovered fields are a pure function of doc_id/lang/text, so one SQL
+# string oracles both engines' view of the same archive bytes
+WARC_ORACLE_SQL = f"""
     SELECT doc_id // {_WARC_DOCS_PER_FILE} AS file_id,
            doc_id,
            'https://host' || CAST(doc_id % 7 AS VARCHAR)
@@ -912,32 +912,37 @@ _WARC_DOCS_PER_FILE = 20
            CAST(length(text) AS BIGINT) AS body_len,
            md5(text) AS body_md5
     FROM documents
-    """,
-)
-def warc_ingest_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC source: serialize documents into WARC/1.0 archive files,
-    then parse the raw bytes back into per-response rows (target URI,
-    HTTP status, a content-language header, the page body) — the S1/S2
-    source family extended to the archive container the extraction tier
-    ingests at 10^12 documents (reference reads loose files from a
-    directory, `main.c:174-204`; WARC is that directory scan's
-    web-scale analog).
+    """
 
-    100 TB shape: the groupBy here exists only to SYNTHESIZE the
-    archive files (bounded {_WARC_DOCS_PER_FILE}-record lists; real runs
-    read existing WARCs via the binaryFile source, so the group stage
-    disappears).  The parse stage — the part that exists at target
-    scale — is a per-blob Arrow-batched kernel with ZERO shuffle, and
-    each record carries its byte ``offset`` so a resumable reader can
-    checkpoint per-record lineage inside a file (dropped here; the
-    round-trip fields are the oracle surface).  Field hashing/length
-    stay relational (JVM md5) — the kernel only moves bytes to rows."""
-    from .kernels.warc import (
-        encode_http_response, encode_warc_file, encode_warc_record,
-        parse_warc_responses,
+
+def _warc_record_for_doc(did: int, text: str, lang: str) -> bytes:
+    """One encoded WARC response record for a document row — the ONE
+    source of the synthetic archive format (batch + stream builders)."""
+    from .kernels.warc import encode_http_response, encode_warc_record
+
+    nf = did % 17 == 0
+    http = encode_http_response(
+        404 if nf else 200,
+        "Not Found" if nf else "OK",
+        [("Content-Type", "text/html; charset=utf-8"),
+         ("X-Content-Lang", lang)],
+        text.encode("utf-8"),
+    )
+    return encode_warc_record(
+        "response",
+        [("WARC-Record-ID", f"<urn:synth:doc-{did}>"),
+         ("WARC-Target-URI", f"https://host{did % 7}.example.com/doc/{did}"),
+         ("WARC-Date", "2026-01-01T00:00:00Z"),
+         ("Content-Type", "application/http;msgtype=response")],
+        http,
     )
 
-    (docs,) = load(spark, sf_dir, "documents")
+
+def warc_files_df(docs: DataFrame) -> DataFrame:
+    """documents -> (file_id, blob) WARC archive files (the synth stage
+    real runs replace with a binaryFile read of existing archives)."""
+    from .kernels.warc import encode_warc_file
+
     d = docs.select(
         (F.col("doc_id") / _WARC_DOCS_PER_FILE).cast("bigint").alias("file_id"),
         F.struct("doc_id", "text", "lang").alias("rec"),
@@ -950,29 +955,24 @@ def warc_ingest_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             blobs = []
             for fid, recs in zip(pdf["file_id"], pdf["recs"]):
-                encoded = []
-                for r in recs:
-                    did = int(r["doc_id"])
-                    body = r["text"].encode("utf-8")
-                    http = encode_http_response(
-                        404 if did % 17 == 0 else 200,
-                        "Not Found" if did % 17 == 0 else "OK",
-                        [("Content-Type", "text/html; charset=utf-8"),
-                         ("X-Content-Lang", r["lang"])],
-                        body,
+                encoded = [
+                    _warc_record_for_doc(
+                        int(r["doc_id"]), r["text"], r["lang"]
                     )
-                    encoded.append(encode_warc_record(
-                        "response",
-                        [("WARC-Record-ID", f"<urn:synth:doc-{did}>"),
-                         ("WARC-Target-URI",
-                          f"https://host{did % 7}.example.com/doc/{did}"),
-                         ("WARC-Date", "2026-01-01T00:00:00Z"),
-                         ("Content-Type",
-                          "application/http;msgtype=response")],
-                        http,
-                    ))
+                    for r in recs
+                ]
                 blobs.append((int(fid), encode_warc_file(encoded, str(fid))))
             yield pd.DataFrame(blobs, columns=["file_id", "blob"])
+
+    return files.mapInPandas(build, schema="file_id bigint, blob binary")
+
+
+def warc_records_from(blobs: DataFrame) -> DataFrame:
+    """(file_id, blob) -> recovered per-response rows.  Field hashing
+    and length stay relational (JVM md5) — the kernel only moves bytes
+    to rows.  Zero shuffle; shared by the batch query and the stream's
+    per-micro-batch body."""
+    from .kernels.warc import parse_warc_responses
 
     def parse(batches):
         for pdf in batches:
@@ -993,19 +993,39 @@ def warc_ingest_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "content_lang", "body",
             ])
 
-    parsed = (
-        files.mapInPandas(build, schema="file_id bigint, blob binary")
-        .mapInPandas(
-            parse,
-            schema="file_id bigint, doc_id bigint, target_uri string, "
-            "http_status int, content_lang string, body string",
-        )
+    parsed = blobs.mapInPandas(
+        parse,
+        schema="file_id bigint, doc_id bigint, target_uri string, "
+        "http_status int, content_lang string, body string",
     )
     return parsed.select(
         "file_id", "doc_id", "target_uri", "http_status", "content_lang",
         F.length("body").cast("bigint").alias("body_len"),
         F.md5("body").alias("body_md5"),
     )
+
+
+@register("warc_ingest_records", WARC_ORACLE_SQL)
+def warc_ingest_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source: serialize documents into WARC/1.0 archive files,
+    then parse the raw bytes back into per-response rows (target URI,
+    HTTP status, a content-language header, the page body) — the S1/S2
+    source family extended to the archive container the extraction tier
+    ingests at 10^12 documents (reference reads loose files from a
+    directory, `main.c:174-204`; WARC is that directory scan's
+    web-scale analog).
+
+    100 TB shape: the groupBy here exists only to SYNTHESIZE the
+    archive files (bounded {_WARC_DOCS_PER_FILE}-record lists; real runs
+    read existing WARCs via the binaryFile source, so the group stage
+    disappears).  The parse stage — the part that exists at target
+    scale — is a per-blob Arrow-batched kernel with ZERO shuffle, and
+    each record carries its byte ``offset`` so a resumable reader can
+    checkpoint per-record lineage inside a file (dropped here; the
+    round-trip fields are the oracle surface).  Field hashing/length
+    stay relational (JVM md5) — the kernel only moves bytes to rows."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return warc_records_from(warc_files_df(docs))
 
 
 @register(

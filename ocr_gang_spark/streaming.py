@@ -881,3 +881,59 @@ def stream_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return read_batches(spark, out_dir)
+
+
+from .extraction_queries import WARC_ORACLE_SQL  # noqa: E402
+
+
+@register("stream_warc_ingest", WARC_ORACLE_SQL)
+def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous crawl ingest: WARC archive files ARRIVE over time (3
+    time-ordered parquet arrival files, maxFilesPerTrigger=1,
+    AvailableNow) and each micro-batch parses just its archives with
+    the SAME warc_records_from the batch query uses, landing rows via
+    the replay-idempotent per-batch sink.  Parsing is per-archive, so
+    batch boundaries cannot change any recovered field — the finished
+    stream must hash-equal the batch oracle (same WARC_ORACLE_SQL),
+    which the driver checks.  This is the crawl shape at 10^12 docs:
+    archives land on storage continuously and enter the corpus within
+    one micro-batch of arriving, with the stream checkpoint carrying
+    the per-file lineage the batch job keeps in its part ledger."""
+    import tempfile
+
+    from .extraction_queries import warc_files_df, warc_records_from
+    from .queries import load
+
+    (docs,) = load(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="ocrgang_swarc_")
+    in_dir = _os.path.join(work, "in")
+    out_dir = _os.path.join(work, "out")
+    cp_dir = _os.path.join(work, "cp")
+    warc_files_df(docs).withColumn(
+        "f", F.pmod(F.xxhash64("file_id"), F.lit(3)).cast("int")
+    ).repartition("f").write.partitionBy("f").mode("overwrite").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("file_id bigint, blob binary")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+
+    def fb(batch_df: DataFrame, _bid: int) -> None:
+        # one arrival file = one scan partition; spread the CPU-bound
+        # parse across cores before the kernel stage (same rationale as
+        # stream_confidence's explicit parallelism)
+        spread = batch_df.repartition(
+            batch_df.sparkSession.sparkContext.defaultParallelism, "file_id"
+        )
+        write_batch_idempotent(warc_records_from(spread), out_dir, _bid)
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_batches(spark, out_dir)
