@@ -88,6 +88,9 @@ HEADLINE = [
     "stream_caption_pairs",
     "epoch_shard_layout",
     "stream_quality_decisions",
+    "warc_ingest_records",
+    "warc_extract_main_content",
+    "stream_warc_ingest",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND
