@@ -34,13 +34,9 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 
 def build_session(cpus: int | None, exec_mode: str | None = None) -> SparkSession:
-    """Under spark-submit the master/conf come from the CLI; standalone we
-    fall back to the tuned local builder."""
-    if os.environ.get("SPARK_SUBMIT_RUNNING") or "spark.master" in os.environ:
-        return SparkSession.builder.getOrCreate()
-    from ocr_gang_spark.session import get_spark
+    from ocr_gang_spark.session import build_session as _bs
 
-    return get_spark("extract_job", cpus=cpus, exec_mode=exec_mode)
+    return _bs("extract_job", cpus=cpus, exec_mode=exec_mode)
 
 
 def main() -> None:

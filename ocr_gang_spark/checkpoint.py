@@ -71,16 +71,32 @@ def completed_parts(spark: SparkSession, checkpoint_dir: str, n_parts: int) -> D
 MANIFEST_NAME = "_run_manifest.json"
 
 
-def _check_run_manifest(checkpoint_dir: str, opts: dict) -> None:
+def _check_run_manifest(
+    checkpoint_dir: str, opts: dict, defaults: dict | None = None
+) -> None:
     """Pin output-affecting options across resumes (ADVICE r2): the first
     run records them next to the done-part ledger; a resume with a
     different value would silently mix e.g. deskewed and non-deskewed
-    parts in one output directory, so refuse instead."""
+    parts in one output directory, so refuse instead.
+
+    ``defaults`` maps keys ADDED to the manifest after older runs were
+    created to the value those runs implicitly had (a flag that did not
+    exist behaved as its default; a versioned rule was at its previous
+    version).  A key absent from an old manifest compares against that
+    implied value — so resuming a pre-flag checkpoint with default
+    options proceeds, while resuming across a behavior change still
+    refuses (code-review fix: the bare prev.get(k) made EVERY old
+    checkpoint refuse, even when the resumed run was byte-identical)."""
+    defaults = defaults or {}
     path = os.path.join(checkpoint_dir, MANIFEST_NAME)
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
-        diff = {k: (prev.get(k), v) for k, v in opts.items() if prev.get(k) != v}
+        diff = {
+            k: (prev.get(k, defaults.get(k)), v)
+            for k, v in opts.items()
+            if prev.get(k, defaults.get(k)) != v
+        }
         if diff:
             raise ValueError(
                 f"refusing to resume: run manifest {path} pins "
@@ -135,6 +151,10 @@ def run_extraction(
         {"deskew": bool(deskew), "n_parts": int(n_parts),
          "on_error": str(on_error), "with_margins": bool(with_margins),
          "degrade_slice": bool(degrade_slice)},
+        # keys added after the first manifests shipped: a checkpoint
+        # from before a flag existed behaved as that flag's default
+        defaults={"on_error": "fail", "with_margins": False,
+                  "degrade_slice": False},
     )
     weights_bc = weights_bc or broadcast_weights(spark)
     t0 = time.time()

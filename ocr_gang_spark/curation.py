@@ -163,6 +163,8 @@ def run_curation(
             # failing on a missing column
             "decisions_schema": 2,
         },
+        # a manifest without the version key is schema 1 -> refuses
+        defaults={"decisions_schema": 1},
     )
     t0 = time.time()
 

@@ -242,8 +242,8 @@ def confidence_stats_from(media: DataFrame, weights_bc) -> DataFrame:
 AGREE_HIGH_PPM, AGREE_MID_PPM = 120_000, 30_000
 
 _AGREE_PICK = (
-    "CASE WHEN next_t IS NOT NULL AND length(next_t) > length(prev_t) "
-    "THEN next_t ELSE prev_t END"
+    "CASE WHEN next_t IS NOT NULL AND (prev_t IS NULL "
+    "OR length(next_t) > length(prev_t)) THEN next_t ELSE prev_t END"
 )
 _AGREE_ORACLE = f"""
 WITH sp AS (SELECT doc_id, kind, text, media_ref, "offset"
@@ -343,7 +343,8 @@ def caption_agreement_from(spans: DataFrame) -> DataFrame:
             "caption",
             F.when(
                 F.col("next_t").isNotNull()
-                & (F.length("next_t") > F.length("prev_t")),
+                & (F.col("prev_t").isNull()
+                   | (F.length("next_t") > F.length("prev_t"))),
                 F.col("next_t"),
             ).otherwise(F.col("prev_t")),
         )
@@ -532,8 +533,8 @@ _CAP_CH = 8    # words per text chunk
 _CAP_MAXC = 4  # max text chunks per doc
 
 _CAP_PICK = (
-    "CASE WHEN next_t IS NOT NULL AND length(next_t) > length(prev_t) "
-    "THEN next_t ELSE prev_t END"
+    "CASE WHEN next_t IS NOT NULL AND (prev_t IS NULL "
+    "OR length(next_t) > length(prev_t)) THEN next_t ELSE prev_t END"
 )
 _CAP_ORACLE = f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -565,7 +566,8 @@ winp AS (
   FROM spans)
 SELECT doc_id, media_ref,
        {_CAP_PICK} AS caption,
-       CASE WHEN next_t IS NOT NULL AND length(next_t) > length(prev_t)
+       CASE WHEN next_t IS NOT NULL AND (prev_t IS NULL
+             OR length(next_t) > length(prev_t))
             THEN 'next' ELSE 'prev' END AS side,
        CAST(length({_CAP_PICK}) AS BIGINT) AS caption_len
 FROM winp WHERE kind = 'media'
@@ -643,8 +645,14 @@ def caption_pairs_from(docs: DataFrame) -> DataFrame:
         "doc_id", "kind", "media_ref",
         prev_t.alias("prev_t"), next_t.alias("next_t"),
     ).where(F.col("kind") == "media")
+    # prev_t IS NULL must route to next_t, not to a NULL caption — a
+    # document that OPENS with an image (the LAION alt-text shape) still
+    # has its following text span as the caption (code-review fix; the
+    # synthetic corpus never exercises this branch, test_caption_negatives
+    # pins it directly)
     use_next = F.col("next_t").isNotNull() & (
-        F.length("next_t") > F.length("prev_t")
+        F.col("prev_t").isNull()
+        | (F.length("next_t") > F.length("prev_t"))
     )
     caption = F.when(use_next, F.col("next_t")).otherwise(F.col("prev_t"))
     return paired.select(
@@ -980,13 +988,20 @@ def warc_records_from(blobs: DataFrame) -> DataFrame:
             for fid, blob in zip(pdf["file_id"], pdf["blob"]):
                 for r in parse_warc_responses(bytes(blob)):
                     uri = r["target_uri"] or ""
+                    # a record the reader recovered must never kill the
+                    # task on attribution: a URI without the numeric
+                    # doc tail (real archives: /index.html, corrupted
+                    # warc-target-uri) lands as doc_id=-1, and bodies
+                    # decode with replacement — the never-throw contract
+                    # extends through the row builder (code-review fix)
+                    tail = uri.rsplit("/", 1)[-1]
                     rows.append((
                         int(fid),
-                        int(uri.rsplit("/", 1)[-1]),
+                        int(tail) if tail.isdigit() else -1,
                         uri,
                         int(r["http_status"]),
                         r["http_headers"].get("x-content-lang"),
-                        r["body"].decode("utf-8"),
+                        r["body"].decode("utf-8", "replace"),
                     ))
             yield pd.DataFrame(rows, columns=[
                 "file_id", "doc_id", "target_uri", "http_status",
@@ -1109,9 +1124,12 @@ def warc_extract_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if r["http_status"] != 200:
                         continue
                     uri = r["target_uri"] or ""
+                    tail = uri.rsplit("/", 1)[-1]
+                    # same never-throw posture as warc_records_from: an
+                    # unattributable URI cannot kill the task
                     rows.append((
-                        int(uri.rsplit("/", 1)[-1]),
-                        strip_html(r["body"].decode("utf-8")),
+                        int(tail) if tail.isdigit() else -1,
+                        strip_html(r["body"].decode("utf-8", "replace")),
                     ))
             yield pd.DataFrame(rows, columns=["doc_id", "clean_text"])
 

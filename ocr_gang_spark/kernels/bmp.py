@@ -83,12 +83,19 @@ def decode_media_blob(data: bytes) -> np.ndarray:
         return np.ascontiguousarray(np.repeat(gray[:, :, None], 3, axis=2))
     if data[:1] == b"\x78":
         # Bounded inflate: a zlib bomb stops at the cap instead of
-        # filling executor memory; truncated streams fall through to
-        # decode_bmp's own size checks (still a ValueError).
+        # filling executor memory.  d.eof must ALSO hold: a blob
+        # truncated after the last deflate block but before the adler32
+        # trailer (the realistic partial-upload shape) returns the full
+        # payload with eof=False and NO error — without this check the
+        # corrupt blob silently decodes as healthy, the validation the
+        # pre-cap zlib.decompress() path used to enforce (code-review
+        # fix; the PNG path already checks d.eof).
         d = zlib.decompressobj()
         out = d.decompress(data, MAX_DECOMPRESSED + 1)
         if len(out) > MAX_DECOMPRESSED:
             raise ValueError("zlib-BMP expands past the decode cap")
+        if not d.eof:
+            raise ValueError("zlib-BMP stream truncated before its trailer")
         return decode_bmp(out)
     raise ValueError("unknown media blob format")
 

@@ -48,6 +48,11 @@ from .checkpoint import (
 from .extraction_queries import OCR_REVIEW_PPM
 from .textops import MM_IMG_TOKENS, MM_PACK_BUDGET, _prefix_pack
 
+# fixed level-two size for the packing scan over string keys: 4096
+# buckets broadcast as a 4096-row offset table at ANY corpus size and
+# give 4096-way scan parallelism
+MM_PACK_BUCKETS = 4096
+
 MM_CHECKPOINT_SCHEMA = (
     "part_id int, n_parts int, n_docs long, n_chars_out long, "
     "wall_ms long, status string, run_id string"
@@ -101,17 +106,23 @@ def mm_decisions(extracted: DataFrame) -> DataFrame:
         F.lit(None).cast("bigint").alias("bin_id"),
         F.lit(None).cast("bigint").alias("bin_offset"),
     )
-    # _prefix_pack buckets on a NUMERIC doc_id; the span corpus keys are
-    # 'doc-%08d' strings, so pack over the parsed numeral and order by
-    # it (same total order as the zero-padded string)
-    acc = d.where(F.col("accept")).withColumn(
-        "doc_key", F.col("doc_id")
-    ).withColumn(
-        "doc_id", F.regexp_extract("doc_key", r"(\d+)$", 1).cast("bigint")
+    # pack over the FULL string key: fixed hash buckets + in-bucket
+    # doc_id order is a deterministic, collision-free total order for
+    # ANY doc_id scheme (the earlier trailing-numeral parse broke on
+    # UUID keys from --input-docs parquet tables and silently collided
+    # 'doc-123'/'img-123' — code-review fix), and a FIXED bucket count
+    # keeps the level-two broadcast O(MM_PACK_BUCKETS) at 10^12 docs
+    # where the numeric-range rule's bucket table grows with the corpus
+    acc = d.where(F.col("accept"))
+    packed = _prefix_pack(
+        acc, "seq_cost", "cum_cost", MM_PACK_BUDGET,
+        bucket_col=F.pmod(
+            F.xxhash64(F.col("doc_id").cast("string")),
+            F.lit(MM_PACK_BUCKETS),
+        ),
     )
-    packed = _prefix_pack(acc, "seq_cost", "cum_cost", MM_PACK_BUDGET)
     accepted = packed.select(
-        F.col("doc_key").alias("doc_id"),
+        "doc_id",
         F.col("accept"),
         F.lit("").alias("reason"),
         "n_media", "min_margin_ppm", "seq_cost", "bin_id", "bin_offset",
@@ -160,8 +171,15 @@ def run_mm_curation(
             "review_ppm": int(OCR_REVIEW_PPM),
             "img_tokens": int(MM_IMG_TOKENS),
             "pack_budget": int(MM_PACK_BUDGET),
+            # bin-assignment rule version: v2 = hash-bucketed string
+            # keys (v1 parsed a trailing numeral); resumes across the
+            # rule change must refuse, not mix bin layouts
+            "pack_rule": 2,
             "on_error": str(on_error),
         },
+        # pre-flag checkpoints behaved as the defaults; pack_rule was 1
+        # before hash-bucketed string keys, so old runs refuse (correct)
+        defaults={"on_error": "fail", "pack_rule": 1},
     )
     t0 = time.time()
 
@@ -203,7 +221,12 @@ def run_mm_curation(
     done = completed_parts(spark, cp_dir, n_parts)
     done_ids = {r.part_id for r in done.collect()}
     remaining = out.join(F.broadcast(done), "part_id", "left_anti")
-    if len(done_ids) >= n_parts or (done_ids and remaining.isEmpty()):
+    # empty `remaining` short-circuits on FRESH runs too: a corpus where
+    # the confidence gate rejects every document would otherwise write a
+    # zero-row partitioned dir (just _SUCCESS, no part files) and crash
+    # the shards read-back below (code-review fix) — the result row with
+    # n_docs_out=0 and n_rejected set IS the correct answer
+    if len(done_ids) >= n_parts or remaining.isEmpty():
         return MMCurationResult(
             run_id, 0, 0, n_rejected, n_bins,
             int((time.time() - t0) * 1000),

@@ -21,6 +21,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def build_session(
+    app_name: str,
+    cpus: int | None = None,
+    exec_mode: str | None = None,
+) -> SparkSession:
+    """Job-entry session bootstrap (shared by jobs/*.py): under
+    spark-submit the master/conf come from the CLI, so defer to the
+    plain builder; standalone, fall back to the tuned local builder.
+    One copy — a fix to the submit-detection rule must reach every
+    job (code-review reuse finding)."""
+    if os.environ.get("SPARK_SUBMIT_RUNNING") or "spark.master" in os.environ:
+        return SparkSession.builder.getOrCreate()
+    return get_spark(app_name, cpus=cpus, exec_mode=exec_mode)
+
+
 def get_spark(
     app_name: str = "ocr_gang_spark",
     cpus: int | None = None,

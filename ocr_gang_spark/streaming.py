@@ -717,6 +717,63 @@ def _mor_duck_sql() -> str:
     return _MOR_DUCK
 
 
+def _cdc_gens(tbl_dir: str) -> list:
+    return sorted(
+        int(d.split("-")[1])
+        for d in _os.listdir(tbl_dir)
+        if d.startswith("gen-")
+    )
+
+
+def cdc_merge_generation(
+    spark: SparkSession, tbl_dir: str, batch_df: DataFrame, bid: int
+) -> None:
+    """One CDC micro-batch merge: latest-version-wins over the
+    PREDECESSOR generation plus this batch, written to ``gen-<bid>``.
+
+    The predecessor is the newest generation STRICTLY OLDER than
+    ``bid`` — never ``gen-<bid>`` itself.  On a micro-batch replay
+    (crash between the gen-<bid> write and the stream checkpoint
+    advance) the generation list already contains ``bid``; merging
+    gen-<bid> into its own rewrite would read the directory being
+    overwritten and double-count ``n_versions``.  Replaying against the
+    same predecessor instead redoes the identical merge, which is what
+    makes the generation swap idempotent (pinned by
+    tests/test_sources_streaming.py::test_cdc_generation_replay_is_idempotent).
+    """
+    from pyspark.sql import Window as W
+
+    incoming = batch_df.select(
+        "doc_id", "version", "op",
+        F.md5("text").alias("text_md5"),
+        F.lit(1).cast("bigint").alias("n_versions"),
+    )
+    prior = [g for g in _cdc_gens(tbl_dir) if g < bid]
+    if prior:
+        prev = spark.read.parquet(
+            _os.path.join(tbl_dir, f"gen-{prior[-1]}")
+        )
+        incoming = prev.unionByName(incoming)
+    win = W.partitionBy("doc_id")
+    merged = (
+        incoming.select(
+            "*",
+            F.row_number()
+            .over(win.orderBy(F.desc("version")))
+            .alias("rn"),
+            F.sum("n_versions").over(win).alias("nv"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id", "version", "op", "text_md5",
+            F.col("nv").alias("n_versions"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(
+        _os.path.join(tbl_dir, f"gen-{bid}")
+    )
+
+
 @register("stream_changelog_upsert", _mor_duck_sql())
 def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance over a CDC changelog: the same
@@ -773,45 +830,8 @@ def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(in_dir)
     )
 
-    from pyspark.sql import Window as W
-
-    def _gens():
-        return sorted(
-            int(d.split("-")[1])
-            for d in _os.listdir(tbl_dir)
-            if d.startswith("gen-")
-        )
-
     def fb(batch_df: DataFrame, bid: int) -> None:
-        incoming = batch_df.select(
-            "doc_id", "version", "op",
-            F.md5("text").alias("text_md5"),
-            F.lit(1).cast("bigint").alias("n_versions"),
-        )
-        gens = _gens()
-        if gens:
-            prev = spark.read.parquet(
-                _os.path.join(tbl_dir, f"gen-{gens[-1]}")
-            )
-            incoming = prev.unionByName(incoming)
-        win = W.partitionBy("doc_id")
-        merged = (
-            incoming.select(
-                "*",
-                F.row_number()
-                .over(win.orderBy(F.desc("version")))
-                .alias("rn"),
-                F.sum("n_versions").over(win).alias("nv"),
-            )
-            .where(F.col("rn") == 1)
-            .select(
-                "doc_id", "version", "op", "text_md5",
-                F.col("nv").alias("n_versions"),
-            )
-        )
-        merged.write.mode("overwrite").parquet(
-            _os.path.join(tbl_dir, f"gen-{bid}")
-        )
+        cdc_merge_generation(spark, tbl_dir, batch_df, bid)
 
     q = (
         stream.writeStream.foreachBatch(fb)
@@ -820,7 +840,9 @@ def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    cur = spark.read.parquet(_os.path.join(tbl_dir, f"gen-{_gens()[-1]}"))
+    cur = spark.read.parquet(
+        _os.path.join(tbl_dir, f"gen-{_cdc_gens(tbl_dir)[-1]}")
+    )
     return cur.where(F.col("op") != "D").select(
         "doc_id",
         F.col("version").cast("bigint").alias("cur_version"),

@@ -2355,15 +2355,33 @@ def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack_from(docs)
 
 
-def _prefix_pack(t: DataFrame, cost_col: str, cum_col: str, budget: int) -> DataFrame:
+def _prefix_pack(
+    t: DataFrame,
+    cost_col: str,
+    cum_col: str,
+    budget: int,
+    bucket_col=None,
+    order_col: str = "doc_id",
+) -> DataFrame:
     """Two-level distributed prefix scan + bin assignment over
     (doc_id, <cost_col>) — the shared packing core; see
     sequence_pack_bins for why this is NOT a global window (an
     unpartitioned cumulative sum is `Exchange SinglePartition`).
-    Adds <cum_col>, bin_id, bin_offset; integer-exact BIGINT."""
-    t = t.withColumn("bkt", F.expr(f"doc_id DIV {SEQ_PACK_SCAN_BUCKET}"))
+    Adds <cum_col>, bin_id, bin_offset; integer-exact BIGINT.
+
+    The scan realizes the total order (bucket, <order_col>); any
+    deterministic total order packs correctly, so callers with
+    non-numeric keys pass an explicit ``bucket_col`` expression (e.g. a
+    key hash mod a fixed bucket count) instead of relying on the
+    default numeric-range rule — which requires a BIGINT doc_id."""
+    bkt = (
+        bucket_col
+        if bucket_col is not None
+        else F.expr(f"doc_id DIV {SEQ_PACK_SCAN_BUCKET}")
+    )
+    t = t.withColumn("bkt", bkt)
     w_in = (
-        W.partitionBy("bkt").orderBy("doc_id")
+        W.partitionBy("bkt").orderBy(order_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     c = t.withColumn("cum_in", F.sum(cost_col).over(w_in))

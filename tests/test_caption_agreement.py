@@ -77,3 +77,24 @@ def test_short_strings_empty_trigram_sets(spark):
     )
     r = out["m-short"]
     assert (r.tri_overlap, r.jac_ppm, r.band) == (0, 0, "low")
+
+
+def test_doc_opening_with_media_pairs_with_next_text(spark):
+    """A document that OPENS with an image (no preceding text span)
+    must pair with the FOLLOWING text span — the code-review bug was
+    `length(next_t) > length(prev_t)` NULL-lifting to false when prev_t
+    is NULL, yielding a NULL caption.  The synthetic corpus never opens
+    a doc with media, so this branch is pinned here directly (the same
+    rule is shared with caption_pair_mining and both DuckDB oracles)."""
+    out = rows_for(
+        spark,
+        [
+            ("d1", "media", "ocr text here", "m-first", 0),
+            ("d1", "text", "the caption that follows", None, 1),
+        ],
+    )
+    r = out["m-first"]
+    assert r.caption_len == len("the caption that follows")
+    # and a doc that is ONLY media still yields NULL caption (len NULL)
+    out2 = rows_for(spark, [("d2", "media", "x", "m-only", 0)])
+    assert out2["m-only"].caption_len is None

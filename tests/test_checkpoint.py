@@ -139,3 +139,36 @@ def test_resume_with_different_deskew_refused(spark, corpus, tmp_path):
     r3 = run_extraction(spark, docs, media, out, cp, n_parts=N_PARTS,
                         run_id="r3", weights_bc=bc, deskew=False)
     assert r3.n_docs > 0 and r3.n_docs <= N_DOCS - 6
+
+
+def test_manifest_missing_keys_compare_against_defaults(tmp_path):
+    """A checkpoint written before a manifest key existed must resume
+    when the new run passes that option's default (the old run WAS the
+    default behavior), and still refuse when it passes a different
+    value or when a versioned rule moved past the implied old version
+    (code-review fix for the bare prev.get comparison)."""
+    import json
+    import os
+
+    import pytest
+
+    from ocr_gang_spark.checkpoint import MANIFEST_NAME, _check_run_manifest
+
+    cp = str(tmp_path / "cp")
+    os.makedirs(cp)
+    with open(os.path.join(cp, MANIFEST_NAME), "w") as f:
+        json.dump({"deskew": False, "n_parts": 4}, f)  # pre-flag manifest
+
+    opts = {"deskew": False, "n_parts": 4, "on_error": "fail"}
+    _check_run_manifest(cp, opts, defaults={"on_error": "fail"})  # proceeds
+
+    with pytest.raises(ValueError, match="refusing to resume"):
+        _check_run_manifest(
+            cp, {**opts, "on_error": "quarantine"},
+            defaults={"on_error": "fail"},
+        )
+    with pytest.raises(ValueError, match="refusing to resume"):
+        _check_run_manifest(
+            cp, {**opts, "pack_rule": 2},
+            defaults={"on_error": "fail", "pack_rule": 1},
+        )

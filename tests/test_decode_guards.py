@@ -85,3 +85,28 @@ def test_guards_leave_healthy_blobs_alone():
     )
     gray = np.ascontiguousarray(IMG[:, :, 0])
     assert decode_jpeg_gray(encode_jpeg_gray(gray)).shape == gray.shape
+
+
+def test_zlib_bmp_truncated_trailer_is_rejected():
+    """A zlib-BMP cut after its final deflate block but BEFORE the
+    4-byte adler32 trailer inflates to the full payload with no error
+    from decompressobj — the decoder must still reject it (d.eof),
+    or the corrupt blob enters the corpus as a healthy decode
+    (code-review fix)."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from ocr_gang_spark.kernels.bmp import decode_media_blob, encode_bmp
+
+    page = np.full((8, 8, 3), 255, dtype=np.uint8)
+    blob = zlib.compress(encode_bmp(page), level=1)
+    # sanity: the full blob decodes
+    assert decode_media_blob(blob).shape == (8, 8, 3)
+    # drop exactly the adler32 trailer: payload complete, stream not
+    truncated = blob[:-4]
+    d = zlib.decompressobj()
+    assert d.decompress(truncated) == encode_bmp(page) and not d.eof
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media_blob(truncated)

@@ -93,3 +93,71 @@ def test_resume_is_noop_and_manifest_pins(run):
     assert res2.n_parts_processed == 0 and res2.n_docs_out == 0
     with pytest.raises(ValueError, match="refusing to resume"):
         run_mm_curation(spark, docs, media, wd, n_parts=N_PARTS * 2)
+
+
+def test_mm_decisions_packs_arbitrary_doc_keys(spark):
+    """Bin assignment must be deterministic and total for doc_ids with
+    NO trailing numeral (UUIDs from --input-docs parquet) and must not
+    collide keys sharing a numeric suffix — the code-review bug was a
+    regexp_extract of the trailing digits (NULL for UUIDs, 123 for both
+    'doc-123' and 'img-123')."""
+    from ocr_gang_spark.mm_curation import mm_decisions
+
+    span_t = (
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    rows = [
+        ("ab12cd34-uuid-key", [("text", "five words of text here", None, 0)], None),
+        ("doc-123", [("text", "w1 w2", None, 0)], None),
+        ("img-123", [("text", "w3 w4 w5", None, 0)], None),
+        ("zz-no-digits", [("text", "tail words", None, 0)], None),
+    ]
+    df = spark.createDataFrame(
+        rows, f"doc_id string, spans {span_t}, doc_min_margin_ppm bigint"
+    )
+    got = {r.doc_id: r for r in mm_decisions(df).collect()}
+    assert len(got) == 4 and all(r.accept for r in got.values())
+    assert all(
+        r.bin_id is not None and r.bin_offset is not None
+        for r in got.values()
+    )
+    # doc-123 and img-123 are DISTINCT keys: both packed, costs correct
+    assert got["doc-123"].seq_cost == 2 and got["img-123"].seq_cost == 3
+    again = {r.doc_id: r for r in mm_decisions(df).collect()}
+    assert {k: (v.bin_id, v.bin_offset) for k, v in got.items()} == {
+        k: (v.bin_id, v.bin_offset) for k, v in again.items()
+    }
+
+
+def test_all_rejected_corpus_returns_zero_result(spark, tmp_path):
+    """A fresh run where the confidence gate rejects EVERY document must
+    return n_docs_out=0 with n_rejected set — not crash reading back a
+    zero-row partitioned shards dir (code-review fix)."""
+    import numpy as np
+
+    from ocr_gang_spark.extraction_queries import OCR_REVIEW_PPM
+    from ocr_gang_spark.synth import synth_documents
+
+    docs = synth_documents(spark, 12, seed=5, skew_frac=0.0, media_prob=1.0)
+    media = synth_media(spark, docs)
+    wd = str(tmp_path / "mmzero")
+    import ocr_gang_spark.mm_curation as mm
+
+    orig = mm.mm_decisions
+
+    def all_reject(extracted):
+        d = orig(extracted)
+        return d.select(
+            "doc_id", F.lit(False).alias("accept"),
+            F.lit("low_confidence").alias("reason"),
+            "n_media", "min_margin_ppm", "seq_cost",
+            F.lit(None).cast("bigint").alias("bin_id"),
+            F.lit(None).cast("bigint").alias("bin_offset"),
+        )
+
+    mm.mm_decisions = all_reject
+    try:
+        res = run_mm_curation(spark, docs, media, wd, n_parts=4)
+    finally:
+        mm.mm_decisions = orig
+    assert res.n_docs_out == 0 and res.n_rejected == 12 and res.n_bins == 0

@@ -314,3 +314,38 @@ def test_stream_join_drops_pair_whose_click_state_was_evicted(spark, tmp_path):
                for r in batch.where(F.col("purchase_id") != LATE_ID).collect()}
     got_pairs = {(r.click_id, r.purchase_id) for r in got.collect()}
     assert got_pairs == on_time
+
+
+def test_cdc_generation_replay_is_idempotent(spark, tmp_path):
+    """A replayed CDC micro-batch (crash between the gen-<bid> write and
+    the checkpoint advance) must merge against its PREDECESSOR
+    generation, not the gen-<bid> it is rewriting — the code-review bug
+    was prev = gens[-1], which on replay read the batch's own output and
+    double-counted n_versions."""
+    import os
+
+    from ocr_gang_spark.streaming import cdc_merge_generation
+
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(tbl)
+    b0 = spark.createDataFrame(
+        [(1, 0, "I", "a"), (2, 0, "I", "b")],
+        "doc_id bigint, version int, op string, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, 1, "U", "a2")],
+        "doc_id bigint, version int, op string, text string",
+    )
+    cdc_merge_generation(spark, tbl, b0, 0)
+    cdc_merge_generation(spark, tbl, b1, 1)
+    snap = sorted(
+        tuple(r) for r in spark.read.parquet(tbl + "/gen-1").collect()
+    )
+    cdc_merge_generation(spark, tbl, b1, 1)  # replay of batch 1
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(tbl + "/gen-1").collect()
+    )
+    assert got == snap
+    nv = {r.doc_id: r.n_versions for r in
+          spark.read.parquet(tbl + "/gen-1").collect()}
+    assert nv == {1: 2, 2: 1}  # not {1: 3, ...}

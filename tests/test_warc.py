@@ -143,3 +143,27 @@ def test_http_split_honors_content_length_and_tolerates_junk():
     # bare-LF line endings (real archives mix them in)
     s, h, b = split_http_response(b"HTTP/1.1 200 OK\nX: y\n\npayload")
     assert (s, h["x"], b) == (200, "y", b"payload")
+
+
+def test_row_builder_tolerates_unattributable_records(spark):
+    """warc_records_from must not die on records whose URI has no
+    numeric doc tail or whose body is not valid UTF-8 — one malformed
+    record in a real archive must not take down the batch (the
+    code-review bug was a bare int(uri tail) / strict decode)."""
+    from ocr_gang_spark.extraction_queries import warc_records_from
+
+    http = encode_http_response(
+        200, "OK", [("Content-Type", "text/html")], b"\xff\xfe raw bytes"
+    )
+    rec = encode_warc_record(
+        "response",
+        [("WARC-Record-ID", "<urn:t:x>"),
+         ("WARC-Target-URI", "https://example.com/index.html")],
+        http,
+    )
+    blob = encode_warc_file([rec, _record(7, b"fine")], "t")
+    df = spark.createDataFrame([(0, bytearray(blob))],
+                               "file_id bigint, blob binary")
+    rows = {r.target_uri: r for r in warc_records_from(df).collect()}
+    assert rows["https://example.com/index.html"].doc_id == -1
+    assert rows["https://h/7"].doc_id == 7  # healthy record unaffected
