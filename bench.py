@@ -91,6 +91,7 @@ HEADLINE = [
     "warc_ingest_records",
     "warc_extract_main_content",
     "stream_warc_ingest",
+    "tar_shard_samples",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND

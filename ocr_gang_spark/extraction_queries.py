@@ -1137,3 +1137,139 @@ def warc_extract_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         files.mapInPandas(build, schema="file_id bigint, blob binary")
         .mapInPandas(parse_strip, schema="doc_id bigint, clean_text string")
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar training shards (the sink side of the WARC story:
+# WARC is how web corpora ARRIVE, tar shards are how training samples
+# SHIP).  Each shard is a POSIX tar whose members follow the WebDataset
+# convention — one sample = `{key}.txt` (payload) + `{key}.json`
+# (metadata) — built byte-deterministically (fixed mtime/uid/uname) so
+# the same corpus always produces the same shard bytes.  Round-trip
+# oracle, same pattern as WARC: write shards, read the raw tar bytes
+# back, recover every field relationally.
+# ---------------------------------------------------------------------------
+
+_SHARD_DOCS = 25  # samples per tar shard
+
+
+def tar_shards_df(docs: DataFrame) -> DataFrame:
+    """documents -> (shard_id, blob) WebDataset tar shards."""
+    import io
+    import json as _json
+    import tarfile
+
+    d = docs.select(
+        (F.col("doc_id") / _SHARD_DOCS).cast("bigint").alias("shard_id"),
+        F.struct("doc_id", "text", "lang", "source").alias("rec"),
+    )
+    shards = d.groupBy("shard_id").agg(
+        F.sort_array(F.collect_list("rec")).alias("recs")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for sid, recs in zip(pdf["shard_id"], pdf["recs"]):
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    for r in recs:
+                        key = f"{int(r['doc_id']):08d}"
+                        members = [
+                            (f"{key}.txt", r["text"].encode("utf-8")),
+                            (f"{key}.json", _json.dumps(
+                                {"lang": r["lang"], "source": r["source"]},
+                                sort_keys=True,
+                            ).encode("utf-8")),
+                        ]
+                        for name, data in members:
+                            ti = tarfile.TarInfo(name=name)
+                            ti.size = len(data)
+                            ti.mtime = 0
+                            ti.uid = ti.gid = 0
+                            ti.uname = ti.gname = ""
+                            tf.addfile(ti, io.BytesIO(data))
+                out.append((int(sid), buf.getvalue()))
+            yield pd.DataFrame(out, columns=["shard_id", "blob"])
+
+    return shards.mapInPandas(build, schema="shard_id bigint, blob binary")
+
+
+def tar_samples_from(blobs: DataFrame) -> DataFrame:
+    """(shard_id, blob) -> per-sample rows recovered from raw tar bytes.
+    Samples are grouped by member basename (WebDataset rule); a member
+    pair with a malformed key or undecodable payload lands as
+    doc_id=-1 / replacement text instead of killing the task."""
+    import io
+    import json as _json
+    import tarfile
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for sid, blob in zip(pdf["shard_id"], pdf["blob"]):
+                samples = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    for m in tf.getmembers():
+                        key, _, ext = m.name.rpartition(".")
+                        samples.setdefault(key, {})[ext] = (
+                            tf.extractfile(m).read()
+                        )
+                for key, parts in samples.items():
+                    meta = {}
+                    if "json" in parts:
+                        try:
+                            meta = _json.loads(parts["json"])
+                        except ValueError:
+                            meta = {}
+                    rows.append((
+                        int(sid),
+                        int(key) if key.isdigit() else -1,
+                        parts.get("txt", b"").decode("utf-8", "replace"),
+                        meta.get("lang"),
+                        meta.get("source"),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "shard_id", "doc_id", "text", "lang", "source",
+            ])
+
+    return blobs.mapInPandas(
+        parse,
+        schema="shard_id bigint, doc_id bigint, text string, "
+        "lang string, source string",
+    )
+
+
+@register(
+    "tar_shard_samples",
+    f"""
+    SELECT doc_id // {_SHARD_DOCS} AS shard_id,
+           doc_id,
+           lang,
+           source,
+           CAST(length(text) AS BIGINT) AS text_len,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def tar_shard_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard sink round-trip: pack documents into
+    WebDataset-convention tar shards ({{key}}.txt + {{key}}.json per
+    sample, byte-deterministic archives), then recover every sample
+    from the raw tar bytes alone.  The reference's result sink writes
+    one text file (S8, `ocr.c:112-121`); tar shards are that sink's
+    web-scale training analog — samples ship in sealed archives a
+    dataloader streams sequentially.
+
+    100 TB shape: like the WARC queries, the ONLY exchange is shard
+    assembly (bounded {_SHARD_DOCS}-sample lists — and that shuffle is
+    the real pipeline's packing stage, not synthesis overhead); the
+    read-back is a per-shard kernel with zero shuffle, and field
+    hashing stays relational (JVM md5)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    samples = tar_samples_from(tar_shards_df(docs))
+    return samples.select(
+        "shard_id", "doc_id", "lang", "source",
+        F.length("text").cast("bigint").alias("text_len"),
+        F.md5("text").alias("text_md5"),
+    )

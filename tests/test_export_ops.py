@@ -66,3 +66,36 @@ def test_resolution_statuses_consistent(spark):
         else:
             assert r.first_missing_ref is None
     assert {"full", "no_media"} <= seen
+
+
+def test_tar_shards_are_byte_deterministic_and_tolerant(spark):
+    """Same corpus -> byte-identical shard archives (fixed tar
+    metadata), and a malformed member key / non-UTF-8 payload lands as
+    doc_id=-1 / replacement text instead of a dead task."""
+    import io
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from ocr_gang_spark.extraction_queries import (
+        tar_samples_from,
+        tar_shards_df,
+    )
+    from ocr_gang_spark.queries import load
+
+    (docs,) = load(spark, "/root/testdata/sf0.001", "documents")
+    a = {r.shard_id: bytes(r.blob) for r in tar_shards_df(docs).collect()}
+    b = {r.shard_id: bytes(r.blob) for r in tar_shards_df(docs).collect()}
+    assert a == b and len(a) > 1
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [("weird-key.txt", b"\xff\xferaw"),
+                           ("00000003.txt", b"fine")]:
+            ti = tarfile.TarInfo(name=name)
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    df = spark.createDataFrame([(0, bytearray(buf.getvalue()))],
+                               "shard_id bigint, blob binary")
+    rows = {r.doc_id: r for r in tar_samples_from(df).collect()}
+    assert rows[-1].text.startswith("�") and rows[3].text == "fine"

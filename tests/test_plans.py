@@ -731,3 +731,14 @@ def test_warc_extract_chain_is_single_exchange(spark):
     plan = plan_of(warc_extract_main_content(spark, SF), mode="simple")
     assert plan.count("Exchange") == 1
     assert plan.count("MapInPandas") == 2
+
+
+def test_tar_shard_roundtrip_is_single_exchange(spark):
+    """tar_shard_samples: one exchange (shard assembly — the real
+    pipeline's packing stage), two kernel stages, relational md5."""
+    from ocr_gang_spark.extraction_queries import tar_shard_samples
+
+    plan = plan_of(tar_shard_samples(spark, SF), mode="simple")
+    assert plan.count("Exchange") == 1
+    assert plan.count("MapInPandas") == 2
+    assert "md5" in plan
