@@ -648,8 +648,9 @@ def caption_pairs_from(docs: DataFrame) -> DataFrame:
     # prev_t IS NULL must route to next_t, not to a NULL caption — a
     # document that OPENS with an image (the LAION alt-text shape) still
     # has its following text span as the caption (code-review fix; the
-    # synthetic corpus never exercises this branch, test_caption_negatives
-    # pins it directly)
+    # synthetic corpus never opens a doc with media, so the branch is
+    # pinned on constructed spans in test_caption_agreement.py, which
+    # shares this rule)
     use_next = F.col("next_t").isNotNull() & (
         F.col("prev_t").isNull()
         | (F.length("next_t") > F.length("prev_t"))
