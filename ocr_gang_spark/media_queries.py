@@ -258,8 +258,10 @@ def pdf_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE i <= doc_id % 2 + 1),
     g AS (
       SELECT f.phash, CAST(COUNT(*) AS BIGINT) AS n_imgs,
-             CAST(MIN(CAST(substr(f.media_ref, 9, 8) AS BIGINT) * 10
-                      + CAST(substr(f.media_ref, 18, 1) AS BIGINT))
+             CAST(MIN(CAST(regexp_extract(f.media_ref, 'doc-([0-9]+)-([0-9]+)$', 1)
+                           AS BIGINT) * 10
+                      + CAST(regexp_extract(f.media_ref, 'doc-([0-9]+)-([0-9]+)$', 2)
+                             AS BIGINT))
                   AS BIGINT) AS keep_key
       FROM read_parquet('{_FIXTURES}/expected_phash.parquet') f
       JOIN refs USING (media_ref)
@@ -286,9 +288,12 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band of one 36-bit hash).  The keeper travels through the aggregate
     as a packed BIGINT key (min(string) ref would silently degrade the
     pivot to SortAggregate — plan-pinned) and is re-rendered after."""
+    import re
+
     from .kernels.bmp import decode_media_blob
     from .kernels.image_ops import binarize, phash36
 
+    _REF_RE = re.compile(r"doc-(\d+)-(\d+)$")
     docs = spans_from_testdata(spark, sf_dir)
     media = synth_media(spark, docs)
 
@@ -297,9 +302,16 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for ref, blob in zip(pdf["media_ref"], pdf["bytes"]):
                 bw = binarize(decode_media_blob(bytes(blob)))
-                # pack (doc_id, span_idx) from the fixed-width ref: min
-                # over this BIGINT == lexicographic min over the refs
-                rows.append((ref, phash36(bw), int(ref[8:16]) * 10 + int(ref[17:])))
+                # pack (doc_id, span_idx) parsed by REGEX, not fixed
+                # position: at doc_id >= 10^8 the %08d field widens and a
+                # positional slice would truncate the id / crash on the
+                # hyphen (code-review fix; decode_quarantine_stats already
+                # parses this way).  min over the packed BIGINT == min
+                # (doc_id, span_idx), the deterministic keeper rule.
+                m = _REF_RE.search(ref)
+                rows.append(
+                    (ref, phash36(bw), int(m.group(1)) * 10 + int(m.group(2)))
+                )
             yield pd.DataFrame(rows, columns=["media_ref", "phash", "ref_key"])
 
     import pyspark.sql.functions as F

@@ -261,7 +261,7 @@ def union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH gaps AS (
       SELECT user_id, ts,
-             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -273,11 +273,24 @@ def union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via lag/window — the relational analog of the
-    reference's run-length bloc detection (G2, SURVEY §2.3)."""
+    reference's run-length bloc detection (G2, SURVEY §2.3).
+
+    The gap compares integer epoch MICROSECONDS in both engines
+    (unix_micros / epoch_us): unix_timestamp truncates to whole seconds
+    while DuckDB's epoch() keeps fractional seconds, so a true gap in
+    (1800s, 1801s) split the engines depending on sub-second phase —
+    and whole-second truncation also misclassified such gaps as
+    same-session outright (code-review fix; events_asof_join already
+    uses integer microseconds end to end)."""
     (events,) = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_session = F.when(gap > 1800, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    new_session = (
+        F.when(gap > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+    )
     return (
         events.withColumn("new_session", new_session)
         .groupBy("user_id")

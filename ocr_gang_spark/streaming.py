@@ -160,9 +160,13 @@ def sessionize_stream(
         )
         rows = pd.concat(list(pdfs))
         rows = rows.sort_values(["ts", "event_id"])
+        # integer MICROSECONDS, matching the batch query's unix_micros
+        # rule — whole-second truncation would disagree with the batch
+        # oracle for true gaps in (gap, gap+1s) (code-review fix)
+        gap_us = gap_seconds * 1_000_000
         for ts in rows["ts"]:
-            epoch = int(pd.Timestamp(ts).timestamp())
-            if last_ts is None or epoch - last_ts > gap_seconds:
+            epoch = int(pd.Timestamp(ts).value) // 1000
+            if last_ts is None or epoch - last_ts > gap_us:
                 n_sessions += 1
             last_ts = epoch
             n_events += 1

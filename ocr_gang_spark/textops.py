@@ -208,7 +208,56 @@ def _band_key_duck(b: int) -> str:
     parts = " || '_' || ".join(
         f"CAST(mh{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
     )
-    return f"SELECT {b} AS band_id, {parts} AS band_key, doc_id FROM sig"
+    # WHERE mh0 IS NOT NULL mirrors _banded(): NULL-signature docs are
+    # excluded from banding in BOTH engines (see _banded docstring)
+    return (
+        f"SELECT {b} AS band_id, {parts} AS band_key, doc_id FROM sig "
+        "WHERE mh0 IS NOT NULL"
+    )
+
+
+def _band_structs():
+    """The ONE Spark LSH band-key layout (band_id, '_'-joined row
+    minhashes) — previously copy-pasted in three queries with NULL
+    handling drifting between the copies (code-review reuse fix)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{b * LSH_ROWS + r}").cast("string")
+                        for r in range(LSH_ROWS)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+
+
+def _banded(sig: DataFrame) -> DataFrame:
+    """Signature frame -> exploded (doc_id, band_id, band_key) rows.
+
+    Docs whose signature is NULL (NULL text for the unigram family;
+    fewer tokens than one shingle for the shingle family) are EXCLUDED
+    from banding: Spark's concat_ws would skip the NULLs and DuckDB's
+    || would propagate them, and either way every un-signable doc
+    lands in ONE shared bucket and gets flagged as a duplicate of
+    unrelated un-signable docs (code-review fix — the old 'x' sentinel
+    in the incremental index had exactly that collision).  An
+    un-signable doc is simply not a MinHash dedup candidate; callers
+    that must emit a row for every doc left-join back to the corpus."""
+    return (
+        sig.where(F.col("mh0").isNotNull())
+        .select("doc_id", F.explode(_band_structs()).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_key").alias("band_key"),
+        )
+    )
 
 
 @register(
@@ -228,21 +277,9 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets with >= 2 docs survive (the candidate-generating ones)."""
     (docs,) = load(spark, sf_dir, "documents")
     sig = _with_token_hashes(docs).select("doc_id", *_minhash_cols_spark())
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "_",
-                    *[F.col(f"mh{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)],
-                ).alias("band_key"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
     return (
-        sig.select("doc_id", F.explode(bands).alias("b"))
-        .groupBy(F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+        _banded(sig)
+        .groupBy("band_id", "band_key")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
         .where(F.col("n_docs") >= 2)
     )
@@ -514,8 +551,16 @@ _VERIFIED_CTES_DUCK = f"""
     pl AS (SELECT flatten(list_transform(ds, (x, i) ->
              list_transform(list_slice(ds, i + 1, len(ds)),
                             y -> {{'a_id': x, 'b_id': y}}))) AS ps FROM posts),
-    cand AS (SELECT DISTINCT p.a_id AS a_id, p.b_id AS b_id
-             FROM (SELECT UNNEST(ps) AS p FROM pl)),
+    bigb AS (SELECT band_id, band_key, MIN(doc_id) AS m
+             FROM bands GROUP BY band_id, band_key
+             HAVING COUNT(*) > {DEDUP_MAX_BUCKET}),
+    star AS (SELECT g.m AS a_id, b.doc_id AS b_id
+             FROM bands b JOIN bigb g USING (band_id, band_key)
+             WHERE b.doc_id <> g.m),
+    cand AS (SELECT DISTINCT a_id, b_id FROM (
+               SELECT p.a_id AS a_id, p.b_id AS b_id
+               FROM (SELECT UNNEST(ps) AS p FROM pl)
+               UNION ALL SELECT a_id, b_id FROM star)),
     sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tt) - 1),
              k -> tt[k] || ' ' || tt[k+1] || ' ' || tt[k+2])) AS s
            FROM (SELECT doc_id, string_split(text, ' ') AS tt FROM documents)),
@@ -558,7 +603,10 @@ def dedup_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
       from jaccard_candidate_pairs: bucket sizes counted first (no
       collect), only 2..{DEDUP_MAX_BUCKET} keys semi-join back, THEN
       collect_list (buffers <= {DEDUP_MAX_BUCKET} by construction;
-      plan-pinned: the LeftSemi sits below the aggregate);
+      plan-pinned: the LeftSemi sits below the aggregate); buckets
+      ABOVE the bound still participate via O(bucket) star edges to
+      the bucket keeper (count/min streaming aggregates only), so
+      mega-duplicated content is deduped, not silently exempted;
     * pairs generate IN-ROW from the sorted bucket postings (never a
       self-join), deduped across bands;
     * verification joins each doc's distinct-shingle set to the pair
@@ -617,33 +665,13 @@ def _verified_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def verified_pairs_from(docs: DataFrame) -> DataFrame:
     """DataFrame-level verified near-dup pairs (shared with curation)."""
     sig = _with_token_hashes(docs).select("doc_id", *_minhash_cols_spark())
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "_",
-                    *[F.col(f"mh{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)],
-                ).alias("band_key"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
     # persisted because BOTH the bucket-size count (bsz) and the
     # postings semi-join probe side read this frame — without the cache
     # the 32-perm MinHash hashing (the dominant cost) computes twice
     # per action (measured: verified.count() 10.8s -> ~7s at sf0.1).
     # The frame is docs x LSH_BANDS rows of (id, small string) — far
     # smaller than the corpus, safe to cache at any scale.
-    bexp = (
-        sig.select("doc_id", F.explode(bands).alias("b"))
-        .select(
-            "doc_id",
-            F.col("b.band_id").alias("band_id"),
-            F.col("b.band_key").alias("band_key"),
-        )
-        .persist()
-    )
+    bexp = _banded(sig).persist()
     bsz = (
         bexp.groupBy("band_id", "band_key")
         .agg(F.count("*").alias("n"))
@@ -664,9 +692,32 @@ def verified_pairs_from(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+    # oversized buckets (> DEDUP_MAX_BUCKET) are NOT exempt from dedup:
+    # the most heavily duplicated content concentrates in exactly those
+    # buckets, and skipping them silently treated every member as a
+    # unique singleton (code-review fix).  They contribute STAR
+    # candidates — each member against the bucket's min-id keeper —
+    # which is O(bucket) edges and streaming-aggregate state (count +
+    # min, never a collect_list buffer), so the O(bucket^2) in-bucket
+    # pair expansion stays reserved for the bounded buckets while the
+    # exact-Jaccard gate still verifies every star edge.  True near-dup
+    # mega-clusters thus collapse to their keeper; FP-bucket members
+    # simply fail verification and survive.
+    bigb = (
+        bexp.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("m"))
+        .where(F.col("n") > DEDUP_MAX_BUCKET)
+        .select("band_id", "band_key", "m")
+    )
+    star = (
+        bexp.join(bigb, ["band_id", "band_key"])
+        .where(F.col("doc_id") != F.col("m"))
+        .select(F.col("m").alias("a_id"), F.col("doc_id").alias("b_id"))
+    )
     cand = (
         posts.select(F.explode(pair_list).alias("p"))
         .select("p.a_id", "p.b_id")
+        .unionAll(star)
         .distinct()
     )
     sh = (
@@ -2786,7 +2837,9 @@ _UNIGRAM_DUCK = f"""
                       CAST(SUM(c) AS BIGINT) AS sum_c
                FROM toks JOIN vocab USING (tok) GROUP BY doc_id, lang),
     s2 AS (SELECT doc_id, lang, n_toks, sum_c,
-                  (sum_c * {CCNET_SCALE}) // (n_toks * tt) AS score_ppb
+                  CAST(floor(CAST(sum_c AS DOUBLE) * {CCNET_SCALE}
+                             / (CAST(n_toks AS DOUBLE) * CAST(tt AS DOUBLE)))
+                       AS BIGINT) AS score_ppb
            FROM scored, total)
     SELECT doc_id, lang, n_toks, sum_c, score_ppb,
            (['head', 'middle', 'tail'])[
@@ -2830,7 +2883,18 @@ def unigram_lm_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_toks"), F.sum("c").alias("sum_c"))
         .crossJoin(F.broadcast(total))
         .withColumn(
-            "score_ppb", F.expr(f"(sum_c * {CCNET_SCALE}) DIV (n_toks * tt)")
+            # DOUBLE, not BIGINT arithmetic: sum_c * 1e9 overflows int64
+            # once total corpus tokens pass ~10^10 (Spark would wrap
+            # silently negative, DuckDB would error) — the same IEEE
+            # expression evaluated in both engines is bit-identical, so
+            # the floor'd score stays hash-exact at every scale
+            # (code-review fix)
+            "score_ppb",
+            F.expr(
+                f"CAST(floor(CAST(sum_c AS DOUBLE) * {CCNET_SCALE}"
+                " / (CAST(n_toks AS DOUBLE) * CAST(tt AS DOUBLE)))"
+                " AS BIGINT)"
+            ),
         )
         .select("doc_id", "lang", "n_toks", "sum_c", "score_ppb")
     )
@@ -3392,19 +3456,18 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PR_SCALE = 1_000_000_000  # ranks in parts-per-billion
 PR_ITERS = 3
-PR_DOMAINS = 20  # src0..src19 at every tier (asserted by the edge rule)
 
 # inject-then-detect link graph: the corpus has no hyperlink column, so
 # each document emits one deterministic edge
-# source -> src{(doc_id^2 + 3) % 20}.  Quadratic residues mod 20 hit
-# only {0,1,4,5,9,16}+3, so in-degree is genuinely skewed and the ranks
-# spread (an affine map gave a uniform multigraph and every rank
-# collapsed to 1/N); every destination is an existing node — no rank
-# mass leaks.  Both engines derive the same multigraph.
-_PR_DST = f"'src' || CAST((doc_id * doc_id + 3) % {PR_DOMAINS} AS VARCHAR)"
-_PR_DST_SPARK = (
-    f"concat('src', CAST((doc_id * doc_id + 3) % {PR_DOMAINS} AS STRING))"
-)
+# source -> the ((doc_id^2 + 3) mod |nodes|)-th EXISTING domain (sorted
+# order).  Quadratic residues keep the in-degree genuinely skewed so
+# ranks spread (an affine map gave a uniform multigraph and every rank
+# collapsed to 1/N).  The destination index is taken mod the ACTUAL
+# node count, not a hardcoded 20: with the old 'src'||k%20 rule, any
+# corpus whose source set lacked one of the residue targets silently
+# dropped that mass in the left join and the ranks were no longer
+# damped PageRank (code-review fix — the testdata always has exactly
+# src0..src19, so the hole was invisible to the oracle).
 
 
 def _pagerank_duck_sql() -> str:
@@ -3427,12 +3490,18 @@ def _pagerank_duck_sql() -> str:
         prev = f"i{i}"
     body = ",".join(iters)
     return f"""
-    WITH e AS (SELECT source AS src, {_PR_DST} AS dst FROM documents),
+    WITH nodes AS (SELECT DISTINCT source AS node FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+    nodes_r AS (SELECT node,
+                       CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT)
+                         AS idx
+                FROM nodes),
+    e AS (SELECT d.source AS src, nr.node AS dst
+          FROM documents d, n
+          JOIN nodes_r nr ON nr.idx = (d.doc_id * d.doc_id + 3) % n.nn),
     ew AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
            FROM e GROUP BY src, dst),
     outd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM ew GROUP BY src),
-    nodes AS (SELECT DISTINCT source AS node FROM documents),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
     r0 AS (SELECT node, CAST({PR_SCALE} // nn AS BIGINT) AS r FROM nodes, n),
     {body}
     SELECT node AS domain, r AS rank_ppb FROM {prev}
@@ -3446,8 +3515,10 @@ def pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     trust signal a web-corpus pipeline feeds back into its crawler and
     quality weights.
 
-    Link graph is injected deterministically (see _PR_DST): each doc
-    emits one edge from its domain to a quadratically-mapped domain,
+    Link graph is injected deterministically: each doc emits one
+    edge from its domain to a quadratically-index-mapped EXISTING
+    domain (idx mod the actual node count, so no corpus shape can
+    leak rank mass onto non-nodes),
     giving a weighted multigraph both engines derive identically whose
     in-degree is skewed — hub domains (quadratic-residue targets) end
     with ~3x the teleport-only domains' rank, so the query demonstrates
@@ -3474,16 +3545,30 @@ def pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans regardless of PR_ITERS).  The cached frames are domain-sized,
     not corpus-sized."""
     (docs,) = load(spark, sf_dir, "documents")
-    e = _spread(docs).select(
-        F.col("source").alias("src"), F.expr(_PR_DST_SPARK).alias("dst")
+    nodes = docs.select(F.col("source").alias("node")).distinct()
+    ncnt = F.broadcast(nodes.agg(F.count("*").cast("bigint").alias("nn")))
+    nodes_n = nodes.crossJoin(ncnt).persist()
+    # destination = idx-th existing node: the domain-sized (node, idx)
+    # map broadcasts to the doc-scale edge build, so every edge lands
+    # on a real node by construction (no mass drop on any corpus)
+    w_idx = W.orderBy("node")
+    nodes_idx = nodes.select(
+        "node", (F.row_number().over(w_idx) - 1).cast("bigint").alias("idx")
+    )
+    e = (
+        _spread(docs)
+        .crossJoin(ncnt)
+        .select(
+            F.col("source").alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 3) % F.col("nn")).alias("idx"),
+        )
+        .join(F.broadcast(nodes_idx), "idx")
+        .select("src", F.col("node").alias("dst"))
     )
     ew = e.groupBy("src", "dst").agg(
         F.count("*").cast("bigint").alias("w")
     ).persist()
     outd = ew.groupBy("src").agg(F.sum("w").cast("bigint").alias("outw")).persist()
-    nodes = docs.select(F.col("source").alias("node")).distinct()
-    ncnt = F.broadcast(nodes.agg(F.count("*").cast("bigint").alias("nn")))
-    nodes_n = nodes.crossJoin(ncnt).persist()
     r = nodes_n.select(
         "node", "nn", F.expr(f"{PR_SCALE} DIV nn").cast("bigint").alias("r")
     )
@@ -4807,14 +4892,19 @@ def rag_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _band_rows_duck(src_sig: str) -> str:
-    # COALESCE: a shorter-than-one-shingle doc has NULL minhashes; its
-    # band key must still be a deterministic string in BOTH engines
-    # (Spark's concat_ws skips NULLs, DuckDB's || propagates them)
+    # NULL-signature docs (shorter than one shingle) are EXCLUDED from
+    # banding, mirroring _banded(): the old 'x' sentinel gave every
+    # short doc the identical band key in all 8 bands, so any short
+    # incoming doc was flagged duplicate of any unrelated short indexed
+    # doc (code-review fix) — an un-signable doc is not a MinHash
+    # candidate; the decision select left-joins the incoming table so
+    # such docs still surface, as 'novel'
     return " UNION ALL ".join(
-        "SELECT {b} AS band_id, {parts} AS band_key, doc_id FROM {src}".format(
+        "SELECT {b} AS band_id, {parts} AS band_key, doc_id FROM {src} "
+        "WHERE mh0 IS NOT NULL".format(
             b=b,
             parts=" || '_' || ".join(
-                f"COALESCE(CAST(mh{b * LSH_ROWS + r} AS VARCHAR), 'x')"
+                f"CAST(mh{b * LSH_ROWS + r} AS VARCHAR)"
                 for r in range(LSH_ROWS)
             ),
             src=src_sig,
@@ -4862,9 +4952,11 @@ j AS (SELECT bn.doc_id,
              MIN(i.min_doc) AS matched_old
       FROM bn LEFT JOIN idx i USING (band_id, band_key)
       GROUP BY bn.doc_id)
-SELECT doc_id, CAST(hits AS BIGINT) AS n_band_hits, matched_old,
-       CASE WHEN hits > 0 THEN 'duplicate' ELSE 'novel' END AS decision
-FROM j
+SELECT n.doc_id, CAST(COALESCE(j.hits, 0) AS BIGINT) AS n_band_hits,
+       j.matched_old,
+       CASE WHEN COALESCE(j.hits, 0) > 0 THEN 'duplicate'
+            ELSE 'novel' END AS decision
+FROM incoming n LEFT JOIN j USING (doc_id)
 """
 
 
@@ -4903,29 +4995,6 @@ def incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     incoming = new_nov.unionAll(new_dup)
 
-    def _bands(sig: DataFrame) -> DataFrame:
-        arr = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.coalesce(
-                                F.col(f"mh{b * LSH_ROWS + r}").cast("string"),
-                                F.lit("x"),
-                            )
-                            for r in range(LSH_ROWS)
-                        ],
-                    ).alias("band_key"),
-                )
-                for b in range(LSH_BANDS)
-            ]
-        )
-        return sig.select("doc_id", F.explode(arr).alias("b")).select(
-            "doc_id", "b.band_id", "b.band_key"
-        )
-
     def _sig_sh(df: DataFrame) -> DataFrame:
         toked = _spread(df).select(
             "doc_id", F.split(F.col("text"), " ").alias("toks")
@@ -4941,22 +5010,27 @@ def incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_old = _sig_sh(old)
     sig_new = _sig_sh(incoming)
     idx = (
-        _bands(sig_old)
+        _banded(sig_old)
         .groupBy("band_id", "band_key")
         .agg(F.min("doc_id").alias("min_doc"))
     )
-    joined = _bands(sig_new).join(idx, ["band_id", "band_key"], "left")
+    joined = _banded(sig_new).join(idx, ["band_id", "band_key"], "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("min_doc").alias("hits"),
+        F.min("min_doc").alias("matched_old"),
+    )
+    # left-join the incoming TABLE: un-signable docs have no band rows
+    # (see _banded) but must still surface in the output — as 'novel'
     return (
-        joined.groupBy("doc_id")
-        .agg(
-            F.count("min_doc").alias("n_band_hits"),
-            F.min("min_doc").alias("matched_old"),
-        )
+        incoming.select("doc_id")
+        .join(agg, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("n_band_hits").cast("bigint").alias("n_band_hits"),
+            F.coalesce(F.col("hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_band_hits"),
             "matched_old",
-            F.when(F.col("n_band_hits") > 0, F.lit("duplicate"))
+            F.when(F.coalesce(F.col("hits"), F.lit(0)) > 0, F.lit("duplicate"))
             .otherwise(F.lit("novel"))
             .alias("decision"),
         )
