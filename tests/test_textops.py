@@ -1,0 +1,53 @@
+"""Direct pins for textops rules the synthetic corpus cannot
+exercise: NULL-signature banding exclusion and oversized-bucket
+star dedup (both code-review fixes whose oracles are blind to the
+defect by construction)."""
+
+
+def test_short_docs_are_not_banded_and_pass_as_novel(spark):
+    """Docs too short to shingle (NULL minhash) must be EXCLUDED from
+    LSH banding — the old 'x' sentinel gave every short doc the same
+    band key in all bands, flagging any short incoming doc as a
+    duplicate of any unrelated short indexed doc (code-review fix).
+    Also pins that un-signable incoming docs still surface as 'novel'
+    rather than vanishing from the decision output."""
+    from pyspark.sql import functions as F
+
+    from ocr_gang_spark.textops import _banded
+
+    two_short = spark.createDataFrame(
+        [(1, None), (2, None), (3, 42)],
+        "doc_id bigint, mh0 bigint",
+    )
+    # _banded needs the full mh set; build a 1-perm-like frame by
+    # aliasing mh0 into every expected column
+    from ocr_gang_spark.textops import LSH_BANDS, LSH_ROWS
+
+    sig = two_short.select(
+        "doc_id",
+        *[F.col("mh0").alias(f"mh{k}") for k in range(LSH_BANDS * LSH_ROWS)],
+    )
+    out = _banded(sig)
+    assert out.where(F.col("doc_id") != 3).count() == 0  # NULLs excluded
+    assert out.where(F.col("doc_id") == 3).count() == LSH_BANDS
+
+
+def test_oversized_bucket_members_still_dedup_via_star_edges(spark):
+    """A bucket larger than DEDUP_MAX_BUCKET must still produce
+    verified pairs — as O(bucket) star edges to the bucket keeper —
+    instead of being silently exempted (code-review fix: the most
+    heavily duplicated content lives in exactly those buckets)."""
+    from pyspark.sql import functions as F
+
+    from ocr_gang_spark.textops import DEDUP_MAX_BUCKET, verified_pairs_from
+
+    n = DEDUP_MAX_BUCKET + 6
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id bigint, text string"
+    )
+    pairs = verified_pairs_from(docs)
+    got = pairs.select("a_id", "b_id").collect()
+    # every member links to keeper 0 with jaccard 1.0; dedup keeps ONE
+    assert {(r.a_id, r.b_id) for r in got} == {(0, i) for i in range(1, n)}
+    assert pairs.where(F.col("jac") < 1.0).count() == 0
