@@ -92,6 +92,7 @@ HEADLINE = [
     "warc_extract_main_content",
     "stream_warc_ingest",
     "tar_shard_samples",
+    "data_quality_checks",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND

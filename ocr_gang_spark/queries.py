@@ -567,3 +567,174 @@ def changelog_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_versions").cast("bigint").alias("n_versions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint validation (Deequ-style data contract)
+# ---------------------------------------------------------------------------
+
+# The validation gate every production ingest runs before data reaches
+# training: completeness / uniqueness / consistency / value-domain /
+# range constraints, evaluated as ONE conditional-aggregate pass per
+# table (never one job per check — at 10^12 rows a 7-check suite must
+# not cost 7 scans).  Inject-then-detect per house convention: the
+# driver testdata is clean, so deterministic doc_id-derived violations
+# are injected identically in both engines (NULL text/lang, bad lang
+# code, corrupted n_chars, out-of-range n_chars, duplicated doc_ids)
+# and the checker must count exactly the injected slice; the untouched
+# checks (doc_id completeness, every embeddings constraint) pin the
+# pass direction, so the output exercises both verdicts.
+
+_DQ_LANGS = ("de", "en", "es", "fr", "zh")
+_DQ_DOC_CHECKS = [
+    "completeness_text", "completeness_lang", "uniqueness_doc_id",
+    "consistency_n_chars", "domain_lang", "range_n_chars",
+    "completeness_doc_id",
+]
+_DQ_EMB_CHECKS = [
+    "uniqueness_vec_id", "consistency_embedding_dim", "domain_label",
+]
+
+
+def _dq_duck() -> str:
+    langs = ", ".join(f"'{x}'" for x in _DQ_LANGS)
+    doc_rows = "\nUNION ALL\n".join(
+        f"SELECT 'documents' AS table_name, '{c}' AS check_name, n_rows, "
+        f"{c} AS n_violations, {c} = 0 AS passed FROM d"
+        for c in _DQ_DOC_CHECKS
+    )
+    emb_rows = "\nUNION ALL\n".join(
+        f"SELECT 'embeddings', '{c}', n_rows, {c}, {c} = 0 FROM e"
+        for c in _DQ_EMB_CHECKS
+    )
+    return f"""
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 23 = 0 THEN NULL ELSE text END AS text,
+             CASE WHEN doc_id % 17 = 0 THEN NULL
+                  WHEN doc_id % 29 = 0 THEN 'zz' ELSE lang END AS lang,
+             CASE WHEN doc_id % 31 = 0 THEN -5
+                  WHEN doc_id % 13 = 0 THEN n_chars + 1
+                  ELSE n_chars END AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT doc_id, text, lang, n_chars FROM documents
+      WHERE doc_id % 101 = 0),
+    d AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS completeness_text,
+             CAST(SUM(CASE WHEN lang IS NULL OR lang = ''
+                           THEN 1 ELSE 0 END) AS BIGINT) AS completeness_lang,
+             CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+               AS uniqueness_doc_id,
+             CAST(SUM(CASE WHEN text IS NOT NULL AND n_chars <> length(text)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS consistency_n_chars,
+             CAST(SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN ({langs})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS domain_lang,
+             CAST(SUM(CASE WHEN n_chars < 1 OR n_chars > 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS range_n_chars,
+             CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS completeness_doc_id
+      FROM dirty),
+    e AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT)
+               AS uniqueness_vec_id,
+             CAST(SUM(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END)
+               AS BIGINT) AS consistency_embedding_dim,
+             CAST(SUM(CASE WHEN label < 0 OR label > 9 THEN 1 ELSE 0 END)
+               AS BIGINT) AS domain_label
+      FROM embeddings)
+    {doc_rows}
+    UNION ALL
+    {emb_rows}
+    """
+
+
+@register("data_quality_checks", _dq_duck())
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-contract validation: the whole constraint suite
+    as ONE conditional-aggregate pass per table.
+
+    Each check is a conditional SUM inside a single agg (map-side
+    partial aggregation, one narrow counter row per partition crosses
+    the exchange); the per-check verdict rows are exploded from that
+    one aggregate row, so a 7-constraint suite over 10^12 documents
+    costs one scan, not seven jobs.  The only non-combinable counter is
+    exact uniqueness (COUNT DISTINCT -> Expand rewrite, still one
+    scan); production swaps it for approx_count_distinct when the
+    uniqueness tolerance allows, same plan otherwise.  Violations are
+    injected deterministically from doc_id (both engines identically):
+    NULL text (%23), NULL lang (%17), invalid lang code (%29),
+    corrupted n_chars (%13), out-of-range n_chars (%31), duplicated
+    doc_ids (%101 re-appended).  doc_id completeness and all three
+    embeddings constraints are left clean, pinning the pass direction.
+    """
+    docs, emb = load(spark, sf_dir, "documents", "embeddings")
+    did = F.col("doc_id")
+    dirty = docs.select(
+        "doc_id",
+        F.when(did % 23 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text")).alias("text"),
+        F.when(did % 17 == 0, F.lit(None).cast("string"))
+        .when(did % 29 == 0, F.lit("zz"))
+        .otherwise(F.col("lang")).alias("lang"),
+        F.when(did % 31 == 0, F.lit(-5).cast("bigint"))
+        .when(did % 13 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars")).alias("n_chars"),
+    ).unionAll(
+        docs.where(did % 101 == 0).select("doc_id", "text", "lang", "n_chars")
+    )
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    d = dirty.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        viol(F.col("text").isNull() | (F.length("text") == 0))
+        .alias("completeness_text"),
+        viol(F.col("lang").isNull() | (F.col("lang") == ""))
+        .alias("completeness_lang"),
+        (F.count("*") - F.count_distinct("doc_id")).cast("bigint")
+        .alias("uniqueness_doc_id"),
+        viol(F.col("text").isNotNull()
+             & (F.col("n_chars") != F.length("text")))
+        .alias("consistency_n_chars"),
+        viol(F.col("lang").isNotNull() & ~F.col("lang").isin(*_DQ_LANGS))
+        .alias("domain_lang"),
+        viol((F.col("n_chars") < 1) | (F.col("n_chars") > 1000000))
+        .alias("range_n_chars"),
+        viol(F.col("doc_id").isNull()).alias("completeness_doc_id"),
+    )
+    e = emb.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*") - F.count_distinct("vec_id")).cast("bigint")
+        .alias("uniqueness_vec_id"),
+        viol(F.size("embedding") != 64).alias("consistency_embedding_dim"),
+        viol((F.col("label") < 0) | (F.col("label") > 9))
+        .alias("domain_label"),
+    )
+
+    def check_rows(aggdf: DataFrame, table: str, checks: list) -> DataFrame:
+        return (
+            aggdf.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(table).alias("table_name"),
+                            F.lit(c).alias("check_name"),
+                            F.col("n_rows").alias("n_rows"),
+                            F.col(c).alias("n_violations"),
+                        )
+                        for c in checks
+                    ])
+                ).alias("c")
+            )
+            .select("c.*")
+            .withColumn("passed", F.col("n_violations") == 0)
+        )
+
+    return check_rows(d, "documents", _DQ_DOC_CHECKS).unionAll(
+        check_rows(e, "embeddings", _DQ_EMB_CHECKS)
+    )

@@ -1,0 +1,50 @@
+"""data_quality_checks: Deequ-style constraint suite — direct pins for
+the injected-violation counts (both verdict directions) and a plan
+guard that the whole suite stays one aggregate pass per table."""
+
+from ocr_gang_spark.queries import data_quality_checks
+from tests.test_plans import plan_of
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_injected_violations_detected_exactly(spark):
+    rows = {
+        (r["table_name"], r["check_name"]): r
+        for r in data_quality_checks(spark, SF).collect()
+    }
+    assert len(rows) == 10
+
+    # sf0.001: 500 docs (ids 0..499) + 5 re-appended dups (%101).
+    docs_n = rows[("documents", "completeness_text")]["n_rows"]
+    assert docs_n == 505
+    assert rows[("documents", "completeness_text")]["n_violations"] == 22  # %23
+    assert rows[("documents", "completeness_lang")]["n_violations"] == 30  # %17
+    assert rows[("documents", "uniqueness_doc_id")]["n_violations"] == 5  # %101
+
+    failing = {k[1] for k, r in rows.items() if not r["passed"]}
+    assert failing == {
+        "completeness_text", "completeness_lang", "uniqueness_doc_id",
+        "consistency_n_chars", "domain_lang", "range_n_chars",
+    }
+    # the clean checks pin the pass direction with zero violations
+    for tbl, chk in [
+        ("documents", "completeness_doc_id"),
+        ("embeddings", "uniqueness_vec_id"),
+        ("embeddings", "consistency_embedding_dim"),
+        ("embeddings", "domain_label"),
+    ]:
+        assert rows[(tbl, chk)]["passed"]
+        assert rows[(tbl, chk)]["n_violations"] == 0
+
+
+def test_suite_is_one_aggregate_pass_per_table(spark):
+    """The 7-constraint suite must never plan as one job per check:
+    no joins, no windows, and exactly one documents + one embeddings
+    scan (the COUNT DISTINCT rewrites to Expand, still a single scan)."""
+    plan = plan_of(data_quality_checks(spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("documents.parquet") <= 2  # dirty union reuses the scan
+    assert plan.count("embeddings.parquet") == 1
+    assert "SortAggregate" not in plan
