@@ -93,6 +93,7 @@ HEADLINE = [
     "stream_warc_ingest",
     "tar_shard_samples",
     "data_quality_checks",
+    "interval_overlap_join",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND

@@ -738,3 +738,122 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_rows(d, "documents", _DQ_DOC_CHECKS).unionAll(
         check_rows(e, "embeddings", _DQ_EMB_CHECKS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval/range join via bucket decomposition
+# ---------------------------------------------------------------------------
+
+# Point-in-interval join with NO equality key (events vs global
+# maintenance windows) — the query shape Spark plans as a
+# BroadcastNestedLoopJoin, which is O(points x intervals) and a
+# scale-killer when the interval side outgrows a broadcast.  The scale
+# plan is bucket decomposition: quantize time into stride-sized
+# buckets, explode each interval to the buckets it overlaps, collapse
+# to ONE row per bucket carrying the (bounded) candidate-interval
+# array, then equi-join points on their single bucket and finish the
+# range predicate in-row over the array.  The join becomes a broadcast
+# (or plain hash) join on bucket; no per-pair rows ever materialize.
+# Windows are derived deterministically from the corpus time span in
+# integer epoch-micros (both engines identically); even windows are
+# 1.5 strides wide (adjacent overlap) and odd windows 0.5 (gaps), so
+# n_windows = 0, 1 and 2 are all exercised by real rows.
+
+_IVJ_K = 40
+
+_IVJ_DUCK = f"""
+    WITH b AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM events),
+    s AS (
+      SELECT mn, mx, GREATEST((mx - mn) // {_IVJ_K}, 1) AS stride FROM b),
+    w AS (
+      SELECT CAST(i AS BIGINT) AS window_id,
+             mn + i * stride AS lo,
+             mn + i * stride
+                + CASE WHEN i % 2 = 0 THEN (stride * 3) // 2
+                       ELSE stride // 2 END AS hi
+      FROM s, range({_IVJ_K}) t(i)),
+    m AS (
+      SELECT e.event_id, w.window_id
+      FROM events e JOIN w
+        ON epoch_us(e.ts) >= w.lo AND epoch_us(e.ts) < w.hi)
+    SELECT e.event_id,
+           CAST(COUNT(m.window_id) AS BIGINT) AS n_windows,
+           CAST(COALESCE(MIN(m.window_id), -1) AS BIGINT) AS first_window_id
+    FROM events e LEFT JOIN m ON e.event_id = m.event_id
+    GROUP BY e.event_id
+    """
+
+
+@register("interval_overlap_join", _IVJ_DUCK)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval, no equality key) via bucket
+    decomposition.
+
+    The oracle states the semantics as the naive range join; the Spark
+    plan is the one that survives 10^12 points: intervals explode to
+    the stride-buckets they overlap (bounded fan-out: width/stride <= 2
+    by construction, so <= 3 buckets each), one array row per bucket,
+    points equi-join on their single bucket (broadcast here; plain
+    shuffle-hash when the interval side is huge), and the range
+    predicate runs in-row over the bounded candidate array — per-pair
+    rows never exist, and the per-event aggregate is computed by the
+    same in-row filter instead of a second shuffle on event_id.
+    Timestamps compare as integer epoch-micros end to end (session tz
+    pinned UTC, same rule as events_asof_join)."""
+    (events,) = load(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = events.select("event_id", ts_us.alias("ts_us"))
+    bounds = pts.agg(
+        F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx")
+    ).select("mn", F.expr(f"greatest((mx - mn) DIV {_IVJ_K}, 1L)").alias("stride"))
+    wins = (
+        bounds.select(
+            "mn", "stride",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"),
+                           F.lit(_IVJ_K - 1).cast("bigint"))
+            ).alias("window_id"),
+        )
+        .select(
+            "window_id", "stride",
+            (F.col("mn") + F.col("window_id") * F.col("stride")).alias("lo"),
+        )
+        .select(
+            "window_id", "stride", "lo",
+            (
+                F.col("lo")
+                + F.when(F.col("window_id") % 2 == 0,
+                         F.expr("(stride * 3) DIV 2"))
+                .otherwise(F.expr("stride DIV 2"))
+            ).alias("hi"),
+        )
+    )
+    wbuckets = wins.select(
+        "window_id", "lo", "hi",
+        F.explode(
+            F.sequence(F.expr("lo DIV stride"), F.expr("(hi - 1) DIV stride"))
+        ).alias("bucket"),
+    )
+    btable = wbuckets.groupBy("bucket").agg(
+        F.array_sort(
+            F.collect_list(F.struct("window_id", "lo", "hi"))
+        ).alias("wins")
+    )
+    e = pts.crossJoin(F.broadcast(bounds.select("stride"))).withColumn(
+        "bucket", F.expr("ts_us DIV stride")
+    )
+    joined = e.join(F.broadcast(btable), "bucket", "left")
+    matched = F.filter(
+        F.col("wins"),
+        lambda w: (F.col("ts_us") >= w["lo"]) & (F.col("ts_us") < w["hi"]),
+    )
+    return joined.select(
+        "event_id",
+        F.when(F.col("wins").isNull(), F.lit(0))
+        .otherwise(F.size(matched)).cast("bigint").alias("n_windows"),
+        F.coalesce(
+            F.array_min(F.transform(matched, lambda w: w["window_id"])),
+            F.lit(-1),
+        ).cast("bigint").alias("first_window_id"),
+    )

@@ -48,3 +48,32 @@ def test_suite_is_one_aggregate_pass_per_table(spark):
     assert plan.count("documents.parquet") <= 2  # dirty union reuses the scan
     assert plan.count("embeddings.parquet") == 1
     assert "SortAggregate" not in plan
+
+
+# --------------------------------------------------------------------------
+# interval_overlap_join: range join via bucket decomposition
+# --------------------------------------------------------------------------
+
+def test_interval_join_exercises_all_cardinalities(spark):
+    from ocr_gang_spark.queries import interval_overlap_join
+
+    rows = interval_overlap_join(spark, SF).collect()
+    assert len(rows) == 1000  # one row per event, including gap events
+    counts = {r["n_windows"] for r in rows}
+    assert {0, 1, 2} <= counts  # gaps, single-window, overlap all hit
+    for r in rows:
+        assert (r["first_window_id"] == -1) == (r["n_windows"] == 0)
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    """The point-vs-interval comparison must ride an equi-join on the
+    bucket key; a refactor that lets Spark fall back to the naive
+    range-join plan (per-pair nested loop over the interval table)
+    regresses O(points) to O(points x intervals)."""
+    from ocr_gang_spark.queries import interval_overlap_join
+
+    plan = plan_of(interval_overlap_join(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one 1-row bounds attachment; never the interval table
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
