@@ -94,6 +94,7 @@ HEADLINE = [
     "tar_shard_samples",
     "data_quality_checks",
     "interval_overlap_join",
+    "sliding_event_window",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND

@@ -857,3 +857,66 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1),
         ).cast("bigint").alias("first_window_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time sliding-window aggregate (RANGE frame)
+# ---------------------------------------------------------------------------
+
+# Trailing 24h per-user counters at every event — the batch twin of the
+# streaming windowed counts, but with a TRUE event-time RANGE frame
+# (every row gets its own trailing window) instead of fixed tumbling
+# buckets.  Float hazard note: Spark's sliding-frame aggregation adds
+# rows incrementally in sort order while DuckDB evaluates window sums
+# with a segment tree, so a DOUBLE sum would depend on ADDITION ORDER
+# and break the cross-engine hash even though both are "correct".  The
+# metric therefore goes to integer cents first (round(value*100) —
+# value carries 2 decimals, so the product is never a .5 case and
+# half-up vs half-even cannot diverge), and the frame sums BIGINTs,
+# which are order-independent.
+
+_SLIDE_US = 86_400_000_000  # 24h in epoch-micros
+
+_SLIDE_DUCK = f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_id, user_id, ts_us,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+           CAST(SUM(cents) OVER w AS BIGINT) AS sum_cents_24h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {_SLIDE_US} PRECEDING AND CURRENT ROW)
+    """
+
+
+@register("sliding_event_window", _SLIDE_DUCK)
+def sliding_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-24h counters via an event-time RANGE frame.
+
+    One hash exchange on user_id + one per-partition sort — the
+    canonical time-series windowing plan; the frame itself adds no
+    shuffle.  At 10^12 events the partition key is the user (bounded
+    per-user history), and a pathologically hot user is handled
+    upstream by retention bounding, not by salting — a salted key would
+    split the very frame the query defines.  RANGE (not ROWS) so
+    same-timestamp peers enter the frame together, which both engines
+    define identically; the summed metric is integer cents, making the
+    result independent of each engine's frame-summation order."""
+    (events,) = load(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = events.select(
+        "event_id", "user_id", ts_us.alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_SLIDE_US, W.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", "ts_us",
+        F.count("*").over(w).cast("bigint").alias("n_24h"),
+        F.sum("cents").over(w).cast("bigint").alias("sum_cents_24h"),
+    )
