@@ -742,3 +742,25 @@ def test_tar_shard_roundtrip_is_single_exchange(spark):
     assert plan.count("Exchange") == 1
     assert plan.count("MapInPandas") == 2
     assert "md5" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """At 100 TB the fact table is lang/date-partitioned and a filtered
+    dim join must prune fact PARTITIONS at runtime (DPP), not scan
+    everything and filter after the join.  Pin that a join on the
+    partition column against a filtered dim injects a dynamic-pruning
+    expression into the fact scan's PartitionFilters — if a config or
+    plan refactor silently disables DPP, a selective join goes back to
+    reading the full corpus."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    fact_path = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("en", 1), ("fr", 2), ("de", 2)], "lang string, prio int"
+    )
+    j = fact.join(dim.where(F.col("prio") == 1), "lang").groupBy("lang").count()
+    plan = plan_of(j)
+    assert "dynamicpruningexpression" in plan.lower()
