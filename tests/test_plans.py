@@ -764,3 +764,31 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     j = fact.join(dim.where(F.col("prio") == 1), "lang").groupBy("lang").count()
     plan = plan_of(j)
     assert "dynamicpruningexpression" in plan.lower()
+
+
+def test_schema_evolution_merge_schema_read(spark, tmp_path):
+    """Long-lived corpora accumulate file generations with evolving
+    schemas (a column added mid-pipeline).  Pin the read-path contract:
+    mergeSchema unions the generations, rows from pre-evolution files
+    surface the new column as NULL (never a crash, never silent column
+    loss), and filter pushdown on a shared column still reaches the
+    scan."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    path = str(tmp_path / "evolving")
+    docs.select("doc_id", "text").where(F.col("doc_id") % 2 == 0).write.parquet(path)
+    docs.select(
+        "doc_id", "text", F.lit("round3").alias("pipeline_ver")
+    ).where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"doc_id", "text", "pipeline_ver"}
+    old_gen = merged.where(F.col("doc_id") % 2 == 0)
+    assert old_gen.where(F.col("pipeline_ver").isNull()).count() == old_gen.count()
+    assert (
+        merged.where(F.col("pipeline_ver") == "round3").count()
+        == docs.where(F.col("doc_id") % 2 == 1).count()
+    )
+    plan = plan_of(merged.where(F.col("doc_id") < 100).select("doc_id"))
+    assert "LessThan(doc_id,100)" in plan  # pushdown survives the merge
