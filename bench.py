@@ -95,6 +95,7 @@ HEADLINE = [
     "data_quality_checks",
     "interval_overlap_join",
     "sliding_event_window",
+    "ocr_error_rates",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND

@@ -5107,3 +5107,124 @@ def epoch_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "epoch", "shard",
         (F.row_number().over(win) - 1).cast("bigint").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OCR evaluation: character / word error rate (CER / WER)
+# ---------------------------------------------------------------------------
+
+# The missing eval piece for an OCR engine: once extraction runs, how
+# wrong is it?  CER = char-level Levenshtein(truth, hypothesis) /
+# |truth|; WER = the same distance over TOKENS.  The reference never
+# measures this (its tests eyeball debug images); a production
+# extraction pipeline gates model rollouts on exactly these numbers.
+#
+# Inject-then-detect per house convention (the corpus has no paired
+# transcripts): the hypothesis is a deterministic doc_id-derived
+# corruption of the truth — char-level typo swaps (subs), standalone
+# -'a'-token removal (deletions), a prepended token (insertions), and
+# an untouched clean class pinning the zero direction.
+#
+# WER trick: token-level edit distance is not a SQL builtin in either
+# engine, but both have char-level levenshtein — so each token is
+# mapped to ONE character via its rank in the sorted joint vocabulary
+# of the (truth, hyp) pair, and levenshtein over the encoded strings
+# IS the word-level distance.  chr(33 + rank) stays in single-byte
+# ASCII as long as the joint per-pair vocab is <= 94 tokens — true by
+# corpus construction (31-word global vocabulary + 2 injected tokens;
+# asserted in the Spark plan with a guard column would cost a branch,
+# so it is pinned by tests instead).  ASCII matters: DuckDB's
+# levenshtein counts BYTES while Spark's counts CODEPOINTS, so the
+# encoding must never leave the 1-byte range (verified divergence on
+# multibyte chars; tests/test_textops.py pins the ASCII guard).
+#
+# Scale shape: everything is in-row (split, sort of a <=94-entry
+# vocab, two levenshteins over <=600-char strings) — zero shuffle,
+# embarrassingly parallel, the same shape at 10^12 docs.
+
+_ERR_PPM = 1_000_000
+
+
+def _err_duck() -> str:
+    return rf"""
+    WITH p AS (
+      SELECT doc_id, text AS truth,
+             CASE doc_id % 4
+               WHEN 0 THEN replace(text, 'table', 'tbale')
+               WHEN 1 THEN regexp_replace(text, ' ?\ba\b ?', ' ', 'g')
+               WHEN 2 THEN 'noise ' || text
+               ELSE text END AS hyp
+      FROM documents),
+    t AS (SELECT doc_id, truth, hyp,
+                 string_split(truth, ' ') AS tt,
+                 string_split(hyp, ' ') AS ht
+          FROM p),
+    v AS (SELECT *, list_sort(list_distinct(tt || ht)) AS vocab FROM t),
+    e AS (SELECT doc_id, truth, hyp, tt, ht,
+                 array_to_string(list_transform(tt,
+                     x -> chr(33 + list_position(vocab, x))), '') AS et,
+                 array_to_string(list_transform(ht,
+                     x -> chr(33 + list_position(vocab, x))), '') AS eh
+          FROM v)
+    SELECT doc_id,
+           CAST(doc_id % 4 AS BIGINT) AS corruption_class,
+           CAST(length(truth) AS BIGINT) AS n_truth_chars,
+           CAST(len(tt) AS BIGINT) AS n_truth_tokens,
+           CAST(levenshtein(truth, hyp) AS BIGINT) AS char_edits,
+           CAST(levenshtein(et, eh) AS BIGINT) AS word_edits,
+           CAST(levenshtein(truth, hyp) * {_ERR_PPM} // length(truth)
+                AS BIGINT) AS cer_ppm,
+           CAST(levenshtein(et, eh) * {_ERR_PPM} // len(tt)
+                AS BIGINT) AS wer_ppm
+    FROM e
+    """
+
+
+@register("ocr_error_rates", _err_duck())
+def ocr_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CER / WER between a truth text and a deterministic
+    corrupted hypothesis (subs / deletions / insertions / clean).
+
+    Char CER is the builtin levenshtein; word WER encodes each token
+    as one ASCII char by rank in the pair's sorted joint vocab and
+    reuses the same builtin (see module comment for the byte-vs-
+    codepoint hazard that forces ASCII).  Integer ppm via DIV so the
+    engines cannot diverge on float rounding.  Pure in-row exprs, zero
+    shuffle, JVM-side end to end — no Python touches the hot path."""
+    (docs,) = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hyp = (
+        F.when(did % 4 == 0, F.expr("replace(text, 'table', 'tbale')"))
+        .when(did % 4 == 1,
+              F.regexp_replace("text", r" ?\ba\b ?", " "))
+        .when(did % 4 == 2, F.concat(F.lit("noise "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    pairs = docs.select(
+        "doc_id", F.col("text").alias("truth"), hyp.alias("hyp")
+    ).select(
+        "doc_id", "truth", "hyp",
+        F.split("truth", " ").alias("tt"),
+        F.split("hyp", " ").alias("ht"),
+    ).select(
+        "*",
+        F.array_sort(F.array_distinct(F.concat("tt", "ht"))).alias("vocab"),
+    ).select(
+        "*",
+        F.expr("array_join(transform(tt,"
+               " x -> char(33 + array_position(vocab, x))), '')").alias("et"),
+        F.expr("array_join(transform(ht,"
+               " x -> char(33 + array_position(vocab, x))), '')").alias("eh"),
+    )
+    return pairs.select(
+        "doc_id",
+        (did % 4).cast("bigint").alias("corruption_class"),
+        F.length("truth").cast("bigint").alias("n_truth_chars"),
+        F.size("tt").cast("bigint").alias("n_truth_tokens"),
+        F.levenshtein("truth", "hyp").cast("bigint").alias("char_edits"),
+        F.levenshtein("et", "eh").cast("bigint").alias("word_edits"),
+        F.expr(f"levenshtein(truth, hyp) * {_ERR_PPM} DIV length(truth)")
+        .cast("bigint").alias("cer_ppm"),
+        F.expr(f"levenshtein(et, eh) * {_ERR_PPM} DIV size(tt)")
+        .cast("bigint").alias("wer_ppm"),
+    )

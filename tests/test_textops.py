@@ -51,3 +51,59 @@ def test_oversized_bucket_members_still_dedup_via_star_edges(spark):
     # every member links to keeper 0 with jaccard 1.0; dedup keeps ONE
     assert {(r.a_id, r.b_id) for r in got} == {(0, i) for i in range(1, n)}
     assert pairs.where(F.col("jac") < 1.0).count() == 0
+
+
+def _py_lev(a, b):
+    """Textbook Levenshtein over arbitrary element sequences."""
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i]
+        for j, y in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (x != y)))
+        prev = cur
+    return prev[-1]
+
+
+def test_ocr_error_rates_wer_encoding(spark):
+    """The WER char-encoding trick (token -> one ASCII char by joint-
+    vocab rank) must equal TRUE token-level Levenshtein, and the
+    encoding must stay single-byte ASCII (DuckDB levenshtein counts
+    bytes, Spark counts codepoints — they only agree inside ASCII).
+    Cross-checked against an independent pure-Python DP on the token
+    sequences themselves, not on any encoding."""
+    from ocr_gang_spark.textops import ocr_error_rates
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["doc_id"]: r for r in ocr_error_rates(spark, sf).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    import re as _re
+
+    checked = 0
+    for doc_id, truth in docs.items():
+        cls = doc_id % 4
+        if cls == 0:
+            hyp = truth.replace("table", "tbale")
+        elif cls == 1:
+            hyp = _re.sub(r" ?\ba\b ?", " ", truth)
+        elif cls == 2:
+            hyp = "noise " + truth
+        else:
+            hyp = truth
+        tt, ht = truth.split(" "), hyp.split(" ")
+        # ASCII guard: joint vocab must fit in chr(33..126)
+        assert len(set(tt) | set(ht)) <= 94
+        row = out[doc_id]
+        assert row["word_edits"] == _py_lev(tt, ht), doc_id
+        assert row["char_edits"] == _py_lev(truth, hyp), doc_id
+        assert row["wer_ppm"] == row["word_edits"] * 1_000_000 // len(tt)
+        checked += 1
+    assert checked == len(out) > 0
+    # every corruption class occurs and the clean class is exactly zero
+    classes = {r["corruption_class"] for r in out.values()}
+    assert classes == {0, 1, 2, 3}
+    assert all(r["char_edits"] == 0 for r in out.values()
+               if r["corruption_class"] == 3)
