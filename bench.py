@@ -96,6 +96,7 @@ HEADLINE = [
     "interval_overlap_join",
     "sliding_event_window",
     "ocr_error_rates",
+    "snapshot_time_travel",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND

@@ -920,3 +920,84 @@ def sliding_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_24h"),
         F.sum("cents").over(w).cast("bigint").alias("sum_cents_24h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot time travel (versioned table layer, snapshot_store.py)
+# ---------------------------------------------------------------------------
+
+# Drives the Iceberg-analog snapshot layer end to end under the value
+# oracle: three commits (initial overwrite, append, GDPR-delete
+# rewrite reading the table's own previous snapshot), then TIME-TRAVEL
+# reads of all three versions — so the oracle breaks if a commit
+# mutates an old version's files, an append loses the parent's data
+# dirs, or the overwrite still sees deleted rows.
+
+_SNAP_DUCK = """
+    WITH v1 AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+    v2 AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 IN (0, 1)),
+    v3 AS (SELECT * FROM v2 WHERE doc_id % 5 <> 0)
+    SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS op,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_doc_id,
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_n_chars
+    FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'append', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
+    FROM v2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'overwrite', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
+    FROM v3
+    """
+
+
+@register("snapshot_time_travel", _SNAP_DUCK)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit three snapshots to a snapshot_store table and aggregate
+    each via a time-travel read.
+
+    v1 = initial overwrite (doc_id % 3 == 0), v2 = append of the
+    % 3 == 1 slice (manifest must carry v1's data dir forward), v3 =
+    delete-rewrite: READ the current snapshot, drop doc_id % 5 == 0,
+    commit as overwrite — the lakehouse GDPR-delete pattern (new data
+    dir, old versions untouched and still readable).  The returned
+    frame reads v1, v2, v3 by explicit version, so time travel itself
+    is under the driver's value hash.  Metadata is O(commits); each
+    read plans a plain pruned parquet scan (snapshot_store.py scale
+    notes)."""
+    import tempfile
+
+    from . import snapshot_store as ss
+
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "n_chars")
+    tbl = tempfile.mkdtemp(prefix="ocrgang_snap_")
+
+    ss.commit_snapshot(spark, tbl, base.where(F.col("doc_id") % 3 == 0),
+                       op="overwrite")
+    ss.commit_snapshot(spark, tbl, base.where(F.col("doc_id") % 3 == 1),
+                       op="append")
+    rewritten = ss.read_snapshot(spark, tbl).where(F.col("doc_id") % 5 != 0)
+    ss.commit_snapshot(spark, tbl, rewritten, op="overwrite")
+
+    parts = []
+    for v, op in ((1, "overwrite"), (2, "append"), (3, "overwrite")):
+        parts.append(
+            ss.read_snapshot(spark, tbl, version=v).agg(
+                F.lit(v).cast("bigint").alias("version"),
+                F.lit(op).alias("op"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint")
+                .alias("sum_doc_id"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint")
+                .alias("sum_n_chars"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1,0 +1,199 @@
+"""Versioned snapshot table layer: time-travel reads + snapshot expiry.
+
+north_rule names Iceberg as the table format; this sandbox has no
+Iceberg jars (checkpoint.py module docstring), so the engine's other
+Iceberg-analog surfaces (dynamic-overwrite idempotent commit, changelog
+merge-on-read, compaction, orphan cleanup, schema-evolution reads,
+snapshot diff) are joined here by the metadata design itself: an
+append-only manifest log over immutable parquet data directories,
+giving O(1) atomic commits, time-travel reads of any retained version,
+and safe expiry of old snapshots.
+
+Layout (all under one table_dir):
+
+    data/v00000001/part-*.parquet   immutable files of commit 1
+    meta/v00000001.json             manifest: full list of live data
+                                    dirs AS OF that version (Iceberg
+                                    style: each snapshot is
+                                    self-contained, never a delta
+                                    chain to replay)
+    meta/current                    pointer {"version": N}, updated by
+                                    atomic rename LAST — a crash at any
+                                    earlier point leaves the previous
+                                    version current and only orphan
+                                    files behind (healed by expiry or
+                                    the next commit)
+
+Commit protocol (single writer, like a lakehouse catalog without CAS —
+the concurrent-committer race Iceberg resolves by catalog compare-and-
+swap is out of scope and documented):
+
+    1. write new data files into data/v{N} (immutable once committed)
+    2. write manifest to meta/.tmp-v{N}.json, os.replace to final name
+    3. os.replace meta/current
+
+Scale notes: manifests list data DIRECTORIES (one per commit), not
+individual files, so manifest size is O(commits since last overwrite),
+not O(10^12 rows); reads plan a normal multi-path parquet scan with
+full predicate pushdown/pruning.  All metadata ops are driver-side
+local-FS JSON of that same bounded size — at real scale the identical
+protocol runs against an object store + catalog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_META = "meta"
+_DATA = "data"
+
+
+def _vname(version: int) -> str:
+    return f"v{version:08d}"
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _META, _vname(version) + ".json")
+
+
+def current_version(table_dir: str) -> int | None:
+    """Committed current version, or None for an empty/absent table."""
+    ptr = os.path.join(table_dir, _META, "current")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return int(json.load(f)["version"])
+
+
+def _load_manifest(table_dir: str, version: int) -> dict:
+    path = _manifest_path(table_dir, version)
+    if not os.path.exists(path):
+        cur = current_version(table_dir)
+        raise FileNotFoundError(
+            f"snapshot v{version} of {table_dir} does not exist "
+            f"(expired or never committed; current={cur})"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def commit_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    op: str = "append",
+) -> int:
+    """Commit df as a new snapshot; returns the new version number.
+
+    op='append' carries the parent's data dirs forward plus the new
+    one; op='overwrite' starts the file list fresh (the caller's df may
+    itself be a filtered read of an older snapshot — a GDPR-delete
+    rewrite — which is safe because it writes to a NEW data dir, never
+    the dirs it reads).  The data write happens before any metadata
+    becomes visible; a crash mid-commit leaves an orphan data dir that
+    expire_snapshots removes and that a re-commit overwrites."""
+    if op not in ("append", "overwrite"):
+        raise ValueError(f"unknown snapshot op {op!r}")
+    parent = current_version(table_dir)
+    version = 1 if parent is None else parent + 1
+    os.makedirs(os.path.join(table_dir, _META), exist_ok=True)
+
+    rel_dir = f"{_DATA}/{_vname(version)}"
+    # mode=overwrite so a retry after a crashed attempt at the same
+    # version heals rather than failing on the leftover dir
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
+
+    if op == "append" and parent is not None:
+        files = list(_load_manifest(table_dir, parent)["files"])
+    else:
+        files = []
+    files.append(rel_dir)
+
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "files": files,
+    }
+    mpath = _manifest_path(table_dir, version)
+    tmp = os.path.join(table_dir, _META, f".tmp-{_vname(version)}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, mpath)
+
+    ptr_tmp = os.path.join(table_dir, _META, ".tmp-current")
+    with open(ptr_tmp, "w") as f:
+        json.dump({"version": version}, f)
+    os.replace(ptr_tmp, os.path.join(table_dir, _META, "current"))
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the table AS OF a version (default: current).  Plans a
+    plain multi-path parquet scan over the manifest's immutable data
+    dirs — pushdown, pruning and mergeSchema behave exactly as on any
+    parquet read.  Raises FileNotFoundError for an expired version."""
+    if version is None:
+        version = current_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"{table_dir} has no committed snapshot")
+    manifest = _load_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, rel) for rel in manifest["files"]]
+    return spark.read.parquet(*paths)
+
+
+def snapshot_log(table_dir: str) -> list[dict]:
+    """Retained manifests, oldest first — the table's lineage."""
+    meta = os.path.join(table_dir, _META)
+    if not os.path.isdir(meta):
+        return []
+    out = []
+    for name in sorted(os.listdir(meta)):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(meta, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
+    """Expire all but the newest keep_last snapshots and remove data
+    dirs no retained manifest references (Iceberg expire_snapshots +
+    remove_orphan_files in one pass).
+
+    Correctness rule the append chain makes non-obvious: a data dir
+    written by an EXPIRED version often remains live because a retained
+    append manifest still lists it — referenced-ness is computed over
+    the kept manifests' file lists, never over version numbers.  Orphan
+    dirs from crashed commits (no manifest) are removed by the same
+    sweep.  Single-writer assumption: don't run concurrently with a
+    commit, whose data dir exists before its manifest does."""
+    cur = current_version(table_dir)
+    if cur is None:
+        return {"expired_versions": [], "removed_data_dirs": []}
+    keep_last = max(1, keep_last)
+    cutoff = cur - keep_last + 1  # keep versions >= cutoff
+
+    expired = []
+    for m in snapshot_log(table_dir):
+        if m["version"] < cutoff:
+            os.remove(_manifest_path(table_dir, m["version"]))
+            expired.append(m["version"])
+
+    referenced = set()
+    for m in snapshot_log(table_dir):
+        referenced.update(m["files"])
+    removed = []
+    data_root = os.path.join(table_dir, _DATA)
+    if os.path.isdir(data_root):
+        for name in sorted(os.listdir(data_root)):
+            rel = f"{_DATA}/{name}"
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(data_root, name))
+                removed.append(rel)
+    return {"expired_versions": expired, "removed_data_dirs": removed}

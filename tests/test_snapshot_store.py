@@ -1,0 +1,119 @@
+"""Snapshot store (time travel + expiry) direct pins: the invariants
+the registry oracle can't see — expiry referenced-ness over append
+chains, crashed-commit healing, expired-read refusal."""
+
+import json
+import os
+
+import pytest
+
+from ocr_gang_spark import snapshot_store as ss
+
+SF = "/root/testdata/sf0.001"
+
+
+def _base(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "n_chars")
+    )
+
+
+def _commit_three(spark, tbl):
+    from pyspark.sql import functions as F
+
+    base = _base(spark)
+    ss.commit_snapshot(spark, tbl, base.where(F.col("doc_id") % 3 == 0),
+                       op="overwrite")
+    ss.commit_snapshot(spark, tbl, base.where(F.col("doc_id") % 3 == 1),
+                       op="append")
+    rw = ss.read_snapshot(spark, tbl).where(F.col("doc_id") % 5 != 0)
+    ss.commit_snapshot(spark, tbl, rw, op="overwrite")
+
+
+def _ids(spark, tbl, version=None):
+    return sorted(
+        r["doc_id"] for r in ss.read_snapshot(spark, tbl, version).collect()
+    )
+
+
+def test_time_travel_reads_every_version(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    _commit_three(spark, tbl)
+    all_ids = sorted(r["doc_id"] for r in _base(spark).collect())
+    v1 = [i for i in all_ids if i % 3 == 0]
+    v2 = [i for i in all_ids if i % 3 in (0, 1)]
+    v3 = [i for i in v2 if i % 5 != 0]
+    assert _ids(spark, tbl, 1) == v1
+    assert _ids(spark, tbl, 2) == v2
+    assert _ids(spark, tbl, 3) == v3
+    assert _ids(spark, tbl) == v3  # current
+    assert ss.current_version(tbl) == 3
+    log = ss.snapshot_log(tbl)
+    assert [m["version"] for m in log] == [1, 2, 3]
+    assert [m["parent"] for m in log] == [None, 1, 2]
+    assert [m["op"] for m in log] == ["overwrite", "append", "overwrite"]
+    # append manifest carries the parent's data dir forward
+    assert log[1]["files"] == log[0]["files"] + [log[1]["files"][-1]]
+    # overwrite starts fresh
+    assert len(log[2]["files"]) == 1
+
+
+def test_expiry_respects_append_chain_references(spark, tmp_path):
+    """v1's data dir must SURVIVE v1's expiry while the retained v2
+    append manifest still references it — referenced-ness is over kept
+    manifests' file lists, never version numbers."""
+    tbl = str(tmp_path / "t")
+    _commit_three(spark, tbl)
+    v2_before = _ids(spark, tbl, 2)
+
+    res = ss.expire_snapshots(tbl, keep_last=2)  # keep v2, v3
+    assert res["expired_versions"] == [1]
+    assert res["removed_data_dirs"] == []  # v1 dir still referenced by v2
+    assert os.path.isdir(os.path.join(tbl, "data", "v00000001"))
+    assert _ids(spark, tbl, 2) == v2_before  # kept versions intact
+    with pytest.raises(FileNotFoundError):
+        ss.read_snapshot(spark, tbl, version=1)
+
+    res = ss.expire_snapshots(tbl, keep_last=1)  # keep only v3
+    assert res["expired_versions"] == [2]
+    # v3 is an overwrite referencing only its own dir -> v1+v2 dirs go
+    assert res["removed_data_dirs"] == ["data/v00000001", "data/v00000002"]
+    assert _ids(spark, tbl) == _ids(spark, tbl, 3)
+
+
+def test_crashed_commit_is_invisible_and_healed(spark, tmp_path):
+    """A crash after the data write but before the manifest leaves the
+    table readable at the old version; expiry sweeps the orphan dir;
+    the retried commit succeeds at the same version number."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t")
+    base = _base(spark)
+    ss.commit_snapshot(spark, tbl, base.where(F.col("doc_id") % 3 == 0),
+                       op="overwrite")
+    # simulate the crash: data for v2 exists, no manifest, stale tmp
+    base.limit(3).write.parquet(os.path.join(tbl, "data", "v00000002"))
+    with open(os.path.join(tbl, "meta", ".tmp-v00000002.json"), "w") as f:
+        json.dump({"half": "written"}, f)
+
+    assert ss.current_version(tbl) == 1
+    assert [m["version"] for m in ss.snapshot_log(tbl)] == [1]
+
+    res = ss.expire_snapshots(tbl, keep_last=10)
+    assert res["removed_data_dirs"] == ["data/v00000002"]
+
+    v = ss.commit_snapshot(spark, tbl, base.where(F.col("doc_id") % 3 == 1),
+                           op="append")
+    assert v == 2
+    assert len(_ids(spark, tbl, 2)) == len(
+        [r for r in base.collect() if r["doc_id"] % 3 in (0, 1)]
+    )
+
+
+def test_read_empty_table_and_bad_op(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    with pytest.raises(FileNotFoundError):
+        ss.read_snapshot(spark, tbl)
+    with pytest.raises(ValueError):
+        ss.commit_snapshot(spark, tbl, _base(spark), op="merge")
