@@ -792,3 +792,33 @@ def test_schema_evolution_merge_schema_read(spark, tmp_path):
     )
     plan = plan_of(merged.where(F.col("doc_id") < 100).select("doc_id"))
     assert "LessThan(doc_id,100)" in plan  # pushdown survives the merge
+
+
+def test_snapshot_time_travel_read_keeps_pushdown(spark, tmp_path):
+    """snapshot_store.read_snapshot claims 'plans a plain multi-path
+    parquet scan with pushdown/pruning' — pin it: a filter over a
+    time-travel read of an append snapshot (two underlying data dirs)
+    must reach PushedFilters, and column pruning must narrow
+    ReadSchema to the selected columns."""
+    import pyspark.sql.functions as F
+
+    from ocr_gang_spark import snapshot_store as ss
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    tbl = str(tmp_path / "t")
+    ss.commit_snapshot(spark, tbl, docs.where(F.col("doc_id") % 3 == 0),
+                       op="overwrite")
+    ss.commit_snapshot(spark, tbl, docs.where(F.col("doc_id") % 3 == 1),
+                       op="append")
+
+    q = (
+        ss.read_snapshot(spark, tbl, version=2)
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "n_chars")
+    )
+    plan = plan_of(q)
+    assert "LessThan(doc_id,100)" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "n_chars" in read_schema and "text" not in read_schema
