@@ -5190,8 +5190,13 @@ def ocr_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the same builtin (see module comment for the byte-vs-
     codepoint hazard that forces ASCII).  Integer ppm via DIV so the
     engines cannot diverge on float rounding.  Pure in-row exprs, zero
-    shuffle, JVM-side end to end — no Python touches the hot path."""
+    shuffle, JVM-side end to end — no Python touches the hot path.
+    The two O(chars^2) DPs make this the rare *string* query that is
+    CPU-dense, so the load gets the `_spread` input-parallelism
+    correction (a no-op on real multi-split corpora; 5.9s -> sub-1s on
+    the single-row-group test tier)."""
     (docs,) = load(spark, sf_dir, "documents")
+    docs = _spread(docs)
     did = F.col("doc_id")
     hyp = (
         F.when(did % 4 == 0, F.expr("replace(text, 'table', 'tbale')"))
