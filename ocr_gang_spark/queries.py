@@ -22,6 +22,7 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -968,14 +969,26 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame reads v1, v2, v3 by explicit version, so time travel itself
     is under the driver's value hash.  Metadata is O(commits); each
     read plans a plain pruned parquet scan (snapshot_store.py scale
-    notes)."""
+    notes).
+
+    The table dir is DETERMINISTIC per (user, sf_dir) and rebuilt from
+    scratch on every call — repeated bench/correctness runs reuse one
+    path instead of leaking a fresh mkdtemp each invocation (review
+    fix; the commits are eager by design, so the returned frame reads
+    files that exist for the caller's whole action)."""
+    import hashlib
+    import shutil
     import tempfile
 
     from . import snapshot_store as ss
 
     (docs,) = load(spark, sf_dir, "documents")
     base = docs.select("doc_id", "n_chars")
-    tbl = tempfile.mkdtemp(prefix="ocrgang_snap_")
+    tbl = os.path.join(
+        tempfile.gettempdir(),
+        f"ocrgang_snap_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(tbl, ignore_errors=True)
 
     ss.commit_snapshot(spark, tbl, base.where(F.col("doc_id") % 3 == 0),
                        op="overwrite")

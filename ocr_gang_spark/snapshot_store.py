@@ -70,12 +70,17 @@ def current_version(table_dir: str) -> int | None:
 
 
 def _load_manifest(table_dir: str, version: int) -> dict:
+    """Load a COMMITTED manifest.  A manifest whose version exceeds the
+    current pointer is a crashed commit's leftover (the pointer is
+    published last) — it must be invisible to reads, not silently
+    served as data that was never committed."""
+    cur = current_version(table_dir)
     path = _manifest_path(table_dir, version)
-    if not os.path.exists(path):
-        cur = current_version(table_dir)
+    if cur is None or version > cur or not os.path.exists(path):
         raise FileNotFoundError(
             f"snapshot v{version} of {table_dir} does not exist "
-            f"(expired or never committed; current={cur})"
+            f"(expired, never committed, or uncommitted leftover; "
+            f"current={cur})"
         )
     with open(path) as f:
         return json.load(f)
@@ -149,15 +154,21 @@ def read_snapshot(
 
 
 def snapshot_log(table_dir: str) -> list[dict]:
-    """Retained manifests, oldest first — the table's lineage."""
+    """Retained COMMITTED manifests, oldest first — the table's
+    lineage.  Manifests beyond the current pointer (a crashed commit
+    died between manifest and pointer publish) are excluded, same rule
+    as _load_manifest."""
     meta = os.path.join(table_dir, _META)
     if not os.path.isdir(meta):
         return []
+    cur = current_version(table_dir)
     out = []
     for name in sorted(os.listdir(meta)):
         if name.startswith("v") and name.endswith(".json"):
             with open(os.path.join(meta, name)) as f:
-                out.append(json.load(f))
+                m = json.load(f)
+            if cur is not None and m["version"] <= cur:
+                out.append(m)
     return out
 
 
@@ -170,14 +181,27 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
     written by an EXPIRED version often remains live because a retained
     append manifest still lists it — referenced-ness is computed over
     the kept manifests' file lists, never over version numbers.  Orphan
-    dirs from crashed commits (no manifest) are removed by the same
-    sweep.  Single-writer assumption: don't run concurrently with a
-    commit, whose data dir exists before its manifest does."""
+    dirs from crashed commits are removed by the same sweep — both
+    kinds: data written before the manifest (no manifest exists) and
+    the rarer manifest-published-pointer-unpublished leftover, whose
+    manifest (version > current, invisible to reads) and stale
+    meta tmp files are deleted here too.  Single-writer assumption:
+    don't run concurrently with a commit, whose data dir exists before
+    its manifest does."""
     cur = current_version(table_dir)
     if cur is None:
         return {"expired_versions": [], "removed_data_dirs": []}
     keep_last = max(1, keep_last)
     cutoff = cur - keep_last + 1  # keep versions >= cutoff
+
+    meta_dir = os.path.join(table_dir, _META)
+    for name in list(os.listdir(meta_dir)):
+        if name.startswith(".tmp-"):
+            os.remove(os.path.join(meta_dir, name))
+        elif name.startswith("v") and name.endswith(".json"):
+            # uncommitted leftover: manifest published, pointer never was
+            if int(name[1:-5]) > cur:
+                os.remove(os.path.join(meta_dir, name))
 
     expired = []
     for m in snapshot_log(table_dir):

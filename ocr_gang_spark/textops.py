@@ -5172,10 +5172,10 @@ def _err_duck() -> str:
            CAST(len(tt) AS BIGINT) AS n_truth_tokens,
            CAST(levenshtein(truth, hyp) AS BIGINT) AS char_edits,
            CAST(levenshtein(et, eh) AS BIGINT) AS word_edits,
-           CAST(levenshtein(truth, hyp) * {_ERR_PPM} // length(truth)
-                AS BIGINT) AS cer_ppm,
-           CAST(levenshtein(et, eh) * {_ERR_PPM} // len(tt)
-                AS BIGINT) AS wer_ppm
+           CAST(CAST(levenshtein(truth, hyp) AS BIGINT) * {_ERR_PPM}
+                // length(truth) AS BIGINT) AS cer_ppm,
+           CAST(CAST(levenshtein(et, eh) AS BIGINT) * {_ERR_PPM}
+                // len(tt) AS BIGINT) AS wer_ppm
     FROM e
     """
 
@@ -5228,8 +5228,13 @@ def ocr_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tt").cast("bigint").alias("n_truth_tokens"),
         F.levenshtein("truth", "hyp").cast("bigint").alias("char_edits"),
         F.levenshtein("et", "eh").cast("bigint").alias("word_edits"),
-        F.expr(f"levenshtein(truth, hyp) * {_ERR_PPM} DIV length(truth)")
+        # levenshtein() returns int32; the pre-multiply BIGINT cast
+        # keeps edits >= 2148 (texts past ~2 KB with a mostly-wrong
+        # hypothesis) from wrapping the ppm product (review fix)
+        F.expr(f"cast(levenshtein(truth, hyp) as bigint) * {_ERR_PPM}"
+               " DIV length(truth)")
         .cast("bigint").alias("cer_ppm"),
-        F.expr(f"levenshtein(et, eh) * {_ERR_PPM} DIV size(tt)")
+        F.expr(f"cast(levenshtein(et, eh) as bigint) * {_ERR_PPM}"
+               " DIV size(tt)")
         .cast("bigint").alias("wer_ppm"),
     )

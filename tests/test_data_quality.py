@@ -1,6 +1,9 @@
-"""data_quality_checks: Deequ-style constraint suite — direct pins for
-the injected-violation counts (both verdict directions) and a plan
-guard that the whole suite stays one aggregate pass per table."""
+"""Direct pins for the round-3 relational operators registered in
+queries.py: data_quality_checks (Deequ-style constraint suite —
+injected-violation counts in both verdict directions, plus a plan
+guard that the suite stays one aggregate pass per table) and
+interval_overlap_join (all n_windows cardinalities exercised; its
+hash-join-not-nested-loop plan guard lives in tests/test_plans.py)."""
 
 from ocr_gang_spark.queries import data_quality_checks
 from tests.test_plans import plan_of
@@ -65,15 +68,3 @@ def test_interval_join_exercises_all_cardinalities(spark):
         assert (r["first_window_id"] == -1) == (r["n_windows"] == 0)
 
 
-def test_interval_join_is_hash_join_not_nested_loop(spark):
-    """The point-vs-interval comparison must ride an equi-join on the
-    bucket key; a refactor that lets Spark fall back to the naive
-    range-join plan (per-pair nested loop over the interval table)
-    regresses O(points) to O(points x intervals)."""
-    from ocr_gang_spark.queries import interval_overlap_join
-
-    plan = plan_of(interval_overlap_join(spark, SF), mode="simple")
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
-    # exactly one 1-row bounds attachment; never the interval table
-    assert plan.count("BroadcastNestedLoopJoin") <= 1

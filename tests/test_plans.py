@@ -822,3 +822,17 @@ def test_snapshot_time_travel_read_keeps_pushdown(spark, tmp_path):
     assert "LessThan(doc_id,100)" in plan
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "n_chars" in read_schema and "text" not in read_schema
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    """The point-vs-interval comparison must ride an equi-join on the
+    bucket key; a refactor that lets Spark fall back to the naive
+    range-join plan (per-pair nested loop over the interval table)
+    regresses O(points) to O(points x intervals)."""
+    from ocr_gang_spark.queries import interval_overlap_join
+
+    plan = plan_of(interval_overlap_join(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one 1-row bounds attachment; never the interval table
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

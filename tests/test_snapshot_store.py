@@ -111,6 +111,58 @@ def test_crashed_commit_is_invisible_and_healed(spark, tmp_path):
     )
 
 
+def test_phantom_manifest_is_invisible_and_expirable(spark, tmp_path):
+    """The OTHER crash window (review fix): writer dies AFTER the
+    manifest publish but BEFORE the current-pointer publish.  The
+    phantom manifest must be invisible to snapshot_log and reads
+    (its data was never committed), expire_snapshots must remove both
+    the manifest and its data dir, and a retried commit heals by
+    taking the same version number."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t")
+    base = _base(spark)
+    ss.commit_snapshot(spark, tbl, base.where(F.col("doc_id") % 3 == 0),
+                       op="overwrite")
+    v1_ids = _ids(spark, tbl, 1)
+
+    # simulate: data + manifest for v2 exist, pointer still says v1
+    base.limit(3).write.parquet(os.path.join(tbl, "data", "v00000002"))
+    with open(os.path.join(tbl, "meta", "v00000002.json"), "w") as f:
+        json.dump({"version": 2, "parent": 1, "op": "append",
+                   "files": ["data/v00000001", "data/v00000002"]}, f)
+
+    assert ss.current_version(tbl) == 1
+    assert [m["version"] for m in ss.snapshot_log(tbl)] == [1]
+    with pytest.raises(FileNotFoundError):
+        ss.read_snapshot(spark, tbl, version=2)
+
+    res = ss.expire_snapshots(tbl, keep_last=10)
+    assert res["removed_data_dirs"] == ["data/v00000002"]
+    assert not os.path.exists(os.path.join(tbl, "meta", "v00000002.json"))
+    assert _ids(spark, tbl, 1) == v1_ids  # committed state untouched
+
+    v = ss.commit_snapshot(spark, tbl, base.where(F.col("doc_id") % 3 == 1),
+                           op="append")
+    assert v == 2
+    assert ss.read_snapshot(spark, tbl, version=2).count() == len(
+        [r for r in base.collect() if r["doc_id"] % 3 in (0, 1)]
+    )
+
+
+def test_expiry_sweeps_stale_meta_tmp_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t")
+    ss.commit_snapshot(spark, tbl, _base(spark).where(F.col("doc_id") % 3 == 0),
+                       op="overwrite")
+    stale = os.path.join(tbl, "meta", ".tmp-v00000002.json")
+    with open(stale, "w") as f:
+        json.dump({"half": "written"}, f)
+    ss.expire_snapshots(tbl, keep_last=10)
+    assert not os.path.exists(stale)
+
+
 def test_read_empty_table_and_bad_op(spark, tmp_path):
     tbl = str(tmp_path / "t")
     with pytest.raises(FileNotFoundError):
