@@ -111,6 +111,38 @@ def test_crashed_commit_is_invisible_and_healed(spark, tmp_path):
     )
 
 
+def test_incremental_read_appends_only(spark, tmp_path):
+    """read_incremental returns exactly the rows added by the append
+    commits in the range, and refuses a range crossing an overwrite
+    (history rewritten -> file-list delta is not 'added rows')."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t")
+    _commit_three(spark, tbl)  # v1 overwrite, v2 append, v3 overwrite
+
+    inc = sorted(
+        r["doc_id"]
+        for r in ss.read_incremental(spark, tbl, 1, 2).collect()
+    )
+    all_ids = sorted(r["doc_id"] for r in _base(spark).collect())
+    assert inc == [i for i in all_ids if i % 3 == 1]
+
+    with pytest.raises(ValueError, match="overwrite"):
+        ss.read_incremental(spark, tbl, 2, 3)
+    with pytest.raises(ValueError, match="exceed"):
+        ss.read_incremental(spark, tbl, 2, 2)
+    # another append after the overwrite: incremental works again
+    ss.commit_snapshot(
+        spark, tbl, _base(spark).where(F.col("doc_id") % 3 == 2),
+        op="append",
+    )
+    inc2 = sorted(
+        r["doc_id"]
+        for r in ss.read_incremental(spark, tbl, 3, 4).collect()
+    )
+    assert inc2 == [i for i in all_ids if i % 3 == 2]
+
+
 def test_phantom_manifest_is_invisible_and_expirable(spark, tmp_path):
     """The OTHER crash window (review fix): writer dies AFTER the
     manifest publish but BEFORE the current-pointer publish.  The
