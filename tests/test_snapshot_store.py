@@ -201,3 +201,40 @@ def test_read_empty_table_and_bad_op(spark, tmp_path):
         ss.read_snapshot(spark, tbl)
     with pytest.raises(ValueError):
         ss.commit_snapshot(spark, tbl, _base(spark), op="merge")
+
+
+def test_incremental_extraction_over_snapshot_appends(spark, tmp_path):
+    """End-to-end tie between the snapshot layer and the flagship: when
+    a new document batch lands as an append snapshot, extracting ONLY
+    read_incremental's delta must produce span-for-span what a full
+    re-extraction produces for those documents — the 10^12-scale
+    pattern where re-extraction cost tracks the delta, not the table."""
+    from ocr_gang_spark.pipeline import broadcast_weights, extract_documents
+    from ocr_gang_spark.synth import synth_documents, synth_media
+
+    docs = synth_documents(spark, 40, seed=7)
+    media = synth_media(spark, docs)
+    batch1 = docs.where("substr(doc_id, -1) < '8'")
+    batch2 = docs.where("substr(doc_id, -1) >= '8'")
+    assert 0 < batch2.count() < 40
+
+    tbl = str(tmp_path / "docs_tbl")
+    ss.commit_snapshot(spark, tbl, batch1, op="overwrite")
+    ss.commit_snapshot(spark, tbl, batch2, op="append")
+
+    bc = broadcast_weights(spark)
+    inc = extract_documents(ss.read_incremental(spark, tbl, 1, 2), media, bc)
+    full = extract_documents(ss.read_snapshot(spark, tbl, 2), media, bc)
+
+    def spans_by_doc(df):
+        return {
+            r["doc_id"]: tuple(tuple(s) for s in r["spans"])
+            for r in df.collect()
+        }
+
+    got = spans_by_doc(inc)
+    delta_ids = {r["doc_id"] for r in batch2.select("doc_id").collect()}
+    want = {
+        k: v for k, v in spans_by_doc(full).items() if k in delta_ids
+    }
+    assert got == want and len(got) > 0
