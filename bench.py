@@ -97,6 +97,7 @@ HEADLINE = [
     "sliding_event_window",
     "ocr_error_rates",
     "snapshot_time_travel",
+    "salted_hot_key_join",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND

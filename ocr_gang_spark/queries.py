@@ -1014,3 +1014,84 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Salted shuffle join for hot keys (explicit relational skew treatment)
+# ---------------------------------------------------------------------------
+
+# The relational twin of the pipeline's explode-based media skew
+# treatment (pipeline.py module docstring): when BOTH join sides are
+# too big to broadcast and one key owns a large fraction of the fact
+# rows, a plain shuffle join sends every hot-key row to ONE reducer —
+# the stage runs at the speed of that task.  The salted plan splits
+# the hot key S ways (fact side: deterministic salt from the row id;
+# dim side: each row replicated to all S salts), joins on (key, salt),
+# and re-aggregates.  Decision ladder the docstring pins: broadcast
+# first (dim fits), AQE skew-join second (config-on, post-hoc split),
+# explicit salting when the dim is big AND the skew is known — it is
+# the only one of the three that also fixes the downstream groupBy by
+# pre-splitting it.
+#
+# Inject-then-detect: user_id % 5 < 2 collapses to one 'hot' key (~40%
+# of the fact), the rest stay unique — both engines derive the same
+# dim from the same corpus, so the oracle is the PLAIN join (the
+# semantics), while the Spark side runs the salted plan (the
+# physical strategy), pinned by tests/test_plans.py.
+
+SALT_S = 8
+_SJ_KEY_DUCK = ("CASE WHEN user_id % 5 < 2 THEN 'hot' "
+                "ELSE 'u' || CAST(user_id AS VARCHAR) END")
+
+_SALTED_JOIN_DUCK = f"""
+    WITH f AS (SELECT event_id, {_SJ_KEY_DUCK} AS ukey FROM events),
+    d AS (SELECT DISTINCT {_SJ_KEY_DUCK} AS ukey,
+                 substr(md5(CASE WHEN user_id % 5 < 2 THEN 'hot'
+                            ELSE 'u' || CAST(user_id AS VARCHAR) END), 1, 4)
+                   AS attr
+          FROM events)
+    SELECT f.ukey, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(d.attr) AS attr
+    FROM f JOIN d ON f.ukey = d.ukey
+    GROUP BY f.ukey
+    """
+
+
+@register("salted_hot_key_join", _SALTED_JOIN_DUCK)
+def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key fact-dim join via explicit salting.
+
+    Fact side gets salt = md5(event_id) % S (deterministic, uniform);
+    the dim replicates each row to all S salts (a bounded x{SALT_S}
+    explode of the SMALL side only); the equi-join runs on
+    (ukey, salt), so the hot key's rows spread over {SALT_S} reducers
+    instead of one, and the final per-key aggregate combines {SALT_S}
+    partial rows — the same two-phase shape as domain_quota_sample.
+    shuffle_hash hint keeps the demo honest: Spark would broadcast
+    this tiny dim away (and broadcast IS the first-choice fix); the
+    salted-shuffle plan is for when it can't."""
+    (events,) = load(spark, sf_dir, "events")
+    ukey = F.when(F.col("user_id") % 5 < 2, F.lit("hot")).otherwise(
+        F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    )
+    fact = events.select(
+        "event_id", ukey.alias("ukey"),
+        (F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4),
+                16, 10).cast("bigint") % SALT_S).alias("salt"),
+    )
+    dim = (
+        events.select(ukey.alias("ukey")).distinct()
+        .select(
+            "ukey",
+            F.substring(F.md5(F.col("ukey")), 1, 4).alias("attr"),
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"),
+                           F.lit(SALT_S - 1).cast("bigint"))
+            ).alias("salt"),
+        )
+    )
+    joined = fact.join(dim.hint("shuffle_hash"), ["ukey", "salt"])
+    return joined.groupBy("ukey").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("attr").alias("attr"),
+    )

@@ -836,3 +836,22 @@ def test_interval_join_is_hash_join_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
     # exactly one 1-row bounds attachment; never the interval table
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_salted_join_splits_hot_key_across_reducers(spark):
+    """salted_hot_key_join's physical contract: the join must be a
+    shuffle join keyed on (ukey, salt) — hot-key rows spread over
+    SALT_S reducers — with the x{S} replication on the DIM side only
+    (a Generate/explode), and the fact side never broadcast."""
+    from ocr_gang_spark.queries import salted_hot_key_join
+
+    df = salted_hot_key_join(spark, SF)
+    plan = plan_of(df, mode="simple")
+    assert "ShuffledHashJoin [ukey" in plan and "salt" in plan.split(
+        "ShuffledHashJoin"
+    )[1].split("]")[0]
+    assert plan.count("Generate explode") == 1  # dim replication only
+    assert "BroadcastHashJoin" not in plan
+    # semantic spot-check: the hot key aggregates back to ONE row
+    rows = {r["ukey"]: r["n_events"] for r in df.collect()}
+    assert rows["hot"] > sum(v for k, v in rows.items() if k != "hot") / 2
