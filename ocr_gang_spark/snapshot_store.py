@@ -91,6 +91,7 @@ def commit_snapshot(
     table_dir: str,
     df: DataFrame,
     op: str = "append",
+    tag: str | None = None,
 ) -> int:
     """Commit df as a new snapshot; returns the new version number.
 
@@ -100,7 +101,12 @@ def commit_snapshot(
     rewrite — which is safe because it writes to a NEW data dir, never
     the dirs it reads).  The data write happens before any metadata
     becomes visible; a crash mid-commit leaves an orphan data dir that
-    expire_snapshots removes and that a re-commit overwrites."""
+    expire_snapshots removes and that a re-commit overwrites.
+
+    ``tag`` is an opaque idempotency token recorded in the manifest —
+    a replayed producer (e.g. a restarted streaming micro-batch, see
+    streaming.snapshot_append_stream) checks has_tag() before
+    committing so re-delivery cannot double-append."""
     if op not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot op {op!r}")
     parent = current_version(table_dir)
@@ -123,6 +129,7 @@ def commit_snapshot(
         "parent": parent,
         "op": op,
         "files": files,
+        "tag": tag,
     }
     mpath = _manifest_path(table_dir, version)
     tmp = os.path.join(table_dir, _META, f".tmp-{_vname(version)}.json")
@@ -135,6 +142,14 @@ def commit_snapshot(
         json.dump({"version": version}, f)
     os.replace(ptr_tmp, os.path.join(table_dir, _META, "current"))
     return version
+
+
+def has_tag(table_dir: str, tag: str) -> bool:
+    """True if any RETAINED committed manifest carries the idempotency
+    tag.  O(commits) over the manifest log — the producer's replay
+    window must be shorter than the expiry horizon, the same contract
+    Iceberg's WAP/branch tags carry."""
+    return any(m.get("tag") == tag for m in snapshot_log(table_dir))
 
 
 def read_snapshot(

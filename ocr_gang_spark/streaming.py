@@ -317,6 +317,56 @@ def dedup_events_stream(
     return spark.table(out_table)
 
 
+def snapshot_append_stream(
+    spark: SparkSession,
+    events_dir: str,
+    table_dir: str,
+    checkpoint: str,
+) -> int:
+    """Streaming ingest INTO the snapshot table layer: each micro-batch
+    commits as one append snapshot (the Iceberg streaming-append
+    pattern), so downstream consumers time-travel to any ingest point
+    and read_incremental() between consecutive versions to process
+    exactly one batch's rows.
+
+    Replay idempotency — the property every foreachBatch sink in this
+    module pins — comes from the manifest tag: a restarted stream
+    re-delivers a batch_id, has_tag() sees its tag on a committed
+    manifest, and the commit is skipped; a batch that crashed
+    mid-commit left no manifest (or an uncommitted phantom), so the
+    retry commits cleanly over the orphan (snapshot_store crash
+    contract).  Returns the table's final version (== number of
+    distinct committed batches)."""
+    from . import snapshot_store as ss
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"batch-{batch_id}"
+        if ss.has_tag(table_dir, tag):
+            return
+        ss.commit_snapshot(
+            spark,
+            table_dir,
+            batch_df.select("event_id", "ts", "user_id", "event_type"),
+            op="append",
+            tag=tag,
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ss.current_version(table_dir) or 0
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract entry: the streaming job under the value-hash gate
 # ---------------------------------------------------------------------------

