@@ -98,6 +98,7 @@ HEADLINE = [
     "ocr_error_rates",
     "snapshot_time_travel",
     "salted_hot_key_join",
+    "stream_snapshot_ingest",
 ]
 
 # pandas-UDF-heavy extraction queries: every task pins a JVM thread AND

@@ -434,6 +434,59 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAP_N_BATCH = 4
+
+_SNAP_INGEST_DUCK = f"""
+    WITH b AS (SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) AS lo,
+                      CAST(floor(epoch(MAX(ts))) AS BIGINT) + 1 AS hi
+               FROM events),
+    s AS (SELECT lo,
+                 GREATEST(1, (hi - lo + {_SNAP_N_BATCH - 1}) // {_SNAP_N_BATCH})
+                   AS step
+          FROM b)
+    SELECT e.event_id, e.ts, e.user_id, e.event_type,
+           CAST((CAST(floor(epoch(e.ts)) AS BIGINT) - s.lo) // s.step + 1
+                AS BIGINT) AS version
+    FROM events e, s
+    """
+
+
+@register("stream_snapshot_ingest", _SNAP_INGEST_DUCK)
+def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming snapshot-layer ingest under the driver's value
+    hash: events re-split into 4 time-ordered micro-batch files, each
+    committed as one append snapshot by snapshot_append_stream, then
+    EVERY row read back through the snapshot layer — v1 via
+    read_snapshot, later versions via read_incremental — carrying the
+    version that committed it.  The oracle recomputes each row's
+    time-slice (same lo/step arithmetic as the file splitter), so a
+    lost batch, a double-committed replay, a wrong manifest chain, or
+    a row landing in the wrong snapshot all break the hash."""
+    import tempfile
+
+    from . import snapshot_store as ss
+
+    work = tempfile.mkdtemp(prefix="ocrgang_snaping_")
+    ev_dir = write_time_split_events(
+        spark, sf_dir, f"{work}/ev", _SNAP_N_BATCH
+    )
+    tbl = f"{work}/tbl"
+    final = snapshot_append_stream(spark, ev_dir, tbl, f"{work}/cp")
+
+    parts = []
+    for v in range(1, final + 1):
+        d = (
+            ss.read_snapshot(spark, tbl, 1)
+            if v == 1
+            else ss.read_incremental(spark, tbl, v - 1, v)
+        )
+        parts.append(d.withColumn("version", F.lit(v).cast("bigint")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def extraction_stream(
     spark: SparkSession,
     docs: DataFrame,
