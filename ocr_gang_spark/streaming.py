@@ -461,12 +461,22 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     version that committed it.  The oracle recomputes each row's
     time-slice (same lo/step arithmetic as the file splitter), so a
     lost batch, a double-committed replay, a wrong manifest chain, or
-    a row landing in the wrong snapshot all break the hash."""
+    a row landing in the wrong snapshot all break the hash.
+
+    The work dir is deterministic per sf_dir and rebuilt each call
+    (the snapshot_time_travel rule) — repeated runs reuse one path
+    instead of leaking a fresh mkdtemp per invocation."""
+    import hashlib
+    import shutil
     import tempfile
 
     from . import snapshot_store as ss
 
-    work = tempfile.mkdtemp(prefix="ocrgang_snaping_")
+    work = _os.path.join(
+        tempfile.gettempdir(),
+        f"ocrgang_snaping_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
     ev_dir = write_time_split_events(
         spark, sf_dir, f"{work}/ev", _SNAP_N_BATCH
     )
