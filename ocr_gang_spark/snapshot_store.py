@@ -204,6 +204,37 @@ def read_incremental(
     )
 
 
+def compact_snapshots(spark: SparkSession, table_dir: str) -> int:
+    """Collapse the current version's N-data-dir append chain into one
+    dir, committed as a NEW overwrite snapshot (checkpoint.py's
+    compact_output for the snapshot layer; Iceberg rewrite_data_files'
+    coarse-grained analog where the rewrite unit is the commit dir).
+
+    History is untouched: every prior version stays time-travelable
+    until expire_snapshots reclaims it, and a crash mid-compaction is
+    the ordinary commit crash (invisible, swept, retryable).  After
+    compaction + expiry the table holds one data dir, so read planning
+    and the manifest are O(1) until appends accumulate again.  No-op
+    (returns the current version) when the chain is already one dir.
+
+    Note the cost model: this rewrites the WHOLE live table (the unit
+    is the data dir, not the file), so schedule it when the append
+    chain's planning overhead outweighs one full rewrite — or prefer
+    the finer-grained per-partition compact_output for the
+    partitioned output table."""
+    cur = current_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshot")
+    if len(_load_manifest(table_dir, cur)["files"]) <= 1:
+        return cur
+    # safe self-read: the commit writes to a NEW data dir, never the
+    # dirs this frame scans (same rule as the GDPR-delete rewrite)
+    live = read_snapshot(spark, table_dir, cur)
+    return commit_snapshot(
+        spark, table_dir, live, op="overwrite", tag=f"compact-of-v{cur}"
+    )
+
+
 def snapshot_log(table_dir: str) -> list[dict]:
     """Retained COMMITTED manifests, oldest first — the table's
     lineage.  Manifests beyond the current pointer (a crashed commit

@@ -283,3 +283,31 @@ def test_streaming_ingest_commits_append_snapshots(spark, tmp_path):
     if not ss2.has_tag(tbl, "batch-0"):
         ss2.commit_snapshot(spark, tbl, replay, op="append", tag="batch-0")
     assert ss2.current_version(tbl) == before
+
+
+def test_compact_snapshots_collapses_chain_preserving_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t")
+    base = _base(spark)
+    for k in range(3):  # 3-dir append chain
+        ss.commit_snapshot(spark, tbl, base.where(F.col("doc_id") % 3 == k),
+                           op="append")
+    before = _ids(spark, tbl)
+    assert len(ss.snapshot_log(tbl)[-1]["files"]) == 3
+
+    v = ss.compact_snapshots(spark, tbl)
+    assert v == 4
+    m = ss.snapshot_log(tbl)[-1]
+    assert m["files"] == ["data/v00000004"] and m["op"] == "overwrite"
+    assert _ids(spark, tbl) == before          # values identical
+    assert _ids(spark, tbl, 2) == sorted(      # history intact
+        i for i in before if i % 3 in (0, 1)
+    )
+    assert ss.compact_snapshots(spark, tbl) == 4  # already-compact no-op
+
+    res = ss.expire_snapshots(tbl, keep_last=1)
+    assert res["removed_data_dirs"] == [
+        "data/v00000001", "data/v00000002", "data/v00000003"
+    ]
+    assert _ids(spark, tbl) == before  # one dir left, table unchanged
