@@ -112,6 +112,17 @@ def commit_snapshot(
     parent = current_version(table_dir)
     version = 1 if parent is None else parent + 1
     os.makedirs(os.path.join(table_dir, _META), exist_ok=True)
+    # the version slot may hold a crashed commit's phantom manifest
+    # (no staged flag) — healing that by overwrite is the crash
+    # contract — but never an in-flight write-audit-publish stage
+    existing = _manifest_path(table_dir, version)
+    if os.path.exists(existing):
+        with open(existing) as f:
+            if json.load(f).get("staged"):
+                raise RuntimeError(
+                    f"snapshot v{version} is staged for audit in "
+                    f"{table_dir}; publish or abandon it before committing"
+                )
 
     rel_dir = f"{_DATA}/{_vname(version)}"
     # mode=overwrite so a retry after a crashed attempt at the same
@@ -204,6 +215,123 @@ def read_incremental(
     )
 
 
+def stage_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    op: str = "append",
+    tag: str | None = None,
+) -> int:
+    """Write-audit-publish, step 1: commit df's data and manifest but
+    NOT the current pointer — the snapshot exists for auditors
+    (read_staged) yet is invisible to every normal reader, exactly the
+    Iceberg WAP staging state.  Returns the staged version
+    (current + 1).  Finish with publish_snapshot (pointer swap, O(1))
+    or abandon_snapshot (delete data + manifest, table never changed).
+    Single-writer: at most one stage in flight; a second stage_snapshot
+    before publish/abandon raises."""
+    parent = current_version(table_dir)
+    version = 1 if parent is None else parent + 1
+    if os.path.exists(_manifest_path(table_dir, version)):
+        raise RuntimeError(
+            f"a staged or leftover snapshot v{version} already exists in "
+            f"{table_dir}; publish or abandon it first"
+        )
+    os.makedirs(os.path.join(table_dir, _META), exist_ok=True)
+    if op not in ("append", "overwrite"):
+        raise ValueError(f"unknown snapshot op {op!r}")
+
+    rel_dir = f"{_DATA}/{_vname(version)}"
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
+    files = (
+        list(_load_manifest(table_dir, parent)["files"])
+        if op == "append" and parent is not None
+        else []
+    )
+    files.append(rel_dir)
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "files": files,
+        "tag": tag,
+        "staged": True,
+    }
+    tmp = os.path.join(table_dir, _META, f".tmp-{_vname(version)}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, _manifest_path(table_dir, version))
+    return version
+
+
+def read_staged(
+    spark: SparkSession, table_dir: str, version: int
+) -> DataFrame:
+    """Audit-side read of a STAGED (unpublished) snapshot — the one
+    reader allowed past the current-pointer visibility rule."""
+    path = _manifest_path(table_dir, version)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no staged snapshot v{version} in {table_dir}"
+        )
+    with open(path) as f:
+        manifest = json.load(f)
+    if not manifest.get("staged"):
+        raise ValueError(f"snapshot v{version} is published; use read_snapshot")
+    return spark.read.parquet(
+        *[os.path.join(table_dir, rel) for rel in manifest["files"]]
+    )
+
+
+def publish_snapshot(table_dir: str, version: int) -> None:
+    """Write-audit-publish, step 3a: the audited staged snapshot goes
+    live by clearing its staged flag and swapping the current pointer —
+    pure O(1) metadata, no data moves.  Refuses non-contiguous
+    versions (the stage must sit directly on current)."""
+    cur = current_version(table_dir)
+    expected = 1 if cur is None else cur + 1
+    if version != expected:
+        raise ValueError(
+            f"cannot publish v{version}: current is {cur}, expected "
+            f"v{expected} (stage sits directly on current)"
+        )
+    path = _manifest_path(table_dir, version)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no staged snapshot v{version}")
+    with open(path) as f:
+        manifest = json.load(f)
+    if not manifest.get("staged"):
+        raise ValueError(f"snapshot v{version} is already published")
+    manifest["staged"] = False
+    tmp = os.path.join(table_dir, _META, f".tmp-{_vname(version)}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, path)
+    ptr_tmp = os.path.join(table_dir, _META, ".tmp-current")
+    with open(ptr_tmp, "w") as f:
+        json.dump({"version": version}, f)
+    os.replace(ptr_tmp, os.path.join(table_dir, _META, "current"))
+
+
+def abandon_snapshot(table_dir: str, version: int) -> None:
+    """Write-audit-publish, step 3b: the audit failed — delete the
+    staged manifest and its data dir; the table never changed.  Only
+    the dir the stage itself wrote is deleted (an append stage's
+    inherited parent dirs stay live)."""
+    path = _manifest_path(table_dir, version)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no staged snapshot v{version}")
+    with open(path) as f:
+        manifest = json.load(f)
+    if not manifest.get("staged"):
+        raise ValueError(
+            f"snapshot v{version} is published; use expire_snapshots"
+        )
+    os.remove(path)
+    own_dir = os.path.join(table_dir, _DATA, _vname(version))
+    shutil.rmtree(own_dir, ignore_errors=True)
+
+
 def compact_snapshots(spark: SparkSession, table_dir: str) -> int:
     """Collapse the current version's N-data-dir append chain into one
     dir, committed as a NEW overwrite snapshot (checkpoint.py's
@@ -277,13 +405,23 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
     cutoff = cur - keep_last + 1  # keep versions >= cutoff
 
     meta_dir = os.path.join(table_dir, _META)
+    staged_refs: set = set()
     for name in list(os.listdir(meta_dir)):
         if name.startswith(".tmp-"):
             os.remove(os.path.join(meta_dir, name))
         elif name.startswith("v") and name.endswith(".json"):
-            # uncommitted leftover: manifest published, pointer never was
             if int(name[1:-5]) > cur:
-                os.remove(os.path.join(meta_dir, name))
+                with open(os.path.join(meta_dir, name)) as f:
+                    m = json.load(f)
+                if m.get("staged"):
+                    # in-flight write-audit-publish stage: exempt from
+                    # the sweep (abandon_snapshot is its cleanup path),
+                    # and its data dirs count as referenced below
+                    staged_refs.update(m["files"])
+                else:
+                    # uncommitted leftover: manifest published, pointer
+                    # never was (crashed commit)
+                    os.remove(os.path.join(meta_dir, name))
 
     expired = []
     for m in snapshot_log(table_dir):
@@ -291,7 +429,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
             os.remove(_manifest_path(table_dir, m["version"]))
             expired.append(m["version"])
 
-    referenced = set()
+    referenced = set(staged_refs)
     for m in snapshot_log(table_dir):
         referenced.update(m["files"])
     removed = []

@@ -311,3 +311,69 @@ def test_compact_snapshots_collapses_chain_preserving_history(spark, tmp_path):
         "data/v00000001", "data/v00000002", "data/v00000003"
     ]
     assert _ids(spark, tbl) == before  # one dir left, table unchanged
+
+
+def test_write_audit_publish_flow(spark, tmp_path):
+    """The Iceberg WAP pattern end-to-end: a staged snapshot is
+    invisible to readers, auditable via read_staged, blocked from
+    concurrent commits, protected from expiry, and either abandoned
+    (table never changed) or published (O(1) pointer swap)."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t")
+    base = _base(spark)
+    ss.commit_snapshot(spark, tbl, base.where(F.col("doc_id") % 3 == 0),
+                       op="overwrite")
+    v1_ids = _ids(spark, tbl)
+
+    # stage a BAD batch (audit rule: no NULL n_chars)
+    bad = base.where(F.col("doc_id") % 3 == 1).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    v = ss.stage_snapshot(spark, tbl, bad, op="append")
+    assert v == 2
+    # invisible to every normal reader; auditable via read_staged
+    assert ss.current_version(tbl) == 1
+    assert [m["version"] for m in ss.snapshot_log(tbl)] == [1]
+    with pytest.raises(FileNotFoundError):
+        ss.read_snapshot(spark, tbl, version=2)
+    staged = ss.read_staged(spark, tbl, 2)
+    n_null = staged.where(F.col("n_chars").isNull()).count()
+    assert n_null > 0  # the audit catches the violation
+    # a concurrent commit or second stage must refuse the slot
+    with pytest.raises(RuntimeError, match="staged"):
+        ss.commit_snapshot(spark, tbl, base.limit(1), op="append")
+    with pytest.raises(RuntimeError, match="already exists"):
+        ss.stage_snapshot(spark, tbl, base.limit(1), op="append")
+    # expiry must not reap the in-flight stage
+    ss.expire_snapshots(tbl, keep_last=10)
+    assert os.path.isdir(os.path.join(tbl, "data", "v00000002"))
+    assert os.path.exists(os.path.join(tbl, "meta", "v00000002.json"))
+
+    ss.abandon_snapshot(tbl, 2)  # audit failed
+    assert _ids(spark, tbl) == v1_ids  # table never changed
+    assert not os.path.isdir(os.path.join(tbl, "data", "v00000002"))
+
+    # stage the CLEAN batch, audit passes, publish
+    good = base.where(F.col("doc_id") % 3 == 1)
+    v = ss.stage_snapshot(spark, tbl, good, op="append")
+    assert v == 2
+    assert ss.read_staged(spark, tbl, 2).where(
+        F.col("n_chars").isNull()
+    ).count() == 0
+    ss.publish_snapshot(tbl, 2)
+    assert ss.current_version(tbl) == 2
+    all_ids = sorted(r["doc_id"] for r in base.collect())
+    assert _ids(spark, tbl) == [i for i in all_ids if i % 3 in (0, 1)]
+    # published manifest is a normal snapshot now
+    assert ss.snapshot_log(tbl)[-1]["staged"] is False
+    with pytest.raises(ValueError, match="published"):
+        ss.read_staged(spark, tbl, 2)
+    # publish refuses replays and gaps
+    with pytest.raises(ValueError):
+        ss.publish_snapshot(tbl, 2)
+    with pytest.raises(ValueError, match="expected"):
+        ss.publish_snapshot(tbl, 9)
