@@ -164,12 +164,23 @@ def has_tag(table_dir: str, tag: str) -> bool:
 
 
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Read the table AS OF a version (default: current).  Plans a
-    plain multi-path parquet scan over the manifest's immutable data
+    """Read the table AS OF a version, a named ref, or current.  Plans
+    a plain multi-path parquet scan over the manifest's immutable data
     dirs — pushdown, pruning and mergeSchema behave exactly as on any
-    parquet read.  Raises FileNotFoundError for an expired version."""
+    parquet read.  Raises FileNotFoundError for an expired version or
+    unknown ref."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version or ref, not both")
+        r = refs(table_dir)
+        if ref not in r:
+            raise FileNotFoundError(f"no ref {ref!r} in {table_dir}")
+        version = r[ref]
     if version is None:
         version = current_version(table_dir)
         if version is None:
@@ -213,6 +224,38 @@ def read_incremental(
     return spark.read.parquet(
         *[os.path.join(table_dir, rel) for rel in added]
     )
+
+
+def _refs_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _META, "refs.json")
+
+
+def refs(table_dir: str) -> dict:
+    """Named refs (Iceberg tags): {name: version}.  A ref gives
+    readers a stable name ('prod', 'eval-2026-08') and PINS its
+    snapshot against expiry."""
+    path = _refs_path(table_dir)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def set_ref(table_dir: str, name: str, version: int | None) -> None:
+    """Create/move a named ref to a committed version, or delete it
+    with version=None.  Atomic (tmp + rename), same as every other
+    metadata write here."""
+    if version is not None:
+        _load_manifest(table_dir, version)  # must be committed
+    r = refs(table_dir)
+    if version is None:
+        r.pop(name, None)
+    else:
+        r[name] = version
+    tmp = _refs_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(r, f, sort_keys=True)
+    os.replace(tmp, _refs_path(table_dir))
 
 
 def stage_snapshot(
@@ -423,9 +466,12 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
                     # never was (crashed commit)
                     os.remove(os.path.join(meta_dir, name))
 
+    pinned = set(refs(table_dir).values())
     expired = []
     for m in snapshot_log(table_dir):
-        if m["version"] < cutoff:
+        # a named ref pins its snapshot against expiry (Iceberg tag
+        # retention rule) — drop the ref first to let it age out
+        if m["version"] < cutoff and m["version"] not in pinned:
             os.remove(_manifest_path(table_dir, m["version"]))
             expired.append(m["version"])
 

@@ -377,3 +377,36 @@ def test_write_audit_publish_flow(spark, tmp_path):
         ss.publish_snapshot(tbl, 2)
     with pytest.raises(ValueError, match="expected"):
         ss.publish_snapshot(tbl, 9)
+
+
+def test_named_refs_pin_snapshots_against_expiry(spark, tmp_path):
+    """A named ref (Iceberg tag) gives readers a stable name and pins
+    its snapshot: expiry skips it (manifest AND data survive) until
+    the ref is dropped, after which the normal rules apply."""
+    tbl = str(tmp_path / "t")
+    _commit_three(spark, tbl)  # v1 overwrite, v2 append, v3 overwrite
+    ss.set_ref(tbl, "eval-freeze", 1)
+    assert ss.refs(tbl) == {"eval-freeze": 1}
+    v1_ids = _ids(spark, tbl, 1)
+    assert sorted(
+        r["doc_id"]
+        for r in ss.read_snapshot(spark, tbl, ref="eval-freeze").collect()
+    ) == v1_ids
+
+    res = ss.expire_snapshots(tbl, keep_last=1)  # would expire v1+v2
+    assert res["expired_versions"] == [2]  # v1 pinned by the ref
+    assert _ids(spark, tbl, 1) == v1_ids  # still readable by version too
+
+    ss.set_ref(tbl, "eval-freeze", None)  # drop the ref
+    assert ss.refs(tbl) == {}
+    res = ss.expire_snapshots(tbl, keep_last=1)
+    assert res["expired_versions"] == [1]
+    with pytest.raises(FileNotFoundError):
+        ss.read_snapshot(spark, tbl, version=1)
+
+    with pytest.raises(FileNotFoundError):
+        ss.read_snapshot(spark, tbl, ref="nope")
+    with pytest.raises(FileNotFoundError):
+        ss.set_ref(tbl, "bad", 99)  # refs only point at committed versions
+    with pytest.raises(ValueError, match="not both"):
+        ss.read_snapshot(spark, tbl, version=3, ref="x")
