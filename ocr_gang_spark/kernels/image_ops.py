@@ -351,23 +351,45 @@ def segment_page(
     return lines
 
 
-PHASH_DIM = 6  # 6x6 binary thumbprint -> 36 bits (fits a positive int64)
+PHASH_DIM = 8  # 8x8 binary thumbprint -> 64 bits (one signed int64)
+PHASH_VERIFY_DIM = 28  # in-bucket verify thumbnail (glyph-standard dims)
 
 
-def phash36(bw: np.ndarray) -> int:
+def phash64(bw: np.ndarray) -> int:
     """Perceptual thumbprint of a binarized page: K3 NN-resample
     (resize1, floor indexing) to PHASH_DIM x PHASH_DIM, ink bits
-    (pixel == 0) packed row-major MSB-first into one integer.
+    (pixel == 0) packed row-major MSB-first into one signed 64-bit
+    integer (two's complement — the top-left pixel is the sign bit, so
+    the value round-trips exactly through Spark/parquet/DuckDB BIGINT).
 
     The image analog of a document fingerprint: visually-identical or
-    near-identical pages collapse to the same 36-bit key, so duplicate
-    imagery can be grouped with a plain hash aggregate (no pairwise
-    comparison).  36 bits is chosen coarse enough that real near-dups
-    collide and fine enough that distinct pages don't (at 8x8 this
-    corpus has zero collisions; at 4x4 it degenerates)."""
+    near-identical pages collapse to the same 64-bit key, so duplicate
+    imagery can be GROUPED with a plain hash aggregate (no pairwise
+    comparison).  64 bits is the birthday-safe width for the stated
+    10^12-blob scale (expected collisions ~ n^2/2^65 ≈ 0.03 at n=10^12;
+    the previous 6x6=36-bit key averaged ~15 unrelated images per
+    bucket at that n).  Collisions that do happen are split by the
+    in-bucket exact verify (phash_verify) before any keep/drop
+    decision — grouping alone never merges."""
     t = resize1(bw, PHASH_DIM, PHASH_DIM)
-    bits = (t == 0).astype(np.int64).ravel()
-    weights = np.left_shift(
-        np.int64(1), np.arange(PHASH_DIM * PHASH_DIM - 1, -1, -1, dtype=np.int64)
-    )
-    return int(bits @ weights)
+    bits = (t == 0).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+def phash_verify(bw: np.ndarray) -> str:
+    """Exact in-bucket verification key for phash64 candidate groups:
+    md5 hex of the PHASH_VERIFY_DIM x PHASH_VERIFY_DIM (28x28, the
+    K3/glyph-standard resample) binarized thumbnail's ink bits.
+
+    Two images merge ONLY if both the 64-bit perceptual key AND this
+    784-bit exact thumbnail agree — the LSH-then-verify pattern the
+    text side already uses (textops.dedup_pipeline_decisions:
+    candidates by banded MinHash, decisions by exact Jaccard).  A
+    constructed phash64 collision (images differing at a pixel the 8x8
+    floor-index resample never samples) therefore cannot be merged
+    unless the 28x28 resample also misses the difference — 784 sampled
+    binary pixels of unrelated pages in practice never all agree."""
+    t = resize1(bw, PHASH_VERIFY_DIM, PHASH_VERIFY_DIM)
+    import hashlib
+
+    return hashlib.md5(np.packbits((t == 0).ravel()).tobytes()).hexdigest()

@@ -246,7 +246,8 @@ def pdf_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "image_phash_dedup",
-    # per-ref 36-bit thumbprints come from the committed fixture
+    # per-ref 64-bit thumbprints + 28x28 verify keys come from the
+    # committed fixture
     # (generation crosschecked against an independent double-loop
     # re-derivation; fixtures/expected_crosscheck.json "phash"); the
     # DUPLICATE GROUPING itself is pure SQL over that table, so the
@@ -257,7 +258,7 @@ def pdf_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS i)
       WHERE i <= doc_id % 2 + 1),
     g AS (
-      SELECT f.phash, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+      SELECT f.phash, f.verify, CAST(COUNT(*) AS BIGINT) AS n_imgs,
              CAST(MIN(CAST(regexp_extract(f.media_ref, 'doc-([0-9]+)-([0-9]+)$', 1)
                            AS BIGINT) * 10
                       + CAST(regexp_extract(f.media_ref, 'doc-([0-9]+)-([0-9]+)$', 2)
@@ -265,37 +266,50 @@ def pdf_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS keep_key
       FROM read_parquet('{_FIXTURES}/expected_phash.parquet') f
       JOIN refs USING (media_ref)
-      GROUP BY f.phash HAVING COUNT(*) >= 2)
-    SELECT phash, n_imgs,
+      GROUP BY f.phash, f.verify HAVING COUNT(*) >= 2)
+    SELECT phash, verify, n_imgs,
            printf('m42-doc-%08d-%d', keep_key // 10, keep_key % 10) AS keep_ref
     FROM g
     """,
 )
 def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image dedup: 36-bit binary thumbprint per media blob
-    (kernels/image_ops.phash36 — decode, binarize, K3 NN-resample to
-    6x6, pack ink bits), then duplicate-image groups via one hash
-    aggregate — the image-modality member of the dedup family (exact
-    text dedup : md5 :: image dedup : perceptual hash), with
-    min(media_ref) as the deterministic keeper.
+    """Perceptual image dedup with in-bucket exact verification: a
+    64-bit binary thumbprint per media blob (kernels/image_ops.phash64
+    — decode, binarize, K3 NN-resample to 8x8, pack ink bits signed)
+    forms candidate buckets, and an exact 28x28-thumbnail key
+    (phash_verify, md5 of the 784 resampled ink bits) confirms inside
+    each bucket — two images merge only when BOTH agree.  This is the
+    LSH-then-verify pattern of dedup_pipeline_decisions applied to the
+    image modality; grouping on the perceptual key alone would
+    false-merge unrelated images once the corpus outgrows the key
+    (at 10^12 blobs a 36-bit key averages ~15 unrelated images per
+    bucket; 64 bits + exact verify survives the birthday math).
 
-    100 TB shape: the expensive part (decode + hash) is a per-blob
-    Arrow-batched kernel with no shuffle; the only exchange is the
-    map-side-combined groupBy on the 36-bit key — identical plan shape
-    to dedup_exact, just with a learnedless visual fingerprint instead
-    of md5(text).  No pairwise image comparison ever happens; bucket
-    collisions ARE the candidate groups (the MinHash-LSH trick, one
-    band of one 36-bit hash).  The keeper travels through the aggregate
-    as a packed BIGINT key (min(string) ref would silently degrade the
-    pivot to SortAggregate — plan-pinned) and is re-rendered after."""
+    The corpus carries injected re-encoded duplicates (synth.
+    blob_for_dedup_ref: every doc_id % 5 == 3 document's blobs render
+    doc_id-3's first page under their own format choice — byte-
+    different BMP/PNG/JPEG blobs, binarize-identical pixels), so the
+    expected groups are derivable relationally and a query that either
+    misses a re-encoded duplicate or false-merges distinct pages breaks
+    the value hash.
+
+    100 TB shape: the expensive part (decode + both hashes) is a
+    per-blob Arrow-batched kernel with no shuffle; the only exchange is
+    the map-side-combined groupBy on (phash, verify) — identical plan
+    shape to dedup_exact.  No pairwise image comparison ever happens;
+    the verify key makes bucket membership exact without one.  The
+    keeper travels through the aggregate as a packed BIGINT key
+    (min(string) ref would silently degrade the pivot to SortAggregate
+    — plan-pinned) and is re-rendered after."""
     import re
 
     from .kernels.bmp import decode_media_blob
-    from .kernels.image_ops import binarize, phash36
+    from .kernels.image_ops import binarize, phash64, phash_verify
+    from .synth import blob_for_dedup_ref
 
     _REF_RE = re.compile(r"doc-(\d+)-(\d+)$")
     docs = spans_from_testdata(spark, sf_dir)
-    media = synth_media(spark, docs)
+    media = synth_media(spark, docs, blob_fn=blob_for_dedup_ref)
 
     def hashes(batches):
         for pdf in batches:
@@ -310,23 +324,27 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # (doc_id, span_idx), the deterministic keeper rule.
                 m = _REF_RE.search(ref)
                 rows.append(
-                    (ref, phash36(bw), int(m.group(1)) * 10 + int(m.group(2)))
+                    (ref, phash64(bw), phash_verify(bw),
+                     int(m.group(1)) * 10 + int(m.group(2)))
                 )
-            yield pd.DataFrame(rows, columns=["media_ref", "phash", "ref_key"])
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "phash", "verify", "ref_key"]
+            )
 
     import pyspark.sql.functions as F
 
     g = (
         media.mapInPandas(
-            hashes, schema="media_ref string, phash bigint, ref_key bigint"
+            hashes,
+            schema="media_ref string, phash bigint, verify string, ref_key bigint",
         )
-        .groupBy("phash")
+        .groupBy("phash", "verify")
         .agg(F.count("*").cast("bigint").alias("n_imgs"),
              F.min("ref_key").alias("keep_key"))
         .where(F.col("n_imgs") >= 2)
     )
     return g.select(
-        "phash", "n_imgs",
+        "phash", "verify", "n_imgs",
         F.format_string(
             "m42-doc-%08d-%d",
             F.expr("keep_key DIV 10"), F.expr("keep_key % 10"),

@@ -138,15 +138,25 @@ def synth_documents(spark: SparkSession, n_docs: int, seed: int = 42,
     )
 
 
-def synth_media(spark: SparkSession, docs: DataFrame, partitions: int | None = None) -> DataFrame:
+def synth_media(
+    spark: SparkSession,
+    docs: DataFrame,
+    partitions: int | None = None,
+    blob_fn=None,
+) -> DataFrame:
     """media(media_ref, bytes) for every media span of ``docs``.
 
     Blob bytes are a pure function of media_ref, rendered on the
     executors.  Repartitioned by media_ref so render work spreads evenly
-    even when one document carries hundreds of media spans.
+    even when one document carries hundreds of media spans.  ``blob_fn``
+    swaps the renderer (default blob_for_ref); queries that need an
+    inject-then-detect corpus variant (e.g. the duplicate-image slice of
+    image_phash_dedup) pass their own pure-function renderer.
     """
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
+    if blob_fn is None:
+        blob_fn = blob_for_ref
     refs = (
         docs.select(F.explode("spans").alias("s"))
         .where(F.col("s.kind") == "media")
@@ -156,7 +166,7 @@ def synth_media(spark: SparkSession, docs: DataFrame, partitions: int | None = N
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = [blob_for_ref(r) for r in pdf["media_ref"]]
+            blobs = [blob_fn(r) for r in pdf["media_ref"]]
             yield pd.DataFrame({"media_ref": pdf["media_ref"], "bytes": blobs})
 
     return refs.mapInPandas(render, schema=MEDIA_SCHEMA)
@@ -173,6 +183,44 @@ def blob_for_ref(ref: str) -> bytes:
     is binarize-exact on this corpus (pinned by tests/test_jpeg.py), so
     extraction output is bit-identical across the mix."""
     rgb = page_for_ref(ref)[1]
+    digest = hashlib.sha256(("fmt:" + ref).encode()).digest()
+    if digest[0] % 4 == 0:
+        return encode_png(rgb, level=1)
+    if digest[0] % 16 == 1:
+        return encode_jpeg_gray(np.ascontiguousarray(rgb[:, :, 0]), 92)
+    return encode_media_blob(rgb)
+
+
+# Inject-then-detect duplicate images (image_phash_dedup): every
+# document with doc_id % PHASH_DUP_EVERY == PHASH_DUP_OFFSET carries
+# RE-ENCODES of another document's first page instead of its own pages
+# — byte-different blobs (the format mix stays keyed by the dup ref, so
+# a page often recurs as BMP in one blob and PNG/JPEG in another — the
+# realistic "same image re-encoded" duplicate), pixel-identical after
+# decode+binarize (JPEG q92 reconstruction is binarize-exact on this
+# corpus, pinned by tests/test_jpeg.py).  The dedup query must find
+# exactly these groups; the oracle derives the same groups relationally
+# from this rule.
+PHASH_DUP_EVERY = 5
+PHASH_DUP_OFFSET = 3
+
+
+def phash_dup_source_ref(ref: str) -> str | None:
+    """Canonical ref whose page this ref duplicates, or None if the ref
+    renders its own page (ref format m{seed}-doc-{did:08d}-{i})."""
+    head, did, _i = ref.rsplit("-", 2)
+    did = int(did)
+    if did % PHASH_DUP_EVERY == PHASH_DUP_OFFSET and did >= PHASH_DUP_OFFSET:
+        return f"{head}-{did - PHASH_DUP_OFFSET:08d}-1"
+    return None
+
+
+def blob_for_dedup_ref(ref: str) -> bytes:
+    """blob_for_ref with the duplicate-image injection applied: dup
+    refs render the canonical ref's page but keep their OWN format
+    choice (re-encoded duplicates, not byte copies)."""
+    src = phash_dup_source_ref(ref)
+    rgb = page_for_ref(src or ref)[1]
     digest = hashlib.sha256(("fmt:" + ref).encode()).digest()
     if digest[0] % 4 == 0:
         return encode_png(rgb, level=1)

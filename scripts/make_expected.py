@@ -424,9 +424,15 @@ def expected_media_rows():
     # double loop dst[y][x] = src[y*sy//dy][x*sx//dx] — generation fails
     # on disagreement with the vectorized kernel.
     from ocr_gang_spark.kernels.bmp import decode_media_blob
-    from ocr_gang_spark.kernels.image_ops import binarize, resize1
-
-    from ocr_gang_spark.kernels.image_ops import PHASH_DIM, phash36
+    from ocr_gang_spark.kernels.image_ops import (
+        PHASH_DIM,
+        PHASH_VERIFY_DIM,
+        binarize,
+        phash64,
+        phash_verify,
+        resize1,
+    )
+    from ocr_gang_spark.synth import blob_for_dedup_ref, phash_dup_source_ref
 
     resize = []
     resize_crosschecked = []
@@ -435,7 +441,14 @@ def expected_media_rows():
     for ref in sorted(refs):
         bw = binarize(decode_media_blob(blob_for_ref(ref)))
         thumb = resize1(bw, RESIZE_W, RESIZE_H)
-        ph = phash36(bw)
+        # the phash fixture runs over the dedup-injected corpus variant
+        # (dup refs render their canonical source's page, re-encoded);
+        # non-dup refs render byte-identical blobs, so decode once
+        bw_d = bw
+        if phash_dup_source_ref(ref) is not None:
+            bw_d = binarize(decode_media_blob(blob_for_dedup_ref(ref)))
+        ph = phash64(bw_d)
+        ver = phash_verify(bw_d)
         did = int(ref.split("-")[2])
         if did % CROSSCHECK_EVERY == 0:
             sy, sx = bw.shape
@@ -446,21 +459,38 @@ def expected_media_rows():
             assert np.array_equal(brute, thumb), f"resize crosscheck failed: {ref}"
             resize_crosschecked.append(ref)
             # independent phash re-derivation: explicit double-loop
-            # resample + shift-packing (the kernel uses memoized fancy
-            # indexing + a dot product)
+            # resample + shift-packing + two's-complement fold (the
+            # kernel uses memoized fancy indexing + packbits)
+            dy, dx = bw_d.shape
             v = 0
             for y in range(PHASH_DIM):
                 for x in range(PHASH_DIM):
                     v = (v << 1) | int(
-                        bw[y * sy // PHASH_DIM, x * sx // PHASH_DIM] == 0
+                        bw_d[y * dy // PHASH_DIM, x * dx // PHASH_DIM] == 0
                     )
+            if v >= 1 << 63:
+                v -= 1 << 64
             assert v == ph, f"phash crosscheck failed: {ref} {v} != {ph}"
+            # independent verify re-derivation: double-loop 28x28
+            # resample, manual bit-packing, md5
+            vb = bytearray((PHASH_VERIFY_DIM * PHASH_VERIFY_DIM + 7) // 8)
+            k = 0
+            for y in range(PHASH_VERIFY_DIM):
+                for x in range(PHASH_VERIFY_DIM):
+                    if bw_d[y * dy // PHASH_VERIFY_DIM,
+                            x * dx // PHASH_VERIFY_DIM] == 0:
+                        vb[k >> 3] |= 0x80 >> (k & 7)
+                    k += 1
+            import hashlib as _hl
+
+            bv = _hl.md5(bytes(vb)).hexdigest()
+            assert bv == ver, f"phash verify crosscheck failed: {ref}"
             phash_crosschecked.append(ref)
         resize.append(
             (ref, bw.shape[1], bw.shape[0],
              int(np.sum(bw == 0)), int(np.sum(thumb == 0)))
         )
-        phash_rows.append((ref, ph))
+        phash_rows.append((ref, ph, ver))
     return (meta, audio, video, resize, resize_crosschecked,
             phash_rows, phash_crosschecked)
 
@@ -625,8 +655,11 @@ def main() -> None:
         "refs": sorted(set(resize_xc)),
     }
     xc_doc["phash"] = {
-        "checked": ["36-bit thumbprint equals an explicit double-loop "
-                    "resample + shift-packing re-derivation"],
+        "checked": ["64-bit thumbprint equals an explicit double-loop "
+                    "resample + shift-packing + two's-complement "
+                    "re-derivation (dedup-injected corpus variant)",
+                    "28x28 verify key equals a double-loop resample + "
+                    "manual bit-pack + md5 re-derivation"],
         "refs": sorted(set(phash_xc)),
     }
     with open(os.path.join(FIXDIR, "expected_crosscheck.json"), "w") as f:
@@ -635,7 +668,8 @@ def main() -> None:
         (
             "expected_phash",
             phash_rows,
-            pa.schema([("media_ref", pa.string()), ("phash", pa.int64())]),
+            pa.schema([("media_ref", pa.string()), ("phash", pa.int64()),
+                       ("verify", pa.string())]),
         ),
         (
             "expected_resize",

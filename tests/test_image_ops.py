@@ -240,41 +240,114 @@ def test_glyph_matrices_batch_matches_scalar():
             assert np.array_equal(want, got)
 
 
-class TestPhash36:
+class TestPhash64:
     def test_all_white_and_all_black(self):
         import numpy as np
 
-        from ocr_gang_spark.kernels.image_ops import phash36
+        from ocr_gang_spark.kernels.image_ops import phash64
 
-        assert phash36(np.full((30, 40), 255, np.uint8)) == 0
-        assert phash36(np.zeros((17, 23), np.uint8)) == (1 << 36) - 1
+        assert phash64(np.full((30, 40), 255, np.uint8)) == 0
+        # all 64 ink bits set == two's-complement -1 (sign bit is the
+        # top-left pixel; the value must round-trip through BIGINT)
+        assert phash64(np.zeros((17, 23), np.uint8)) == -1
 
     def test_hand_case_left_half_ink(self):
-        """Left half ink, right half white: each 6-px row packs to
-        111000 (floor indexing maps thumb x<3 to src x<w/2)."""
+        """Left half ink, right half white: each 8-px row packs to
+        11110000 (floor indexing maps thumb x<4 to src x<w/2); the
+        leading ink bit makes the packed value negative."""
         import numpy as np
 
-        from ocr_gang_spark.kernels.image_ops import phash36
+        from ocr_gang_spark.kernels.image_ops import phash64
 
-        img = np.full((12, 12), 255, np.uint8)
-        img[:, :6] = 0
-        row = 0b111000
+        img = np.full((16, 16), 255, np.uint8)
+        img[:, :8] = 0
+        row = 0b11110000
         expected = 0
-        for _ in range(6):
-            expected = (expected << 6) | row
-        assert phash36(img) == expected
+        for _ in range(8):
+            expected = (expected << 8) | row
+        expected -= 1 << 64  # two's complement (top-left is ink)
+        assert phash64(img) == expected
 
     def test_matches_brute_double_loop(self):
         import numpy as np
 
-        from ocr_gang_spark.kernels.image_ops import PHASH_DIM, phash36
+        from ocr_gang_spark.kernels.image_ops import PHASH_DIM, phash64
 
         rng = np.random.default_rng(7)
         for _ in range(25):
-            h, w = rng.integers(7, 60, 2)
+            h, w = rng.integers(9, 60, 2)
             img = (rng.random((h, w)) < 0.4).astype(np.uint8) * 255
             v = 0
             for y in range(PHASH_DIM):
                 for x in range(PHASH_DIM):
                     v = (v << 1) | int(img[y * h // PHASH_DIM, x * w // PHASH_DIM] == 0)
-            assert phash36(img) == v
+            if v >= 1 << 63:
+                v -= 1 << 64
+            assert phash64(img) == v
+
+    def test_constructed_collision_not_merged(self):
+        """Two images that collide on the 64-bit perceptual key (they
+        differ only at a pixel the 8x8 floor-index resample never
+        samples) must NOT merge: the 28x28 verify key — part of the
+        dedup group key — tells them apart.  This is the in-bucket
+        verification the 36-bit predecessor lacked."""
+        import numpy as np
+
+        from ocr_gang_spark.kernels.image_ops import (
+            PHASH_DIM,
+            PHASH_VERIFY_DIM,
+            phash64,
+            phash_verify,
+        )
+
+        h = w = 56  # multiple of both 8 and 28
+        a = np.full((h, w), 255, np.uint8)
+        a[::3, ::5] = 0  # arbitrary texture
+        b = a.copy()
+        # pixel (1, 1): 8x8 samples rows/cols {0,7,14,...}, 28x28
+        # samples every 2nd row/col incl. 1*56//28=2... pick a pixel
+        # sampled by 28x28 but not by 8x8: row 2, col 2 (2*8//56 no —
+        # sample sets: 8x8 -> y*56//8 = {0,7,...,49}; 28x28 ->
+        # y*56//28 = {0,2,4,...,54}).  (2, 2) is in the 28x28 set and
+        # not in the 8x8 set.
+        eight = {y * h // PHASH_DIM for y in range(PHASH_DIM)}
+        twenty8 = {y * h // PHASH_VERIFY_DIM for y in range(PHASH_VERIFY_DIM)}
+        assert 2 in twenty8 and 2 not in eight
+        b[2, 2] = 0 if a[2, 2] == 255 else 255
+        assert phash64(a) == phash64(b)  # a genuine 64-bit collision
+        assert phash_verify(a) != phash_verify(b)  # split in-bucket
+
+    def test_injected_dups_are_binarize_identical_across_formats(self):
+        """The dedup-injection contract: a dup ref's blob (re-encoded
+        under its own format choice) decodes+binarizes to exactly its
+        canonical source's pixels, so (phash64, verify) group them."""
+        import numpy as np
+
+        from ocr_gang_spark.kernels.bmp import decode_media_blob
+        from ocr_gang_spark.kernels.image_ops import binarize, phash64, phash_verify
+        from ocr_gang_spark.synth import (
+            blob_for_dedup_ref,
+            blob_for_ref,
+            phash_dup_source_ref,
+        )
+
+        checked = 0
+        for did in (3, 8, 13, 18, 23):
+            ref = f"m42-doc-{did:08d}-1"
+            src = phash_dup_source_ref(ref)
+            assert src == f"m42-doc-{did - 3:08d}-1"
+            bw_dup = binarize(decode_media_blob(blob_for_dedup_ref(ref)))
+            bw_src = binarize(decode_media_blob(blob_for_ref(src)))
+            assert np.array_equal(bw_dup, bw_src)
+            assert phash64(bw_dup) == phash64(bw_src)
+            assert phash_verify(bw_dup) == phash_verify(bw_src)
+            # and the dup's OWN page is different (injection actually
+            # replaced something)
+            bw_own = binarize(decode_media_blob(blob_for_ref(ref)))
+            assert phash_verify(bw_own) != phash_verify(bw_src)
+            checked += 1
+        assert checked == 5
+        # non-dup refs render byte-identical blobs under both renderers
+        assert blob_for_dedup_ref("m42-doc-00000004-1") == blob_for_ref(
+            "m42-doc-00000004-1"
+        )

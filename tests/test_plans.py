@@ -405,12 +405,18 @@ def test_snapshot_diff_is_union_aggregate_not_join(spark):
 
 def test_image_phash_dedup_single_exchange_hash_agg(spark):
     """Decode+hash is a shuffle-free Arrow kernel; the only exchange is
-    the map-side-combined groupBy on the 36-bit key, and it must stay a
-    HashAggregate."""
+    the map-side-combined groupBy on the (64-bit perceptual, exact
+    verify) pair, and it must stay a HashAggregate.  The in-bucket
+    verification is a GROUP KEY, not a second pass — adding it must not
+    add a shuffle or a join."""
     from ocr_gang_spark.media_queries import image_phash_dedup
 
     plan = plan_of(image_phash_dedup(spark, SF), mode="simple")
     assert "hashpartitioning(phash" in plan
+    # exactly two exchanges: synth_media's render-spread repartition
+    # (pre-kernel, on refs only) + the groupBy shuffle — the verify key
+    # must not have added a third
+    assert plan.count("Exchange") == 2
     assert "SortAggregate" not in plan
     assert "Join" not in plan
 
