@@ -984,9 +984,16 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = load(spark, sf_dir, "documents")
     base = docs.select("doc_id", "n_chars")
+    # keyed by (sf_dir, pid): deterministic within a process (repeated
+    # runs reuse one path, no mkdtemp leak) yet disjoint across
+    # processes — two gates pointed at the same sf concurrently (bench
+    # + a correctness run) must not rmtree files under each other's
+    # still-lazy frames (ADVICE r3).  Serial consume discipline within
+    # one process is still required and documented in BENCH/NOTES.md.
     tbl = os.path.join(
         tempfile.gettempdir(),
-        f"ocrgang_snap_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        f"ocrgang_snap_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_p{os.getpid()}",
     )
     shutil.rmtree(tbl, ignore_errors=True)
 

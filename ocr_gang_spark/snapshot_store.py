@@ -11,7 +11,12 @@ and safe expiry of old snapshots.
 
 Layout (all under one table_dir):
 
-    data/v00000001/part-*.parquet   immutable files of commit 1
+    data/v00000001-3fa9c1d2/        immutable files of one commit
+                                    ATTEMPT — the name is writer-unique
+                                    (version label + random token), so
+                                    concurrent or retried writers can
+                                    never clobber each other's data;
+                                    only manifests give dirs meaning
     meta/v00000001.json             manifest: full list of live data
                                     dirs AS OF that version (Iceberg
                                     style: each snapshot is
@@ -24,13 +29,26 @@ Layout (all under one table_dir):
                                     files behind (healed by expiry or
                                     the next commit)
 
-Commit protocol (single writer, like a lakehouse catalog without CAS —
-the concurrent-committer race Iceberg resolves by catalog compare-and-
-swap is out of scope and documented):
+Commit protocol (optimistic concurrency, the Iceberg model: data file
+names are writer-unique, only the metadata commit contends):
 
-    1. write new data files into data/v{N} (immutable once committed)
-    2. write manifest to meta/.tmp-v{N}.json, os.replace to final name
-    3. os.replace meta/current
+    1. write new data files into a fresh writer-unique dir
+    2. verify the current pointer still names the parent we planned
+       against; write manifest to meta/.tmp-v{N}.json, os.replace to
+       the final name
+    3. re-verify the pointer, then os.replace meta/current
+
+A writer that finds the pointer moved raises SnapshotConflictError
+instead of publishing (its data dir is unreferenced garbage the next
+expire_snapshots sweeps); commit_snapshot_retrying re-attempts the
+METADATA commit against the new parent, reusing the already-written
+data — Iceberg's CommitFailedException + retry, where a conflict costs
+one manifest write, never a data rewrite.  Honesty note on atomicity:
+a lakehouse catalog makes step 3 a true compare-and-swap; local-FS
+check-then-rename leaves a microsecond window two OS threads could in
+principle interleave.  Every sequentially-constructible interleaving
+(the testable kind) is detected; a real deployment swaps the pointer
+update for a catalog CAS.
 
 Scale notes: manifests list data DIRECTORIES (one per commit), not
 individual files, so manifest size is O(commits since last overwrite),
@@ -45,11 +63,20 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _META = "meta"
 _DATA = "data"
+
+
+class SnapshotConflictError(RuntimeError):
+    """A concurrent writer committed first: the current pointer no
+    longer names the parent this commit was planned against.  The
+    loser's data dir is unreferenced (expire_snapshots sweeps it);
+    nothing it did is visible.  Retry against the new current —
+    commit_snapshot_retrying does exactly that, reusing the data."""
 
 
 def _vname(version: int) -> str:
@@ -86,35 +113,23 @@ def _load_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
-def commit_snapshot(
-    spark: SparkSession,
-    table_dir: str,
-    df: DataFrame,
-    op: str = "append",
-    tag: str | None = None,
-) -> int:
-    """Commit df as a new snapshot; returns the new version number.
+def _write_data(table_dir: str, df: DataFrame, version_label: int) -> str:
+    """Write df into a fresh WRITER-UNIQUE data dir and return its
+    table-relative path.  The version in the name is a human label of
+    the slot the writer was aiming at when it wrote (a conflict retry
+    may commit the same dir under a later version); the random token is
+    what makes concurrent and crashed-then-retried writers physically
+    unable to clobber one another — the Iceberg rule that data file
+    names are unique and only metadata contends."""
+    rel_dir = f"{_DATA}/{_vname(version_label)}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("error").parquet(os.path.join(table_dir, rel_dir))
+    return rel_dir
 
-    op='append' carries the parent's data dirs forward plus the new
-    one; op='overwrite' starts the file list fresh (the caller's df may
-    itself be a filtered read of an older snapshot — a GDPR-delete
-    rewrite — which is safe because it writes to a NEW data dir, never
-    the dirs it reads).  The data write happens before any metadata
-    becomes visible; a crash mid-commit leaves an orphan data dir that
-    expire_snapshots removes and that a re-commit overwrites.
 
-    ``tag`` is an opaque idempotency token recorded in the manifest —
-    a replayed producer (e.g. a restarted streaming micro-batch, see
-    streaming.snapshot_append_stream) checks has_tag() before
-    committing so re-delivery cannot double-append."""
-    if op not in ("append", "overwrite"):
-        raise ValueError(f"unknown snapshot op {op!r}")
-    parent = current_version(table_dir)
-    version = 1 if parent is None else parent + 1
-    os.makedirs(os.path.join(table_dir, _META), exist_ok=True)
-    # the version slot may hold a crashed commit's phantom manifest
-    # (no staged flag) — healing that by overwrite is the crash
-    # contract — but never an in-flight write-audit-publish stage
+def _check_slot_not_staged(table_dir: str, version: int) -> None:
+    """The version slot may hold a crashed commit's phantom manifest
+    (no staged flag) — healing that by overwrite is the crash contract
+    — but never an in-flight write-audit-publish stage."""
     existing = _manifest_path(table_dir, version)
     if os.path.exists(existing):
         with open(existing) as f:
@@ -124,10 +139,29 @@ def commit_snapshot(
                     f"{table_dir}; publish or abandon it before committing"
                 )
 
-    rel_dir = f"{_DATA}/{_vname(version)}"
-    # mode=overwrite so a retry after a crashed attempt at the same
-    # version heals rather than failing on the leftover dir
-    df.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
+
+def _try_commit_metadata(
+    table_dir: str,
+    rel_dir: str,
+    op: str,
+    tag: str | None,
+    parent: int | None,
+) -> int:
+    """Attempt the metadata half of a commit against ``parent``:
+    manifest write + pointer swap, with the pointer re-verified before
+    each visible step.  Raises SnapshotConflictError the moment the
+    pointer is found to have moved — the already-written data dir stays
+    on disk, unreferenced, reusable by a retry and sweepable by
+    expiry."""
+    cur = current_version(table_dir)
+    if cur != parent:
+        raise SnapshotConflictError(
+            f"commit against parent {parent} lost: current of "
+            f"{table_dir} is now {cur}"
+        )
+    version = 1 if parent is None else parent + 1
+    os.makedirs(os.path.join(table_dir, _META), exist_ok=True)
+    _check_slot_not_staged(table_dir, version)
 
     if op == "append" and parent is not None:
         files = list(_load_manifest(table_dir, parent)["files"])
@@ -143,16 +177,109 @@ def commit_snapshot(
         "tag": tag,
     }
     mpath = _manifest_path(table_dir, version)
-    tmp = os.path.join(table_dir, _META, f".tmp-{_vname(version)}.json")
+    # writer-unique tmp name: two racers must not interleave writes
+    # into one tmp file
+    tmp = os.path.join(
+        table_dir, _META, f".tmp-{_vname(version)}-{uuid.uuid4().hex[:8]}.json"
+    )
     with open(tmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)
+    # last look before becoming visible: if a racer published while the
+    # manifest was being written, withdraw it (leaving it would claim a
+    # slot the winner's successor commit is about to take)
+    if current_version(table_dir) != parent:
+        os.remove(tmp)
+        raise SnapshotConflictError(
+            f"commit against parent {parent} lost during manifest write: "
+            f"current of {table_dir} is now {current_version(table_dir)}"
+        )
     os.replace(tmp, mpath)
+    if current_version(table_dir) != parent:
+        os.remove(mpath)
+        raise SnapshotConflictError(
+            f"commit against parent {parent} lost before pointer swap: "
+            f"current of {table_dir} is now {current_version(table_dir)}"
+        )
 
     ptr_tmp = os.path.join(table_dir, _META, ".tmp-current")
     with open(ptr_tmp, "w") as f:
         json.dump({"version": version}, f)
     os.replace(ptr_tmp, os.path.join(table_dir, _META, "current"))
     return version
+
+
+def commit_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    op: str = "append",
+    tag: str | None = None,
+) -> int:
+    """Commit df as a new snapshot; returns the new version number.
+
+    op='append' carries the parent's data dirs forward plus the new
+    one; op='overwrite' starts the file list fresh (the caller's df may
+    itself be a filtered read of an older snapshot — a GDPR-delete
+    rewrite — which is safe because it writes to a NEW data dir, never
+    the dirs it reads).  The data write happens before any metadata
+    becomes visible; a crash mid-commit leaves an orphan data dir that
+    expire_snapshots removes; a retry simply writes a fresh unique dir.
+
+    ``tag`` is an opaque idempotency token recorded in the manifest —
+    a replayed producer (e.g. a restarted streaming micro-batch, see
+    streaming.snapshot_append_stream) checks has_tag() before
+    committing so re-delivery cannot double-append.
+
+    Concurrency: if another writer publishes between this writer's plan
+    and its pointer swap, SnapshotConflictError is raised and the table
+    is exactly as the winner left it — this writer's data dir is
+    unreferenced garbage for the next expiry sweep.  Use
+    commit_snapshot_retrying to re-attempt automatically."""
+    if op not in ("append", "overwrite"):
+        raise ValueError(f"unknown snapshot op {op!r}")
+    parent = current_version(table_dir)
+    version = 1 if parent is None else parent + 1
+    # early refusal (cheap, before the data write); re-checked inside
+    # the metadata commit
+    _check_slot_not_staged(table_dir, version)
+    rel_dir = _write_data(table_dir, df, version)
+    return _try_commit_metadata(table_dir, rel_dir, op, tag, parent)
+
+
+def commit_snapshot_retrying(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    op: str = "append",
+    tag: str | None = None,
+    max_retries: int = 5,
+) -> int:
+    """commit_snapshot with Iceberg's conflict-retry semantics: the
+    data is written ONCE into its writer-unique dir; on
+    SnapshotConflictError only the metadata commit is re-attempted
+    against the new current.  An append retry is always semantically
+    safe (the rows still belong after someone else's commit); an
+    overwrite retry replaces the CONFLICTING winner's state too, which
+    is last-writer-wins by design here — callers needing
+    read-validate-overwrite semantics should catch the conflict and
+    re-derive df instead.
+
+    If ``tag`` is set and the conflicting winner carried the same tag,
+    the commit is recognized as our own replayed twin and skipped
+    (idempotent), returning the current version."""
+    if tag is not None and has_tag(table_dir, tag):
+        return current_version(table_dir)
+    parent = current_version(table_dir)
+    rel_dir = _write_data(table_dir, df, 1 if parent is None else parent + 1)
+    for attempt in range(max_retries + 1):
+        try:
+            return _try_commit_metadata(table_dir, rel_dir, op, tag, parent)
+        except SnapshotConflictError:
+            if tag is not None and has_tag(table_dir, tag):
+                return current_version(table_dir)
+            if attempt == max_retries:
+                raise
+            parent = current_version(table_dir)
 
 
 def has_tag(table_dir: str, tag: str) -> bool:
@@ -275,17 +402,26 @@ def stage_snapshot(
     before publish/abandon raises."""
     parent = current_version(table_dir)
     version = 1 if parent is None else parent + 1
-    if os.path.exists(_manifest_path(table_dir, version)):
-        raise RuntimeError(
-            f"a staged or leftover snapshot v{version} already exists in "
-            f"{table_dir}; publish or abandon it first"
-        )
+    existing = _manifest_path(table_dir, version)
+    if os.path.exists(existing):
+        with open(existing) as f:
+            if json.load(f).get("staged"):
+                raise RuntimeError(
+                    f"a staged snapshot v{version} already exists in "
+                    f"{table_dir}; publish or abandon it first"
+                )
+        # no staged flag: a crashed plain commit's phantom manifest
+        # (pointer was never published, so nothing it names was ever
+        # visible).  Heal by overwriting the slot — the same rule
+        # commit_snapshot applies — instead of dead-ending the operator
+        # (ADVICE r3: both remedies the old error suggested refused a
+        # phantom).  Its data dirs become unreferenced; expiry sweeps.
+        os.remove(existing)
     os.makedirs(os.path.join(table_dir, _META), exist_ok=True)
     if op not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot op {op!r}")
 
-    rel_dir = f"{_DATA}/{_vname(version)}"
-    df.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
+    rel_dir = _write_data(table_dir, df, version)
     files = (
         list(_load_manifest(table_dir, parent)["files"])
         if op == "append" and parent is not None
@@ -319,7 +455,11 @@ def read_staged(
         )
     with open(path) as f:
         manifest = json.load(f)
-    if not manifest.get("staged"):
+    cur = current_version(table_dir)
+    # the pointer decides publication: a still-flagged manifest at
+    # version <= current is a publish that crashed before its cosmetic
+    # flag clear — published, not auditable
+    if not manifest.get("staged") or (cur is not None and version <= cur):
         raise ValueError(f"snapshot v{version} is published; use read_snapshot")
     return spark.read.parquet(
         *[os.path.join(table_dir, rel) for rel in manifest["files"]]
@@ -328,32 +468,53 @@ def read_staged(
 
 def publish_snapshot(table_dir: str, version: int) -> None:
     """Write-audit-publish, step 3a: the audited staged snapshot goes
-    live by clearing its staged flag and swapping the current pointer —
-    pure O(1) metadata, no data moves.  Refuses non-contiguous
-    versions (the stage must sit directly on current)."""
+    live — pure O(1) metadata, no data moves.  Refuses non-contiguous
+    versions (the stage must sit directly on current).
+
+    Crash-retryable by ORDER (ADVICE r3): the current-pointer swap is
+    the publish point and happens FIRST; the staged-flag clear is
+    cosmetic cleanup AFTER it.  The pointer alone decides visibility
+    everywhere (_load_manifest, snapshot_log, expiry), so a crash
+    between the two steps leaves a fully-published snapshot whose
+    manifest still says staged — a state every reader already treats
+    as published and a publish RETRY completes idempotently by just
+    clearing the flag.  Under the old flag-then-pointer order that
+    crash window left an audit-passed snapshot that retry refused,
+    reads refused, and expiry DELETED."""
     cur = current_version(table_dir)
     expected = 1 if cur is None else cur + 1
-    if version != expected:
-        raise ValueError(
-            f"cannot publish v{version}: current is {cur}, expected "
-            f"v{expected} (stage sits directly on current)"
-        )
     path = _manifest_path(table_dir, version)
     if not os.path.exists(path):
+        if version != expected and version != cur:
+            raise ValueError(
+                f"cannot publish v{version}: current is {cur}, expected "
+                f"v{expected} (stage sits directly on current)"
+            )
         raise FileNotFoundError(f"no staged snapshot v{version}")
     with open(path) as f:
         manifest = json.load(f)
     if not manifest.get("staged"):
+        # pointer-first order invariant: a staged=false manifest is
+        # always <= current, i.e. fully published
         raise ValueError(f"snapshot v{version} is already published")
+    if version == expected:
+        # the publish point
+        ptr_tmp = os.path.join(table_dir, _META, ".tmp-current")
+        with open(ptr_tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(ptr_tmp, os.path.join(table_dir, _META, "current"))
+    elif version != cur:
+        raise ValueError(
+            f"cannot publish v{version}: current is {cur}, expected "
+            f"v{expected} (stage sits directly on current)"
+        )
+    # else: version == cur — pointer already swapped by a publish that
+    # crashed before reaching the flag clear below; finish that step
     manifest["staged"] = False
     tmp = os.path.join(table_dir, _META, f".tmp-{_vname(version)}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)
     os.replace(tmp, path)
-    ptr_tmp = os.path.join(table_dir, _META, ".tmp-current")
-    with open(ptr_tmp, "w") as f:
-        json.dump({"version": version}, f)
-    os.replace(ptr_tmp, os.path.join(table_dir, _META, "current"))
 
 
 def abandon_snapshot(table_dir: str, version: int) -> None:
@@ -366,12 +527,15 @@ def abandon_snapshot(table_dir: str, version: int) -> None:
         raise FileNotFoundError(f"no staged snapshot v{version}")
     with open(path) as f:
         manifest = json.load(f)
-    if not manifest.get("staged"):
+    cur = current_version(table_dir)
+    if not manifest.get("staged") or (cur is not None and version <= cur):
         raise ValueError(
             f"snapshot v{version} is published; use expire_snapshots"
         )
     os.remove(path)
-    own_dir = os.path.join(table_dir, _DATA, _vname(version))
+    # the stage's OWN dir is the last files entry (writer-unique name);
+    # an append stage's inherited parent dirs stay live
+    own_dir = os.path.join(table_dir, manifest["files"][-1])
     shutil.rmtree(own_dir, ignore_errors=True)
 
 
@@ -421,6 +585,11 @@ def snapshot_log(table_dir: str) -> list[dict]:
             with open(os.path.join(meta, name)) as f:
                 m = json.load(f)
             if cur is not None and m["version"] <= cur:
+                # pointer-first publish: a manifest at <= current IS
+                # published even if a crash left its staged flag set —
+                # normalize so lineage consumers see the truth
+                if m.get("staged"):
+                    m["staged"] = False
                 out.append(m)
     return out
 

@@ -463,18 +463,26 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost batch, a double-committed replay, a wrong manifest chain, or
     a row landing in the wrong snapshot all break the hash.
 
-    The work dir is deterministic per sf_dir and rebuilt each call
-    (the snapshot_time_travel rule) — repeated runs reuse one path
-    instead of leaking a fresh mkdtemp per invocation."""
+    The work dir is deterministic per (sf_dir, pid) and rebuilt each
+    call (the snapshot_time_travel rule) — repeated runs in one process
+    reuse one path instead of leaking a fresh mkdtemp per invocation,
+    and concurrent processes on the same sf never race each other's
+    files.  Within one process, consume the returned frame before
+    calling again (rebuild deletes the files the lazy plan points
+    at)."""
     import hashlib
     import shutil
     import tempfile
 
     from . import snapshot_store as ss
 
+    # (sf_dir, pid)-keyed like snapshot_time_travel's: deterministic
+    # per process, disjoint across processes so concurrent gates on the
+    # same sf never rebuild under each other's lazy frames (ADVICE r3)
     work = _os.path.join(
         tempfile.gettempdir(),
-        f"ocrgang_snaping_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        f"ocrgang_snaping_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_p{_os.getpid()}",
     )
     shutil.rmtree(work, ignore_errors=True)
     ev_dir = write_time_split_events(
