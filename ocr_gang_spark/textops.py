@@ -5218,8 +5218,25 @@ def ocr_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.expr("array_join(transform(tt,"
                " x -> char(33 + array_position(vocab, x))), '')").alias("et"),
-        F.expr("array_join(transform(ht,"
-               " x -> char(33 + array_position(vocab, x))), '')").alias("eh"),
+        # loud ceiling guard (VERDICT r3): the rank encoding is only
+        # ASCII-single-byte for <= 94 joint-vocab tokens (chr 33..126);
+        # past that, char() emits multi-byte codepoints and the DuckDB
+        # byte-levenshtein oracle silently diverges from Spark's
+        # codepoint semantics.  assert_true fails the job with the
+        # offending doc_id instead of returning quietly-wrong WER.
+        # Production alternative at real vocab sizes: chunk the joint
+        # vocab into 94-token rank alphabets, compute per-chunk edit
+        # distances over subsequences, and sum — or keep WER in a
+        # token-level DP kernel (tests/_py_lev is the reference).
+        F.expr(
+            "IF(isnull(assert_true(size(vocab) <= 94,"
+            " concat('ocr_error_rates: joint vocabulary of doc ', doc_id,"
+            " ' has ', size(vocab), ' tokens; the single-ASCII rank"
+            " encoding caps at 94 — chunk the rank alphabet (see"
+            " docstring)'))),"
+            " array_join(transform(ht,"
+            " x -> char(33 + array_position(vocab, x))), ''), NULL)"
+        ).alias("eh"),
     )
     return pairs.select(
         "doc_id",
