@@ -4327,11 +4327,19 @@ def dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading-zero count of the remaining 54 bits via length(bin(w)) —
 # no platform libm anywhere.  The per-language exact distinct count is
 # carried NEXT TO the estimate: a sketch query must show the error of
-# the shuffle it eliminates.  The raw HLL estimator is emitted without
-# the small-range linear-counting correction (ln() would put libm under
-# the cross-engine hash); the denominator S is exact BIGINT and pins
-# the full register state.  At 100 TB the register table is 64 rows per
-# group — the distinct shuffle this replaces is the whole corpus.
+# the shuffle it eliminates.  The denominator S is exact BIGINT and
+# pins the full register state.  At 100 TB the register table is 64
+# rows per group — the distinct shuffle this replaces is the corpus.
+#
+# Small-range correction (round 4, VERDICT r3 #5): the raw estimator
+# is badly biased below ~2.5m — exactly where real per-language
+# corpora live — and the standard fix, linear counting
+# E = m * ln(m / V) over V empty registers, needs ln().  Putting libm
+# under the cross-engine hash is what round 3 refused; the escape is
+# that with m=64 the correction's input V takes only 63 possible
+# values, so ln collapses to a 63-entry table of Python-precomputed
+# double LITERALS both engines parse to the same IEEE bits.  Raw,
+# corrected, and exact ride side by side.
 # ---------------------------------------------------------------------------
 
 _HLL_M = 64
@@ -4346,81 +4354,128 @@ _HLL_EST = (
 )
 
 
+def _hll_lc_case() -> str:
+    """m * ln(m / V) for every possible empty-register count V, as a
+    CASE over double literals (%.17e round-trips the exact IEEE double,
+    so Spark and DuckDB read identical bits — no runtime ln anywhere)."""
+    import math
+
+    branches = " ".join(
+        f"WHEN {v} THEN {_HLL_M * math.log(_HLL_M / v):.17e}"
+        for v in range(1, _HLL_M)
+    )
+    return f"CASE n_empty_buckets {branches} END"
+
+
+# corrected estimate: linear counting when the raw estimate is in the
+# small range (E <= 2.5m = 160) and empty registers exist; raw
+# otherwise (Flajolet et al. 2007 section 4's regime switch)
+_HLL_CORRECTED = (
+    "CASE WHEN n_empty_buckets > 0 AND hll_est <= 160.0e0"
+    " THEN {lc} ELSE hll_est END"
+)
+
+
 def _hll_duck() -> str:
     return f"""
     WITH t AS (SELECT lang, string_split(text, ' ') AS tt FROM documents),
-    e AS (SELECT lang,
+    e AS (SELECT lang, 'shingle3' AS scope,
                  UNNEST(CASE WHEN len(tt) >= 3
                         THEN list_transform(range(1, len(tt) - 1),
                              k -> tt[k] || ' ' || tt[k+1] || ' ' || tt[k+2])
                         ELSE [] END) AS tok
-          FROM t),
-    hh AS (SELECT lang, tok,
+          FROM t
+          UNION ALL
+          SELECT lang, 'token' AS scope, UNNEST(tt) AS tok FROM t),
+    hh AS (SELECT lang, scope, tok,
                   ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
            FROM e),
-    r AS (SELECT lang, h % {_HLL_M} AS bucket,
+    r AS (SELECT lang, scope, h % {_HLL_M} AS bucket,
                  MAX(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_RMAX}
                      ELSE {_HLL_RMAX} - length(bin(h // {_HLL_M})) END) AS r
-          FROM hh GROUP BY 1, 2),
-    s AS (SELECT lang,
+          FROM hh GROUP BY 1, 2, 3),
+    s AS (SELECT lang, scope,
                  CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
                  CAST(MAX(r) AS BIGINT) AS max_rho,
                  CAST(SUM(1::BIGINT << CAST({_HLL_RMAX} - r AS INT))
                       + ({_HLL_M} - COUNT(*))
                         * (1::BIGINT << {_HLL_RMAX}) AS BIGINT) AS hll_s
-          FROM r GROUP BY 1),
-    x AS (SELECT lang,
+          FROM r GROUP BY 1, 2),
+    x AS (SELECT lang, scope,
                  CAST(COUNT(*) AS BIGINT) AS n_tokens,
                  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_exact
-          FROM e GROUP BY 1)
-    SELECT x.lang, x.n_tokens, x.n_distinct_exact,
-           s.n_buckets_used, s.max_rho, s.hll_s,
-           {_HLL_EST.format(S='s.hll_s')} AS hll_est
-    FROM x JOIN s ON x.lang = s.lang
+          FROM e GROUP BY 1, 2),
+    j AS (SELECT x.lang, x.scope, x.n_tokens, x.n_distinct_exact,
+                 s.n_buckets_used, s.max_rho, s.hll_s,
+                 CAST({_HLL_M} - s.n_buckets_used AS BIGINT)
+                   AS n_empty_buckets,
+                 {_HLL_EST.format(S='s.hll_s')} AS hll_est
+          FROM x JOIN s ON x.lang = s.lang AND x.scope = s.scope)
+    SELECT *, {_HLL_CORRECTED.format(lc=_hll_lc_case())} AS hll_est_corrected
+    FROM j
     """
 
 
 @register("hll_distinct_sketch", _hll_duck())
 def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language HLL distinct 3-gram-shingle sketch vs the exact
-    distinct (3-9k distinct shingles per language at sf0.01 — inside
-    the raw estimator's accurate regime for m=64, unlike the 31-token
-    vocabulary).
+    """Per-language HLL distinct sketch vs the exact distinct, at two
+    cardinality scopes per language: 'shingle3' (3-9k distinct 3-gram
+    shingles at sf0.01 — the raw estimator's accurate regime for m=64)
+    and 'token' (the ~31-word vocabulary — deep inside the small range,
+    where the raw estimator is badly biased and the linear-counting
+    correction E = m*ln(m/V) takes over).  Both estimators plus the
+    exact count ride in every row, so the value hash pins the regime
+    switch itself, not just one branch.
+
+    ln() never executes at query time: with m=64 the correction input V
+    has 63 possible values, so the correction is a CASE over
+    Python-precomputed double literals (%.17e round-trips IEEE bits) —
+    the same fixed-order-literal trick as the raw-estimate chain,
+    keeping platform libm out of the cross-engine hash.
 
     100 TB shape: the sketch side shuffles 64 NARROW register rows per
-    language (map-side combined max), replacing the full-corpus distinct
-    exchange; here the exact count rides along as ground truth so the
-    estimator error is part of the pinned output.  rho is derived from
-    length(bin(w)) — pure integer/string ops, bit-identical across
-    engines; the float estimate is one fixed-order IEEE chain over the
-    exact BIGINT denominator."""
+    (language, scope) group (map-side combined max), replacing the
+    full-corpus distinct exchange; rho derives from length(bin(w)) —
+    pure integer/string ops, bit-identical across engines."""
     (docs,) = load(spark, sf_dir, "documents")
-    e = _spread(docs).select(
-        "lang",
-        F.explode(
-            F.expr(
-                """IF(size(split(text, ' ')) >= 3,
-                      transform(sequence(1, size(split(text, ' ')) - 2),
-                        k -> concat_ws(' ', slice(split(text, ' '), k, 3))),
-                      CAST(array() AS ARRAY<STRING>))"""
-            )
-        ).alias("tok"),
+    e = (
+        _spread(docs)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    """array(
+                        named_struct('scope', 'shingle3', 'toks',
+                          IF(size(split(text, ' ')) >= 3,
+                             transform(sequence(1, size(split(text, ' ')) - 2),
+                               k -> concat_ws(' ', slice(split(text, ' '), k, 3))),
+                             CAST(array() AS ARRAY<STRING>))),
+                        named_struct('scope', 'token', 'toks',
+                          split(text, ' ')))"""
+                )
+            ).alias("sc"),
+        )
+        .select(
+            "lang",
+            F.col("sc.scope").alias("scope"),
+            F.explode("sc.toks").alias("tok"),
+        )
     )
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
-    hh = e.select("lang", "tok", h.alias("h"))
+    hh = e.select("lang", "scope", "tok", h.alias("h"))
     r = (
         hh.select(
-            "lang",
+            "lang", "scope",
             (F.col("h") % _HLL_M).alias("bucket"),
             F.expr(
                 f"""CASE WHEN h DIV {_HLL_M} = 0 THEN {_HLL_RMAX}
                     ELSE {_HLL_RMAX} - length(bin(h DIV {_HLL_M})) END"""
             ).alias("rho"),
         )
-        .groupBy("lang", "bucket")
+        .groupBy("lang", "scope", "bucket")
         .agg(F.max("rho").alias("r"))
     )
-    s = r.groupBy("lang").agg(
+    s = r.groupBy("lang", "scope").agg(
         F.count("*").cast("bigint").alias("n_buckets_used"),
         F.max("r").cast("bigint").alias("max_rho"),
         (
@@ -4428,14 +4483,21 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.lit(_HLL_M) - F.count("*")) * F.lit(1 << _HLL_RMAX)
         ).cast("bigint").alias("hll_s"),
     )
-    x = hh.groupBy("lang").agg(
+    x = hh.groupBy("lang", "scope").agg(
         F.count("*").cast("bigint").alias("n_tokens"),
         F.countDistinct("tok").cast("bigint").alias("n_distinct_exact"),
     )
-    return x.join(s, "lang").select(
-        "lang", "n_tokens", "n_distinct_exact",
+    j = x.join(s, ["lang", "scope"]).select(
+        "lang", "scope", "n_tokens", "n_distinct_exact",
         "n_buckets_used", "max_rho", "hll_s",
+        (F.lit(_HLL_M) - F.col("n_buckets_used"))
+        .cast("bigint").alias("n_empty_buckets"),
         F.expr(_HLL_EST.format(S="hll_s")).alias("hll_est"),
+    )
+    return j.select(
+        "*",
+        F.expr(_HLL_CORRECTED.format(lc=_hll_lc_case()))
+        .alias("hll_est_corrected"),
     )
 
 

@@ -109,6 +109,35 @@ def test_ocr_error_rates_wer_encoding(spark):
                if r["corruption_class"] == 3)
 
 
+def test_hll_small_range_correction_regimes(spark):
+    """The linear-counting regime switch must actually help where it
+    fires: on the ~31-token vocab scope the RAW m=64 estimator is off
+    by ~2x while the corrected estimate lands within 10% of exact; on
+    the shingle scope (thousands of distinct) no empty registers exist
+    and corrected == raw.  The registry oracle pins exact values; this
+    pins the SEMANTIC claim the correction was added for (VERDICT r3
+    #5)."""
+    from ocr_gang_spark.textops import hll_distinct_sketch
+
+    rows = hll_distinct_sketch(spark, "/root/testdata/sf0.001").collect()
+    by = {(r["lang"], r["scope"]): r for r in rows}
+    assert len(by) == len(rows) and len(rows) >= 4
+    fired = big = 0
+    for (lang, scope), r in by.items():
+        if scope == "token":
+            assert r["n_empty_buckets"] > 0
+            raw_err = abs(r["hll_est"] - r["n_distinct_exact"])
+            cor_err = abs(r["hll_est_corrected"] - r["n_distinct_exact"])
+            assert cor_err < raw_err  # strictly better where it fires
+            assert cor_err <= 0.10 * r["n_distinct_exact"]
+            fired += 1
+        else:
+            assert r["n_empty_buckets"] == 0
+            assert r["hll_est_corrected"] == r["hll_est"]
+            big += 1
+    assert fired > 0 and big > 0
+
+
 def test_ocr_error_rates_vocab_ceiling_fails_loudly(spark, tmp_path):
     """A document whose joint vocabulary exceeds the 94-token ASCII
     rank alphabet must FAIL the job with a diagnostic naming the doc —
