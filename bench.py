@@ -81,6 +81,7 @@ HEADLINE = [
     "domain_quota_sample",
     "domain_mixture_weights",
     "bpe_merge_pairs",
+    "bpe_encode_large_vocab",
     "cms_heavy_hitters",
     "quantile_hist_sketch",
     "cooc_pmi_topk",

@@ -4762,6 +4762,143 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Production-shape BPE encode (VERDICT r3 #3): the same tokenizer
+# application with a ~50k-entry ranked merge table — the size a real
+# trained tokenizer ships — via an Arrow-batched kernel and a Spark
+# BROADCAST of the table, instead of the 6-merge unrolled fold nest
+# (which stays as the value oracle: the synthetic tail of the big
+# table is constructed over an alphabet disjoint from the corpus
+# charset, so it is inert on this corpus BY CONSTRUCTION and the two
+# encoders must agree byte-for-byte).
+# ---------------------------------------------------------------------------
+
+BPE_LARGE_VOCAB_SIZE = 50_000
+
+
+def build_large_merge_table() -> list:
+    """BPE_APPLY_MERGES followed by deterministic synthetic merges up
+    to BPE_LARGE_VOCAB_SIZE entries.  The tail is WELL-FORMED (each
+    merge's parts are base symbols or results of strictly earlier
+    merges — the property every trained table has, and the property the
+    rank-priority encoder's equivalence to in-order merge passes rests
+    on; see tests/test_textops.py property test) and is drawn over
+    uppercase+digit symbols, which the corpus charset (lowercase a-y +
+    space) never contains — so on this corpus the big table encodes
+    exactly like the 6-merge table while costing the kernel the real
+    50k-entry lookup structure."""
+    rng = np.random.default_rng(20260820)
+    merges = list(BPE_APPLY_MERGES)
+    symbols = list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+    seen = set(merges)
+    while len(merges) < BPE_LARGE_VOCAB_SIZE:
+        a = symbols[int(rng.integers(len(symbols)))]
+        b = symbols[int(rng.integers(len(symbols)))]
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        merges.append((a, b))
+        symbols.append(a + b)
+    return merges
+
+
+def bpe_encode_word(word: str, rank: dict) -> list:
+    """Encode one word against a ranked merge table: repeatedly find
+    the lowest-ranked adjacent pair and apply it as ONE greedy
+    left-to-right pass.  For well-formed tables this is provably
+    identical to applying every merge in table order as a full pass
+    (no merge can create a pair of earlier rank: the new token only
+    appears in later-ranked rules), while touching only the merges
+    that actually occur — O(occurring merges), not O(table), per word.
+    That equivalence is what lets a 50k-entry table cost what a
+    6-entry one does on text where the tail never fires."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best = None
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        a, b = best
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@register("bpe_encode_large_vocab", _BPE_ENCODE_DUCK)
+def bpe_encode_large_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_encode_stats at production vocabulary size: the ranked
+    50k-entry merge table rides a SparkContext broadcast (shipped once
+    per executor, not per task closure), and the encoder is an
+    Arrow-batched mapInPandas kernel with a per-task encoded-word memo
+    (real corpora obey Zipf: the memo hit rate IS the throughput).
+
+    The oracle is the fold-based 6-merge encoder's SQL — byte-identical
+    output is the correctness claim, because the big table's synthetic
+    tail is inert on this corpus by construction (disjoint alphabet;
+    build_large_merge_table) while still exercising the full-size
+    lookup structure.  The merges that CAN fire are the same 6, applied
+    with identical semantics (rank-priority == in-order passes for
+    well-formed tables; property-tested).
+
+    100 TB shape: one map pass, zero shuffle, output one row per input
+    row — identical plan to bpe_encode_stats with the fold nest swapped
+    for the kernel.  At real scale the inner loop moves to a compiled
+    tokenizer library inside the same kernel signature; the Spark-side
+    contract (broadcast table, Arrow batches, no shuffle) is what this
+    query pins."""
+    import hashlib as _hl
+
+    (docs,) = load(spark, sf_dir, "documents")
+    bc = spark.sparkContext.broadcast(build_large_merge_table())
+
+    def encode(batches):
+        rank = {p: i for i, p in enumerate(bc.value)}
+        memo: dict = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")
+                parts = []
+                for w in words:
+                    got = memo.get(w)
+                    if got is None:
+                        got = "|".join(bpe_encode_word(w, rank))
+                        memo[w] = got
+                    parts.append(got)
+                enc = " ".join(parts)
+                n_words = len(words)
+                n_symbols = (
+                    len(enc) - len(enc.replace("|", "")) + n_words
+                )
+                rows.append(
+                    (int(doc_id), n_words, n_symbols, enc[:64],
+                     _hl.md5(enc.encode()).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_words", "n_symbols",
+                         "enc_head", "enc_md5"],
+            )
+
+    return _spread(docs).select("doc_id", "text").mapInPandas(
+        encode,
+        schema="doc_id bigint, n_words bigint, n_symbols bigint, "
+               "enc_head string, enc_md5 string",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sorted-neighborhood entity resolution (Hernandez & Stolfo, SIGMOD'95):
 # the classic linear-compare record-linkage pattern — block on a key,
 # sort within the block, compare each record only to its W following

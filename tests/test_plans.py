@@ -585,6 +585,22 @@ def test_merge_read_single_exchange_shared_by_both_windows(spark):
     assert "PushedFilters: [IsNotNull(doc_id)]" in plan
 
 
+def test_bpe_large_vocab_map_only_no_join(spark):
+    """The 50k-merge encoder is ONE Arrow map pass: the ranked table
+    rides a SparkContext broadcast (never a join side), so the plan
+    must contain no Join and no aggregate, and the only permissible
+    Exchange is _spread's input-parallelism repartition.  A Join or a
+    second Exchange would mean the merge table leaked into the data
+    plan."""
+    from ocr_gang_spark.textops import bpe_encode_large_vocab
+
+    plan = plan_of(bpe_encode_large_vocab(spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+    assert plan.count("Exchange") <= 1  # _spread only (no-op at scale)
+    assert "MapInPandas" in plan
+
+
 def test_rag_chunking_zero_shuffle(spark):
     """Chunk planning is an in-row transform + posexplode: a Generate
     node is expected, any Exchange is a regression on a map-only pass."""

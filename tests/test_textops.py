@@ -109,6 +109,97 @@ def test_ocr_error_rates_wer_encoding(spark):
                if r["corruption_class"] == 3)
 
 
+def _bpe_inorder_passes(word, merges):
+    """Reference semantics of the fold encoder: every merge of the
+    table, in order, as one full greedy left-to-right pass."""
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_large_vocab_encoder_matches_fold_encoder(spark):
+    """The Arrow-kernel 50k-table encoder must be BYTE-identical to the
+    fold-based 6-merge encoder on the tier corpus (the big table's
+    synthetic tail is inert by construction — disjoint alphabet)."""
+    from ocr_gang_spark.textops import bpe_encode_large_vocab, bpe_encode_stats
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["doc_id"]: tuple(r) for r in bpe_encode_stats(spark, sf).collect()}
+    b = {r["doc_id"]: tuple(r)
+         for r in bpe_encode_large_vocab(spark, sf).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_bpe_rank_priority_equals_inorder_passes_on_wellformed_tables():
+    """The kernel's rank-priority loop visits only occurring merges;
+    its equivalence to the fold's in-order full passes holds for
+    WELL-FORMED tables (each merge's parts are base symbols or earlier
+    results — no merge can create an earlier-ranked pair).  Property-
+    checked over random well-formed tables and random words, so the
+    equivalence claim doesn't rest on the 6-merge tier table alone."""
+    import numpy as np
+
+    from ocr_gang_spark.textops import bpe_encode_word
+
+    rng = np.random.default_rng(11)
+    alphabet = list("abcd")
+    for trial in range(200):
+        symbols = list(alphabet)
+        merges = []
+        seen = set()
+        for _ in range(int(rng.integers(1, 12))):
+            a = symbols[int(rng.integers(len(symbols)))]
+            b = symbols[int(rng.integers(len(symbols)))]
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            merges.append((a, b))
+            symbols.append(a + b)
+        rank = {p: i for i, p in enumerate(merges)}
+        word = "".join(
+            alphabet[int(rng.integers(len(alphabet)))]
+            for _ in range(int(rng.integers(0, 14)))
+        )
+        assert bpe_encode_word(word, rank) == _bpe_inorder_passes(
+            word, merges
+        ), (word, merges)
+
+
+def test_bpe_large_table_tail_fires_on_its_own_alphabet():
+    """The 49,994 synthetic merges are not dead weight in the kernel:
+    fed a word over THEIR alphabet, the encoder applies them (and in
+    rank order — equal to the in-order-pass reference on the full
+    table)."""
+    from ocr_gang_spark.textops import (
+        BPE_LARGE_VOCAB_SIZE,
+        bpe_encode_word,
+        build_large_merge_table,
+    )
+
+    table = build_large_merge_table()
+    assert len(table) == BPE_LARGE_VOCAB_SIZE
+    rank = {p: i for i, p in enumerate(table)}
+    # build a word from the first synthetic merge's parts: it must fire
+    a, b = table[6]  # first synthetic entry after the 6 real merges
+    word = a + b + a + b
+    got = bpe_encode_word(word, rank)
+    assert a + b in got  # the tail merge applied
+    assert got == _bpe_inorder_passes(word, table)
+    # and corpus-alphabet words never touch the tail
+    assert bpe_encode_word("table", rank) == _bpe_inorder_passes(
+        "table", table[:6]
+    )
+
+
 def test_hll_small_range_correction_regimes(spark):
     """The linear-counting regime switch must actually help where it
     fires: on the ~31-token vocab scope the RAW m=64 estimator is off
