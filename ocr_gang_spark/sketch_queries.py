@@ -209,7 +209,14 @@ def quantile_hist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort that exact quantiles need; the cumulative window runs over a
     few hundred bins per group, not the data.  The exact side (a
     row_number over the raw values) is the ground truth the sketch
-    replaces — tier-sized here, dropped at production scale."""
+    replaces — tier-sized here, dropped at production scale.  The
+    built-in alternative is percentile_approx (Greenwald-Khanna,
+    mergeable), demonstrated side-by-side in
+    tests/test_approx_quantile.py: at default accuracy it reproduces
+    every exact tier quantile EXACTLY (max abs err 0 over all
+    (lang, q)); even deliberately coarse sketches (accuracy 100 -> max
+    err 13 chars, accuracy 20 -> max 33) stay inside this histogram's
+    own 63-char bin bound."""
     (docs,) = load(spark, sf_dir, "documents")
     v = _spread(docs).select("lang", F.col("n_chars").alias("val"))
     n = v.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
