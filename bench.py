@@ -56,6 +56,7 @@ HEADLINE = [
     "incremental_dedup_index",
     "embedding_topk_cosine",
     "embedding_quantized_topk",
+    "pq_adc_topk",
     "kmeans_quantized_assign",
     "ann_ivf_kmeans_topk",
     "embedding_near_dup_pairs",
