@@ -130,6 +130,7 @@ HEADLINE_EXTRACT = [
     "media_resize_stats",
     "decode_quarantine_stats",
     "image_phash_dedup",
+    "cdc_chunk_dedup",
     "augmentation_counts",
     "pdf_layout_spans",
     "main_content_blocks",

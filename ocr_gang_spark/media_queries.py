@@ -353,6 +353,113 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Content-defined chunk dedup (FastCDC gear hashing, kernels/cdc.py):
+# the SHIFTED-binary dedup member of the family — exact text dedup
+# catches equal strings, phash catches equal pictures, CDC catches
+# equal bytes at different offsets (re-uploads behind new headers,
+# partial edits).  The corpus variant injects exactly that: every
+# two-span doc's second blob is its first blob behind a ref-unique
+# 64-byte header (synth.blob_for_cdc_ref), so the expected duplicate
+# chunk groups are derivable and a chunker that fails to resynchronize
+# after the insertion produces (near-)zero groups and breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_chunk_dedup",
+    # per-ref chunk tables come from the committed fixture (generation
+    # crosschecked against an independent per-byte rolling-hash
+    # re-derivation; expected_crosscheck.json "cdc"); the duplicate
+    # grouping itself is pure SQL over that table
+    f"""
+    WITH refs AS (
+      SELECT printf('m42-doc-%08d-%d', doc_id, i) AS media_ref
+      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS i)
+      WHERE i <= doc_id % 2 + 1),
+    g AS (
+      SELECT f.chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(MIN(f.length) AS BIGINT) AS chunk_bytes,
+             CAST(MIN(CAST(regexp_extract(f.media_ref, 'doc-([0-9]+)-([0-9]+)$', 1)
+                           AS BIGINT) * 10
+                      + CAST(regexp_extract(f.media_ref, 'doc-([0-9]+)-([0-9]+)$', 2)
+                             AS BIGINT))
+                  AS BIGINT) AS keep_key
+      FROM read_parquet('{_FIXTURES}/expected_cdc.parquet') f
+      JOIN refs USING (media_ref)
+      GROUP BY f.chunk_md5 HAVING COUNT(*) >= 2)
+    SELECT chunk_md5, n_copies, chunk_bytes,
+           printf('m42-doc-%08d-%d', keep_key // 10, keep_key % 10) AS keep_ref
+    FROM g
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CHUNK groups across the blob store under
+    content-defined boundaries: per blob, gear-hash CDC chunking
+    (vectorized — the rolling hash is 64 shifted vector adds, no
+    per-byte Python), md5 per chunk, then one hash aggregate on
+    chunk_md5 with min-packed-key keeper — the dedup_exact /
+    image_phash_dedup plan shape applied to byte ranges.
+
+    The injected shifted duplicates (second span = first span's bytes
+    behind a 64-byte unique header) are the adversarial case for
+    fixed-size chunking, which shares ZERO chunks across such a pair
+    (measured in tests/test_cdc.py, where CDC shares ~90%+); a
+    chunker whose boundaries don't resynchronize after the insertion
+    collapses the expected groups and fails the value hash.
+
+    100 TB shape: chunking+hashing is a per-blob Arrow kernel with no
+    shuffle; the only exchange is the map-side-combined groupBy on
+    chunk_md5 (at scale this is how dedup storage — and WARC/tar-level
+    transfer dedup — is actually computed: chunk fingerprint tables,
+    never pairwise byte compares).  The keeper travels as a packed
+    BIGINT (min(string) would degrade the agg to SortAggregate)."""
+    import re
+
+    from .kernels.cdc import cdc_chunks
+    from .synth import blob_for_cdc_ref
+
+    _REF_RE = re.compile(r"doc-(\d+)-(\d+)$")
+    docs = spans_from_testdata(spark, sf_dir)
+    media = synth_media(spark, docs, blob_fn=blob_for_cdc_ref)
+
+    def chunks(batches):
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["bytes"]):
+                m = _REF_RE.search(ref)
+                key = int(m.group(1)) * 10 + int(m.group(2))
+                for _idx, _off, length, md5hex in cdc_chunks(bytes(blob)):
+                    rows.append((ref, length, md5hex, key))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "length", "chunk_md5", "ref_key"]
+            )
+
+    import pyspark.sql.functions as F
+
+    g = (
+        media.mapInPandas(
+            chunks,
+            schema="media_ref string, length bigint, chunk_md5 string, "
+                   "ref_key bigint",
+        )
+        .groupBy("chunk_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min("length").cast("bigint").alias("chunk_bytes"),
+            F.min("ref_key").alias("keep_key"),
+        )
+        .where(F.col("n_copies") >= 2)
+    )
+    return g.select(
+        "chunk_md5", "n_copies", "chunk_bytes",
+        F.format_string(
+            "m42-doc-%08d-%d",
+            F.expr("keep_key DIV 10"), F.expr("keep_key % 10"),
+        ).alias("keep_ref"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Decode quarantine (dead-letter path): at 10^12 documents some blobs
 # ARRIVE corrupt, and a job that throws on the first bad byte is not a
 # pipeline.  Inject-then-detect: blobs whose (doc_id + span_idx) % 7

@@ -205,6 +205,35 @@ PHASH_DUP_EVERY = 5
 PHASH_DUP_OFFSET = 3
 
 
+# Inject-then-detect shifted binary duplicates (cdc_chunk_dedup):
+# every two-span document's SECOND blob is its FIRST blob's exact bytes
+# behind a ref-unique 64-byte header — the re-upload-with-new-metadata
+# shape.  Fixed-size chunking shares nothing across such a pair (every
+# boundary shifts); content-defined chunking must re-synchronize and
+# share almost every chunk.  The oracle derives the pair structure
+# relationally from this rule.
+CDC_SHIFT_HEADER = 64
+
+
+def cdc_shift_source_ref(ref: str) -> str | None:
+    """Source ref whose bytes this ref re-uploads behind a header, or
+    None (ref format m{seed}-doc-{did:08d}-{i}; every i=2 span shifts
+    its own document's i=1 blob)."""
+    head, did, i = ref.rsplit("-", 2)
+    if int(i) == 2:
+        return f"{head}-{did}-1"
+    return None
+
+
+def blob_for_cdc_ref(ref: str) -> bytes:
+    """blob_for_ref with the shifted-duplicate injection applied."""
+    src = cdc_shift_source_ref(ref)
+    if src is None:
+        return blob_for_ref(ref)
+    header = hashlib.sha256(("cdc-hdr:" + ref).encode()).digest() * 2
+    return header[:CDC_SHIFT_HEADER] + blob_for_ref(src)
+
+
 def phash_dup_source_ref(ref: str) -> str | None:
     """Canonical ref whose page this ref duplicates, or None if the ref
     renders its own page (ref format m{seed}-doc-{did:08d}-{i})."""

@@ -499,6 +499,66 @@ def expected_media_rows():
             phash_rows, phash_crosschecked)
 
 
+def expected_cdc_rows():
+    """Offline CDC chunk table for cdc_chunk_dedup over the
+    shifted-duplicate corpus variant (blob_for_cdc_ref), SF_DIRS refs.
+    Every CROSSCHECK_EVERY-th doc's refs are re-derived through an
+    INDEPENDENT per-byte rolling-hash + explicit min/max walk (the
+    kernel uses a 64-shift vectorized convolution + searchsorted);
+    generation fails on disagreement."""
+    import hashlib as _hl
+
+    from ocr_gang_spark.kernels.cdc import (
+        _G,
+        CDC_MASK,
+        CDC_MAX,
+        CDC_MIN,
+        cdc_chunks,
+    )
+    from ocr_gang_spark.synth import blob_for_cdc_ref
+
+    def brute_ends(data: bytes) -> list:
+        n = len(data)
+        ends, start = [], 0
+        while start < n:
+            end = min(start + CDC_MAX, n)
+            cut = end
+            for i in range(start + CDC_MIN - 1, end):
+                v = 0
+                for k in range(min(64, i + 1)):
+                    v = (v + (int(_G[data[i - k]]) << k)) % (1 << 64)
+                if v & int(CDC_MASK) == 0:
+                    cut = i + 1
+                    break
+            ends.append(cut)
+            start = cut
+        return ends
+
+    refs = set()
+    for sf_dir in SF_DIRS:
+        docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        for did in docs.column("doc_id").to_pylist():
+            for i in range(1, did % MEDIA_PER_DOC + 2):
+                refs.add(f"m{SEED}-doc-{did:08d}-{i}")
+
+    rows = []
+    crosschecked = []
+    for ref in sorted(refs):
+        blob = blob_for_cdc_ref(ref)
+        chunks = cdc_chunks(blob)
+        did = int(ref.split("-")[2])
+        if did % CROSSCHECK_EVERY == 0:
+            ends = brute_ends(blob)
+            assert [c[1] + c[2] for c in chunks] == ends, \
+                f"cdc crosscheck failed: {ref}"
+            for _i, off, ln, md5hex in chunks:
+                assert _hl.md5(blob[off:off + ln]).hexdigest() == md5hex
+            crosschecked.append(ref)
+        for idx, off, ln, md5hex in chunks:
+            rows.append((ref, idx, off, ln, md5hex))
+    return rows, crosschecked
+
+
 def expected_pdf_rows():
     """Offline run of the PDF layout kernel over the fixed 96-ref sample
     set (pure functions of the refs; sf-independent)."""
@@ -666,6 +726,14 @@ def main() -> None:
                     "manual bit-pack + md5 re-derivation"],
         "refs": sorted(set(phash_xc)),
     }
+    cdc_rows, cdc_xc = expected_cdc_rows()
+    xc_doc["cdc"] = {
+        "checked": ["CDC chunk boundaries equal an independent per-byte "
+                    "rolling-hash + explicit min/max walk re-derivation "
+                    "(shifted-duplicate corpus variant); chunk md5s "
+                    "re-hashed from the raw byte ranges"],
+        "refs": sorted(set(cdc_xc)),
+    }
     with open(os.path.join(FIXDIR, "expected_crosscheck.json"), "w") as f:
         json.dump(xc_doc, f, indent=1)
     for name, rows, schema in [
@@ -674,6 +742,15 @@ def main() -> None:
             phash_rows,
             pa.schema([("media_ref", pa.string()), ("phash", pa.int64()),
                        ("verify", pa.string())]),
+        ),
+        (
+            "expected_cdc",
+            cdc_rows,
+            pa.schema(
+                [("media_ref", pa.string()), ("chunk_idx", pa.int32()),
+                 ("offset", pa.int64()), ("length", pa.int64()),
+                 ("chunk_md5", pa.string())]
+            ),
         ),
         (
             "expected_resize",

@@ -585,6 +585,21 @@ def test_merge_read_single_exchange_shared_by_both_windows(spark):
     assert "PushedFilters: [IsNotNull(doc_id)]" in plan
 
 
+def test_cdc_chunk_dedup_single_hash_agg(spark):
+    """CDC chunking+hashing is a shuffle-free Arrow kernel; the only
+    exchanges are synth_media's render-spread repartition and the
+    map-side-combined groupBy on chunk_md5 — a HashAggregate (the
+    keeper travels as a packed BIGINT; min(string) would degrade it),
+    no joins anywhere."""
+    from ocr_gang_spark.media_queries import cdc_chunk_dedup
+
+    plan = plan_of(cdc_chunk_dedup(spark, SF), mode="simple")
+    assert "hashpartitioning(chunk_md5" in plan
+    assert plan.count("Exchange") == 2
+    assert "SortAggregate" not in plan
+    assert "Join" not in plan
+
+
 def test_pq_adc_broadcast_only_joins_two_takeordered(spark):
     """PQ search: codebook + distance table + query + exact-top-10 set
     all ride broadcasts — every join must be a BroadcastHashJoin or
