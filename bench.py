@@ -81,6 +81,7 @@ HEADLINE = [
     "decontaminate_overlap",
     "domain_quota_sample",
     "domain_mixture_weights",
+    "dsir_importance_resample",
     "bpe_merge_pairs",
     "bpe_encode_large_vocab",
     "cms_heavy_hitters",

@@ -5639,3 +5639,149 @@ def ocr_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                " DIV size(tt)")
         .cast("bigint").alias("wer_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al., NeurIPS 2023).
+# ---------------------------------------------------------------------------
+
+DSIR_D = 4096  # hashed-bigram feature buckets
+DSIR_SCALE = 1_000_000_000  # importance ratios carried as integer ppb
+
+# per-bucket smoothed importance ratio, ppb.  The expression tree is
+# written ONCE and copied verbatim into both engines: (ct+1) and
+# (cs+1) are integer adds, each operand is cast to DOUBLE individually,
+# then exactly two multiplies, one divide and one multiply by 1e9 in a
+# fixed order — every step is a single correctly-rounded IEEE op, so
+# Spark and DuckDB produce bit-identical doubles and the floor'd BIGINT
+# is hash-exact without ever evaluating a transcendental (ln/exp would
+# be libm-dependent; linear-domain ratios need only * and /).
+_DSIR_RATIO = (
+    f"CAST(floor(1e9 * ((CAST(ct + 1 AS DOUBLE) * CAST(ts + {DSIR_D} AS DOUBLE))"
+    f" / (CAST(cs + 1 AS DOUBLE) * CAST(tt + {DSIR_D} AS DOUBLE)))) AS BIGINT)"
+)
+
+_DSIR_DUCK = f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+    b AS (SELECT doc_id, lang,
+                 CASE WHEN len(l) >= 2
+                      THEN list_transform(range(1, len(l)),
+                                          i -> l[i] || ' ' || l[i+1])
+                      ELSE [] END AS bg
+          FROM t),
+    u AS (SELECT doc_id, lang, unnest(bg) AS g FROM b),
+    e AS (SELECT doc_id, lang,
+                 {_TOK_HASH_DUCK.format(t='g')} % {DSIR_D} AS bucket
+          FROM u),
+    stats AS (SELECT bucket,
+                     COUNT(*) AS cs,
+                     COUNT(*) FILTER (WHERE lang = 'en') AS ct
+              FROM e GROUP BY bucket),
+    tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS tt2,
+                   CAST(SUM(ct) AS BIGINT) AS tt1 FROM stats),
+    ratio AS (SELECT bucket,
+                     {_DSIR_RATIO.replace('ts', 'tt2').replace('tt +', 'tt1 +')}
+                       AS r_ppb
+              FROM stats, tot),
+    per_doc AS (SELECT e.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                       CAST(SUM(r.r_ppb) AS BIGINT) AS sum_r
+                FROM e JOIN ratio r USING (bucket)
+                GROUP BY e.doc_id)
+    SELECT d.doc_id, d.lang,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(p.sum_r // p.n_bigrams, 0) AS BIGINT) AS score_ppb,
+           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % {DSIR_SCALE} AS draw_ppb,
+           CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % {DSIR_SCALE} < COALESCE(p.sum_r // p.n_bigrams, 0)
+                THEN 'keep' ELSE 'drop' END AS decision
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register("dsir_importance_resample", _DSIR_DUCK)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every raw
+    document by how target-like its hashed-bigram distribution is,
+    then resample with probability proportional to the importance
+    weight.  Target domain here: the corpus's lang='en' slice (the
+    "high-quality formal text" stand-in the paper uses Wikipedia for);
+    raw distribution: the whole corpus.
+
+    Linear-domain tier variant, disclosed: the paper scores in
+    log-space (sum of log p_t(g) - log p_s(g)); this implementation
+    carries the per-bucket probability RATIO as an integer-ppb fixed-
+    point value and averages it over the document's bigrams, because
+    ln() is libm-dependent and would break the cross-engine value
+    oracle.  Ranking behavior is equivalent for the resampling
+    decision (monotone per-bucket transform, same keep-set shape);
+    tests/test_dsir.py pins Spearman agreement between the linear and
+    the log-domain scores on the tier corpus.
+
+    100 TB shape: the feature-bucket stats table is AT MOST DSIR_D
+    (4096) rows regardless of corpus size — ONE map-side-combined
+    groupBy over the exploded bigram stream computes raw and target
+    counts together (count + conditional count, no second corpus
+    pass), the ratio table is then broadcast back into the stream, and
+    the per-doc aggregation is the only data-sized shuffle.  The
+    resampling draw is a per-row md5 of doc_id — deterministic,
+    seedable, embarrassingly parallel — so the selection is
+    reproducible across retries/cluster sizes (the checkpoint story
+    requires exactly that).  Nothing here is all-pairs and the model
+    state (4096 ratios) is constant-size at any corpus scale.
+    """
+    (docs,) = load(spark, sf_dir, "documents")
+    docs = _spread(docs)
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.expr("transform(sequence(0, size(split(text, ' ')) - 2),"
+               " i -> split(text, ' ')[i] || ' ' || split(text, ' ')[i+1])"),
+    ).otherwise(F.array().cast("array<string>"))
+    e = docs.select(
+        "doc_id", "lang", F.explode(bigrams).alias("bg")
+    ).select(
+        "doc_id", "lang", (_tok_hash_spark(F.col("bg")) % DSIR_D).alias("bucket")
+    )
+    # AT MOST DSIR_D rows at any corpus scale; persisted so the totals
+    # and the ratio table both read the 4096 cached rows instead of
+    # re-exploding the corpus a third time (tests/test_dsir.py pins the
+    # two InMemoryTableScans; executed corpus scans stay at 3 — the
+    # stats build, the per-doc stream, and the final outer join)
+    stats = e.groupBy("bucket").agg(
+        F.count("*").alias("cs"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+    ).persist()
+    tot = stats.agg(F.sum("cs").alias("tt2"), F.sum("ct").alias("tt1"))
+    ratio = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "r_ppb",
+            F.expr(_DSIR_RATIO.replace("ts", "tt2").replace("tt +", "tt1 +")),
+        )
+        .select("bucket", "r_ppb")
+    )
+    per_doc = (
+        e.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("r_ppb").alias("sum_r"))
+    )
+    draw = _tok_hash_spark(F.col("doc_id").cast("string")) % DSIR_SCALE
+    score = F.coalesce(
+        F.expr("sum_r DIV n_bigrams"), F.lit(0).cast("bigint")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            score.alias("score_ppb"),
+            draw.alias("draw_ppb"),
+            F.when(draw < score, F.lit("keep")).otherwise(F.lit("drop"))
+            .alias("decision"),
+        )
+    )
