@@ -249,8 +249,13 @@ def cnn_forward_binary(matrices: np.ndarray, lut) -> np.ndarray:
     m = (np.asarray(matrices).reshape(-1, INPUT_W, INPUT_W) != 0).astype(np.uint16)
     n = m.shape[0]
     out = np.empty((n, FLATTEN_SIZE), dtype=np.float64)
-    for s in range(0, n, 64):
-        chunk = m[s : s + 64]
+    # chunk = 512 glyphs: min-of-10 on a quiet box, 20k-glyph batch —
+    # 64:228ms / 256:209 / 512:194 / 1024:189 single-worker (the
+    # per-chunk Python+numpy dispatch overhead amortizes) while the
+    # transient LUT-gather buffer stays ~5.5MB/worker (512*169*8
+    # float64), so 8 concurrent extraction workers add <50MB pressure
+    for s in range(0, n, 512):
+        chunk = m[s : s + 512]
         b = chunk.shape[0]
         # pat[g, py, px] = 16-bit pattern of image block [2py:2py+4, 2px:2px+4]
         pat = np.zeros((b, POOL_H, POOL_W), dtype=np.uint16)
