@@ -126,6 +126,7 @@ HEADLINE_EXTRACT = [
     "ocr_caption_agreement",
     "interleaved_text_render",
     "media_resolution_report",
+    "layout_xy_blocks",
     "hough_deskew",
     "media_metadata",
     "media_resize_stats",

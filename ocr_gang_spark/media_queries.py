@@ -523,3 +523,63 @@ def decode_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_ref", "status"])
 
     return media.mapInPandas(classify, schema="media_ref string, status string")
+
+
+@register(
+    "layout_xy_blocks",
+    # same relational ref-set reconstruction as media_metadata, joined
+    # to the committed per-ref XY-cut fixture (generation-time
+    # crosschecked against an independent pure-Python scan-loop
+    # recursion on every CROSSCHECK_EVERY-th doc;
+    # fixtures/expected_crosscheck.json "layout")
+    f"""
+    WITH refs AS (
+      SELECT printf('m42-doc-%08d-%d', doc_id, i) AS media_ref
+      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS i)
+      WHERE i <= doc_id % 2 + 1)
+    SELECT f.media_ref, f.block_idx, f.depth, f.y0, f.x0, f.y1, f.x1
+    FROM read_parquet('{_FIXTURES}/expected_layout.parquet') f
+    JOIN refs USING (media_ref)
+    """,
+)
+def layout_xy_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive XY-cut layout analysis over every page of the corpus
+    (kernels/layout.py; Nagy & Seth 1984): reading-order leaf blocks
+    with absolute pixel bounds — the layout-parse stage a PDF/scan
+    extraction pipeline runs before OCR to handle multi-column pages.
+    The reference's fixed line->char segmentation
+    (source/segmentation/segmentation.c:9-259) is the depth-2 special
+    case; the recursive form cuts a full-height column gutter BEFORE
+    line gaps (widest-gap-first), so newspaper scans keep each
+    column's lines contiguous in reading order.
+
+    100 TB shape: one Arrow-batched map over the blob store — no
+    shuffle at all; block counts are bounded by page geometry, not
+    corpus size, and the kernel is O(pixels) per page with pure
+    projection profiles (no connected components, no allocation
+    proportional to block count squared)."""
+    from .kernels.bmp import decode_media_blob
+    from .kernels.image_ops import binarize
+    from .kernels.layout import xy_cut_blocks
+
+    docs = spans_from_testdata(spark, sf_dir)
+    media = synth_media(spark, docs)
+
+    def blocks(batches):
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["bytes"]):
+                bw = binarize(decode_media_blob(bytes(blob)))
+                for bi, depth, y0, x0, y1, x1 in xy_cut_blocks(bw):
+                    rows.append((ref, bi, depth, y0, x0, y1, x1))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "block_idx", "depth",
+                         "y0", "x0", "y1", "x1"],
+            )
+
+    return media.mapInPandas(
+        blocks,
+        schema="media_ref string, block_idx int, depth int,"
+               " y0 int, x0 int, y1 int, x1 int",
+    )

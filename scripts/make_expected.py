@@ -559,6 +559,117 @@ def expected_cdc_rows():
     return rows, crosschecked
 
 
+def _brute_xy_cut(bw, min_gap_y, min_gap_x, max_depth):
+    """Independent XY-cut re-derivation: pure-Python scan loops, an
+    explicit work stack instead of recursion, and per-pixel tighten
+    loops — shares no code path with kernels/layout.py."""
+    h, w = len(bw), len(bw[0])
+    out = []
+    stack = [(0, h, 0, w, 0)]
+    while stack:
+        y0, y1, x0, x1, depth = stack.pop()
+        # tighten via explicit scans
+        def row_has_ink(y):
+            for x in range(x0, x1):
+                if bw[y][x] == 0:
+                    return True
+            return False
+        def col_has_ink(x):
+            for y in range(y0, y1):
+                if bw[y][x] == 0:
+                    return True
+            return False
+        while y0 < y1 and not row_has_ink(y0):
+            y0 += 1
+        if y0 == y1:
+            continue
+        while not row_has_ink(y1 - 1):
+            y1 -= 1
+        while not col_has_ink(x0):
+            x0 += 1
+        while not col_has_ink(x1 - 1):
+            x1 -= 1
+        gaps_y, gaps_x = [], []
+        if depth < max_depth:
+            run = 0
+            for y in range(y0, y1):
+                if row_has_ink(y):
+                    if run >= min_gap_y and y - run > y0:
+                        gaps_y.append((y - run - y0, y - y0))
+                    run = 0
+                else:
+                    run += 1
+            run = 0
+            for x in range(x0, x1):
+                if col_has_ink(x):
+                    if run >= min_gap_x and x - run > x0:
+                        gaps_x.append((x - run - x0, x - x0))
+                    run = 0
+                else:
+                    run += 1
+        if not gaps_y and not gaps_x:
+            out.append((len(out), depth, y0, x0, y1, x1))
+            continue
+        wy = max([e - s for s, e in gaps_y] or [0])
+        wx = max([e - s for s, e in gaps_x] or [0])
+        pieces = []
+        if wy >= wx:
+            prev = 0
+            for s, e in gaps_y + [(y1 - y0, y1 - y0)]:
+                pieces.append((y0 + prev, y0 + s, x0, x1, depth + 1))
+                prev = e
+        else:
+            prev = 0
+            for s, e in gaps_x + [(x1 - x0, x1 - x0)]:
+                pieces.append((y0, y1, x0 + prev, x0 + s, depth + 1))
+                prev = e
+        # stack is LIFO: push reversed to keep reading order
+        for p in reversed(pieces):
+            stack.append(p)
+    return out
+
+
+def expected_layout_rows():
+    """Per-ref XY-cut leaf blocks (kernels/layout.py) over the ref union
+    of every shipped tier (cheap per page: projection profiles only).
+    Every CROSSCHECK_EVERY-th doc's refs are re-derived through
+    _brute_xy_cut — generation fails on any disagreement."""
+    from ocr_gang_spark.kernels.bmp import decode_media_blob
+    from ocr_gang_spark.kernels.image_ops import binarize
+    from ocr_gang_spark.kernels.layout import (
+        XY_MAX_DEPTH,
+        XY_MIN_GAP_X,
+        XY_MIN_GAP_Y,
+        xy_cut_blocks,
+    )
+    from ocr_gang_spark.synth import blob_for_ref
+
+    refs = {}
+    for sf_dir in SF_DIRS + ["/root/testdata/sf0.1"]:
+        docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        for did in docs.column("doc_id").to_pylist():
+            for i in range(1, did % MEDIA_PER_DOC + 2):
+                refs[f"m{SEED}-doc-{did:08d}-{i}"] = did
+    rows = []
+    crosschecked = []
+    for ref in sorted(refs):
+        bw = binarize(decode_media_blob(blob_for_ref(ref)))
+        blocks = xy_cut_blocks(bw)
+        for bi, depth, y0, x0, y1, x1 in blocks:
+            rows.append((ref, bi, depth, y0, x0, y1, x1))
+        if refs[ref] % CROSSCHECK_EVERY == 0:
+            brute = _brute_xy_cut(
+                bw.tolist(), XY_MIN_GAP_Y, XY_MIN_GAP_X, XY_MAX_DEPTH
+            )
+            if [tuple(b) for b in blocks] != brute:
+                raise SystemExit(
+                    f"layout crosscheck FAILED for {ref}: "
+                    f"kernel={blocks[:3]}... brute={brute[:3]}..."
+                )
+            crosschecked.append(ref)
+    return rows, crosschecked
+
+
 def expected_pdf_rows():
     """Offline run of the PDF layout kernel over the fixed 96-ref sample
     set (pure functions of the refs; sf-independent)."""
@@ -726,6 +837,13 @@ def main() -> None:
                     "manual bit-pack + md5 re-derivation"],
         "refs": sorted(set(phash_xc)),
     }
+    layout_rows, layout_xc = expected_layout_rows()
+    xc_doc["layout"] = {
+        "checked": ["XY-cut leaf blocks equal an independent pure-Python "
+                    "scan-loop + explicit-stack re-derivation "
+                    "(no shared code with kernels/layout.py)"],
+        "refs": sorted(set(layout_xc)),
+    }
     cdc_rows, cdc_xc = expected_cdc_rows()
     xc_doc["cdc"] = {
         "checked": ["CDC chunk boundaries equal an independent per-byte "
@@ -742,6 +860,16 @@ def main() -> None:
             phash_rows,
             pa.schema([("media_ref", pa.string()), ("phash", pa.int64()),
                        ("verify", pa.string())]),
+        ),
+        (
+            "expected_layout",
+            layout_rows,
+            pa.schema(
+                [("media_ref", pa.string()), ("block_idx", pa.int32()),
+                 ("depth", pa.int32()), ("y0", pa.int32()),
+                 ("x0", pa.int32()), ("y1", pa.int32()),
+                 ("x1", pa.int32())]
+            ),
         ),
         (
             "expected_cdc",
