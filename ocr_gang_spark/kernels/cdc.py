@@ -72,18 +72,15 @@ def cdc_boundaries(data: bytes) -> list:
     cand = np.nonzero((h & CDC_MASK) == 0)[0]
     ends = []
     start = 0
-    ci = 0
     while start < n:
         limit = min(start + CDC_MAX, n)
-        # first candidate at offset >= start + CDC_MIN - 1, < limit
+        # first candidate at offset >= start + CDC_MIN - 1; cut there
+        # if it lands before the max-size limit, else force-cut at it
         ci = int(np.searchsorted(cand, start + CDC_MIN - 1))
-        end = limit
-        while ci < len(cand):
-            p = int(cand[ci])
-            if p >= limit:
-                break
-            end = p + 1
-            break
+        if ci < len(cand) and int(cand[ci]) < limit:
+            end = int(cand[ci]) + 1
+        else:
+            end = limit
         ends.append(end)
         start = end
     return ends

@@ -365,12 +365,14 @@ def phash64(bw: np.ndarray) -> int:
     The image analog of a document fingerprint: visually-identical or
     near-identical pages collapse to the same 64-bit key, so duplicate
     imagery can be GROUPED with a plain hash aggregate (no pairwise
-    comparison).  64 bits is the birthday-safe width for the stated
-    10^12-blob scale (expected collisions ~ n^2/2^65 ≈ 0.03 at n=10^12;
-    the previous 6x6=36-bit key averaged ~15 unrelated images per
-    bucket at that n).  Collisions that do happen are split by the
-    in-bucket exact verify (phash_verify) before any keep/drop
-    decision — grouping alone never merges."""
+    comparison).  Honest birthday math at the stated 10^12-blob scale:
+    expected random collisions ~ n^2/2^65 ≈ 2.7e4 at n=10^12 — tens of
+    thousands of false-candidate buckets, each a pair or so (vs the
+    previous 6x6=36-bit key, which averaged ~15 unrelated images in
+    EVERY bucket).  That residual is exactly why the in-bucket exact
+    verify (phash_verify) is LOAD-BEARING, not belt-and-braces: every
+    candidate group is split by the 784-bit exact thumbnail before any
+    keep/drop decision — grouping alone never merges."""
     t = resize1(bw, PHASH_DIM, PHASH_DIM)
     bits = (t == 0).ravel()
     return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)

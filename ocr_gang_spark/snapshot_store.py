@@ -43,12 +43,15 @@ instead of publishing (its data dir is unreferenced garbage the next
 expire_snapshots sweeps); commit_snapshot_retrying re-attempts the
 METADATA commit against the new parent, reusing the already-written
 data — Iceberg's CommitFailedException + retry, where a conflict costs
-one manifest write, never a data rewrite.  Honesty note on atomicity:
-a lakehouse catalog makes step 3 a true compare-and-swap; local-FS
-check-then-rename leaves a microsecond window two OS threads could in
-principle interleave.  Every sequentially-constructible interleaving
-(the testable kind) is detected; a real deployment swaps the pointer
-update for a catalog CAS.
+one manifest write, never a data rewrite.  Atomicity: steps 2-3 run
+under an exclusive per-table fcntl lock (_commit_lock) — the
+single-host analog of the catalog compare-and-swap a lakehouse
+provides — so no interleaving of two metadata commits is possible at
+all; the kernel releases the lock on process death, so a crash while
+holding it cannot wedge the table.  Data writes never run under the
+lock.  A real deployment swaps the lock + pointer rename for a catalog
+CAS; the conflict semantics (SnapshotConflictError, retry against the
+new parent) are identical.
 
 Scale notes: manifests list data DIRECTORIES (one per commit), not
 individual files, so manifest size is O(commits since last overwrite),
@@ -60,10 +63,12 @@ protocol runs against an object store + catalog.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -77,6 +82,32 @@ class SnapshotConflictError(RuntimeError):
     loser's data dir is unreferenced (expire_snapshots sweeps it);
     nothing it did is visible.  Retry against the new current —
     commit_snapshot_retrying does exactly that, reusing the data."""
+
+
+@contextmanager
+def _commit_lock(table_dir: str):
+    """Exclusive per-table metadata lock (fcntl.flock on
+    meta/.commitlock): every writer that mutates the manifest slots or
+    the current pointer — plain commit, stage, publish, abandon, expiry
+    — holds it for the (file-rename-sized) critical section.  This is
+    the single-host analog of the catalog compare-and-swap a lakehouse
+    provides: conflicts are still DETECTED optimistically (the pointer
+    check inside the lock), but interleavings cannot corrupt state —
+    before this lock, a loser's post-replace cleanup could os.remove a
+    manifest slot the winner's pointer had just started referencing
+    (round-4 review), and the heal-a-phantom overwrite could clobber a
+    racer's in-flight manifest.  flock is released by the kernel on
+    process death, so a crash while holding it cannot wedge the table
+    (the unfinished writer's tmp files are expiry-sweepable garbage).
+    Data writes NEVER happen under the lock — only metadata renames."""
+    os.makedirs(os.path.join(table_dir, _META), exist_ok=True)
+    f = open(os.path.join(table_dir, _META, ".commitlock"), "w")
+    try:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(f, fcntl.LOCK_UN)
+        f.close()
 
 
 def _vname(version: int) -> str:
@@ -153,59 +184,54 @@ def _try_commit_metadata(
     pointer is found to have moved — the already-written data dir stays
     on disk, unreferenced, reusable by a retry and sweepable by
     expiry."""
-    cur = current_version(table_dir)
-    if cur != parent:
-        raise SnapshotConflictError(
-            f"commit against parent {parent} lost: current of "
-            f"{table_dir} is now {cur}"
-        )
-    version = 1 if parent is None else parent + 1
-    os.makedirs(os.path.join(table_dir, _META), exist_ok=True)
-    _check_slot_not_staged(table_dir, version)
+    with _commit_lock(table_dir):
+        cur = current_version(table_dir)
+        if cur != parent:
+            raise SnapshotConflictError(
+                f"commit against parent {parent} lost: current of "
+                f"{table_dir} is now {cur}"
+            )
+        version = 1 if parent is None else parent + 1
+        _check_slot_not_staged(table_dir, version)
 
-    if op == "append" and parent is not None:
-        files = list(_load_manifest(table_dir, parent)["files"])
-    else:
-        files = []
-    files.append(rel_dir)
+        if op == "append" and parent is not None:
+            files = list(_load_manifest(table_dir, parent)["files"])
+        else:
+            files = []
+        files.append(rel_dir)
 
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "op": op,
-        "files": files,
-        "tag": tag,
-    }
-    mpath = _manifest_path(table_dir, version)
-    # writer-unique tmp name: two racers must not interleave writes
-    # into one tmp file
-    tmp = os.path.join(
-        table_dir, _META, f".tmp-{_vname(version)}-{uuid.uuid4().hex[:8]}.json"
-    )
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-    # last look before becoming visible: if a racer published while the
-    # manifest was being written, withdraw it (leaving it would claim a
-    # slot the winner's successor commit is about to take)
-    if current_version(table_dir) != parent:
-        os.remove(tmp)
-        raise SnapshotConflictError(
-            f"commit against parent {parent} lost during manifest write: "
-            f"current of {table_dir} is now {current_version(table_dir)}"
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "op": op,
+            "files": files,
+            "tag": tag,
+        }
+        mpath = _manifest_path(table_dir, version)
+        # writer-unique tmp name: a crashed writer's stale tmp must not
+        # be interleaved into by a retry
+        tmp = os.path.join(
+            table_dir, _META,
+            f".tmp-{_vname(version)}-{uuid.uuid4().hex[:8]}.json",
         )
-    os.replace(tmp, mpath)
-    if current_version(table_dir) != parent:
-        os.remove(mpath)
-        raise SnapshotConflictError(
-            f"commit against parent {parent} lost before pointer swap: "
-            f"current of {table_dir} is now {current_version(table_dir)}"
-        )
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        # under the lock the pointer cannot move between here and the
+        # swap, so the replace may safely overwrite a crashed commit's
+        # phantom manifest (the heal rule) — a LIVE racer's manifest
+        # can never be at this slot, because every slot writer holds
+        # the same lock and checked the pointer first.  (The previous
+        # lock-free protocol re-checked the pointer after this replace
+        # and os.remove'd the slot on conflict — which could delete
+        # the manifest a winning racer's pointer had just started
+        # referencing; round-4 review.)
+        os.replace(tmp, mpath)
 
-    ptr_tmp = os.path.join(table_dir, _META, ".tmp-current")
-    with open(ptr_tmp, "w") as f:
-        json.dump({"version": version}, f)
-    os.replace(ptr_tmp, os.path.join(table_dir, _META, "current"))
-    return version
+        ptr_tmp = os.path.join(table_dir, _META, ".tmp-current")
+        with open(ptr_tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(ptr_tmp, os.path.join(table_dir, _META, "current"))
+        return version
 
 
 def commit_snapshot(
@@ -402,6 +428,8 @@ def stage_snapshot(
     before publish/abandon raises."""
     parent = current_version(table_dir)
     version = 1 if parent is None else parent + 1
+    # fast pre-flight (unlocked, advisory): fail before the expensive
+    # data write if a stage is already in flight
     existing = _manifest_path(table_dir, version)
     if os.path.exists(existing):
         with open(existing) as f:
@@ -412,35 +440,45 @@ def stage_snapshot(
                 )
         # no staged flag: a crashed plain commit's phantom manifest
         # (pointer was never published, so nothing it names was ever
-        # visible).  Heal by overwriting the slot — the same rule
-        # commit_snapshot applies — instead of dead-ending the operator
-        # (ADVICE r3: both remedies the old error suggested refused a
-        # phantom).  Its data dirs become unreferenced; expiry sweeps.
-        os.remove(existing)
+        # visible).  Healed by the slot overwrite under the lock below —
+        # the same rule commit_snapshot applies — instead of
+        # dead-ending the operator (ADVICE r3: both remedies the old
+        # error suggested refused a phantom).  Its data dirs become
+        # unreferenced; expiry sweeps.
     os.makedirs(os.path.join(table_dir, _META), exist_ok=True)
     if op not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot op {op!r}")
 
     rel_dir = _write_data(table_dir, df, version)
-    files = (
-        list(_load_manifest(table_dir, parent)["files"])
-        if op == "append" and parent is not None
-        else []
-    )
-    files.append(rel_dir)
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "op": op,
-        "files": files,
-        "tag": tag,
-        "staged": True,
-    }
-    tmp = os.path.join(table_dir, _META, f".tmp-{_vname(version)}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-    os.replace(tmp, _manifest_path(table_dir, version))
-    return version
+    with _commit_lock(table_dir):
+        cur = current_version(table_dir)
+        if cur != parent:
+            # a plain commit published during our data write; staging at
+            # the stale slot would collide with the winner's successor
+            raise SnapshotConflictError(
+                f"stage against parent {parent} lost: current of "
+                f"{table_dir} is now {cur}"
+            )
+        _check_slot_not_staged(table_dir, version)
+        files = (
+            list(_load_manifest(table_dir, parent)["files"])
+            if op == "append" and parent is not None
+            else []
+        )
+        files.append(rel_dir)
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "op": op,
+            "files": files,
+            "tag": tag,
+            "staged": True,
+        }
+        tmp = os.path.join(table_dir, _META, f".tmp-{_vname(version)}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        os.replace(tmp, _manifest_path(table_dir, version))
+        return version
 
 
 def read_staged(
@@ -481,40 +519,41 @@ def publish_snapshot(table_dir: str, version: int) -> None:
     clearing the flag.  Under the old flag-then-pointer order that
     crash window left an audit-passed snapshot that retry refused,
     reads refused, and expiry DELETED."""
-    cur = current_version(table_dir)
-    expected = 1 if cur is None else cur + 1
-    path = _manifest_path(table_dir, version)
-    if not os.path.exists(path):
-        if version != expected and version != cur:
+    with _commit_lock(table_dir):
+        cur = current_version(table_dir)
+        expected = 1 if cur is None else cur + 1
+        path = _manifest_path(table_dir, version)
+        if not os.path.exists(path):
+            if version != expected and version != cur:
+                raise ValueError(
+                    f"cannot publish v{version}: current is {cur}, expected "
+                    f"v{expected} (stage sits directly on current)"
+                )
+            raise FileNotFoundError(f"no staged snapshot v{version}")
+        with open(path) as f:
+            manifest = json.load(f)
+        if not manifest.get("staged"):
+            # pointer-first order invariant: a staged=false manifest is
+            # always <= current, i.e. fully published
+            raise ValueError(f"snapshot v{version} is already published")
+        if version == expected:
+            # the publish point
+            ptr_tmp = os.path.join(table_dir, _META, ".tmp-current")
+            with open(ptr_tmp, "w") as f:
+                json.dump({"version": version}, f)
+            os.replace(ptr_tmp, os.path.join(table_dir, _META, "current"))
+        elif version != cur:
             raise ValueError(
                 f"cannot publish v{version}: current is {cur}, expected "
                 f"v{expected} (stage sits directly on current)"
             )
-        raise FileNotFoundError(f"no staged snapshot v{version}")
-    with open(path) as f:
-        manifest = json.load(f)
-    if not manifest.get("staged"):
-        # pointer-first order invariant: a staged=false manifest is
-        # always <= current, i.e. fully published
-        raise ValueError(f"snapshot v{version} is already published")
-    if version == expected:
-        # the publish point
-        ptr_tmp = os.path.join(table_dir, _META, ".tmp-current")
-        with open(ptr_tmp, "w") as f:
-            json.dump({"version": version}, f)
-        os.replace(ptr_tmp, os.path.join(table_dir, _META, "current"))
-    elif version != cur:
-        raise ValueError(
-            f"cannot publish v{version}: current is {cur}, expected "
-            f"v{expected} (stage sits directly on current)"
-        )
-    # else: version == cur — pointer already swapped by a publish that
-    # crashed before reaching the flag clear below; finish that step
-    manifest["staged"] = False
-    tmp = os.path.join(table_dir, _META, f".tmp-{_vname(version)}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-    os.replace(tmp, path)
+        # else: version == cur — pointer already swapped by a publish that
+        # crashed before reaching the flag clear below; finish that step
+        manifest["staged"] = False
+        tmp = os.path.join(table_dir, _META, f".tmp-{_vname(version)}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        os.replace(tmp, path)
 
 
 def abandon_snapshot(table_dir: str, version: int) -> None:
@@ -522,20 +561,21 @@ def abandon_snapshot(table_dir: str, version: int) -> None:
     staged manifest and its data dir; the table never changed.  Only
     the dir the stage itself wrote is deleted (an append stage's
     inherited parent dirs stay live)."""
-    path = _manifest_path(table_dir, version)
-    if not os.path.exists(path):
-        raise FileNotFoundError(f"no staged snapshot v{version}")
-    with open(path) as f:
-        manifest = json.load(f)
-    cur = current_version(table_dir)
-    if not manifest.get("staged") or (cur is not None and version <= cur):
-        raise ValueError(
-            f"snapshot v{version} is published; use expire_snapshots"
-        )
-    os.remove(path)
-    # the stage's OWN dir is the last files entry (writer-unique name);
-    # an append stage's inherited parent dirs stay live
-    own_dir = os.path.join(table_dir, manifest["files"][-1])
+    with _commit_lock(table_dir):
+        path = _manifest_path(table_dir, version)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no staged snapshot v{version}")
+        with open(path) as f:
+            manifest = json.load(f)
+        cur = current_version(table_dir)
+        if not manifest.get("staged") or (cur is not None and version <= cur):
+            raise ValueError(
+                f"snapshot v{version} is published; use expire_snapshots"
+            )
+        os.remove(path)
+        # the stage's OWN dir is the last files entry (writer-unique
+        # name); an append stage's inherited parent dirs stay live
+        own_dir = os.path.join(table_dir, manifest["files"][-1])
     shutil.rmtree(own_dir, ignore_errors=True)
 
 
@@ -618,35 +658,42 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
 
     meta_dir = os.path.join(table_dir, _META)
     staged_refs: set = set()
-    for name in list(os.listdir(meta_dir)):
-        if name.startswith(".tmp-"):
-            os.remove(os.path.join(meta_dir, name))
-        elif name.startswith("v") and name.endswith(".json"):
-            if int(name[1:-5]) > cur:
-                with open(os.path.join(meta_dir, name)) as f:
-                    m = json.load(f)
-                if m.get("staged"):
-                    # in-flight write-audit-publish stage: exempt from
-                    # the sweep (abandon_snapshot is its cleanup path),
-                    # and its data dirs count as referenced below
-                    staged_refs.update(m["files"])
-                else:
-                    # uncommitted leftover: manifest published, pointer
-                    # never was (crashed commit)
-                    os.remove(os.path.join(meta_dir, name))
+    # the metadata portion holds the commit lock so the sweep can never
+    # interleave with a racer's tmp-write/manifest-rename; the DATA
+    # sweep below stays outside it (see single-writer note above — a
+    # commit's data dir exists before its manifest, which no metadata
+    # lock can make atomic)
+    with _commit_lock(table_dir):
+        for name in list(os.listdir(meta_dir)):
+            if name.startswith(".tmp-"):
+                os.remove(os.path.join(meta_dir, name))
+            elif name.startswith("v") and name.endswith(".json"):
+                if int(name[1:-5]) > cur:
+                    with open(os.path.join(meta_dir, name)) as f:
+                        m = json.load(f)
+                    if m.get("staged"):
+                        # in-flight write-audit-publish stage: exempt
+                        # from the sweep (abandon_snapshot is its
+                        # cleanup path), and its data dirs count as
+                        # referenced below
+                        staged_refs.update(m["files"])
+                    else:
+                        # uncommitted leftover: manifest published,
+                        # pointer never was (crashed commit)
+                        os.remove(os.path.join(meta_dir, name))
 
-    pinned = set(refs(table_dir).values())
-    expired = []
-    for m in snapshot_log(table_dir):
-        # a named ref pins its snapshot against expiry (Iceberg tag
-        # retention rule) — drop the ref first to let it age out
-        if m["version"] < cutoff and m["version"] not in pinned:
-            os.remove(_manifest_path(table_dir, m["version"]))
-            expired.append(m["version"])
+        pinned = set(refs(table_dir).values())
+        expired = []
+        for m in snapshot_log(table_dir):
+            # a named ref pins its snapshot against expiry (Iceberg tag
+            # retention rule) — drop the ref first to let it age out
+            if m["version"] < cutoff and m["version"] not in pinned:
+                os.remove(_manifest_path(table_dir, m["version"]))
+                expired.append(m["version"])
 
-    referenced = set(staged_refs)
-    for m in snapshot_log(table_dir):
-        referenced.update(m["files"])
+        referenced = set(staged_refs)
+        for m in snapshot_log(table_dir):
+            referenced.update(m["files"])
     removed = []
     data_root = os.path.join(table_dir, _DATA)
     if os.path.isdir(data_root):

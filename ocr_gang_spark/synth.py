@@ -182,7 +182,17 @@ def blob_for_ref(ref: str) -> bytes:
     ~4ms for the whole OCR of a lossless page), and q92 reconstruction
     is binarize-exact on this corpus (pinned by tests/test_jpeg.py), so
     extraction output is bit-identical across the mix."""
-    rgb = page_for_ref(ref)[1]
+    return _encode_for_ref(page_for_ref(ref)[1], ref)
+
+
+def _encode_for_ref(rgb: np.ndarray, ref: str) -> bytes:
+    """The format-mix encoder both renderers share: which codec a ref
+    gets is a pure function of the REF (not of the pixels), so
+    blob_for_dedup_ref can render another ref's page under this ref's
+    format and still be byte-identical to blob_for_ref whenever the
+    page is the ref's own.  Single definition on purpose — the
+    byte-identity contract for non-dup refs used to be maintained by
+    keeping two copy-pasted branch sets in sync (round-4 review)."""
     digest = hashlib.sha256(("fmt:" + ref).encode()).digest()
     if digest[0] % 4 == 0:
         return encode_png(rgb, level=1)
@@ -249,13 +259,9 @@ def blob_for_dedup_ref(ref: str) -> bytes:
     refs render the canonical ref's page but keep their OWN format
     choice (re-encoded duplicates, not byte copies)."""
     src = phash_dup_source_ref(ref)
-    rgb = page_for_ref(src or ref)[1]
-    digest = hashlib.sha256(("fmt:" + ref).encode()).digest()
-    if digest[0] % 4 == 0:
-        return encode_png(rgb, level=1)
-    if digest[0] % 16 == 1:
-        return encode_jpeg_gray(np.ascontiguousarray(rgb[:, :, 0]), 92)
-    return encode_media_blob(rgb)
+    if src is None:
+        return blob_for_ref(ref)
+    return _encode_for_ref(page_for_ref(src)[1], ref)
 
 
 # Deterministic scan degradation (inject-then-detect, same honesty

@@ -4975,27 +4975,45 @@ def build_large_merge_table() -> list:
     merges = list(BPE_APPLY_MERGES)
     symbols = list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
     seen = set(merges)
+    # result-string uniqueness is LOAD-BEARING, not cosmetic: two
+    # merges with the same surface result (('d','dd') and ('dd','d')
+    # both make 'ddd') break the rank-priority encoder's equivalence
+    # to in-order merge passes — a later-ranked rule can create the
+    # pair of an earlier-ranked one whose pass already ran (round-4
+    # review; pinned negatively in tests/test_textops.py).  Trained
+    # tables have unique results by construction (each merge defines a
+    # NEW vocab entry); the synthetic tail must too, so dedup results
+    # as well as pairs and assert the invariant on the way out.
+    results = {a + b for a, b in merges}
     while len(merges) < BPE_LARGE_VOCAB_SIZE:
         a = symbols[int(rng.integers(len(symbols)))]
         b = symbols[int(rng.integers(len(symbols)))]
-        if (a, b) in seen:
+        if (a, b) in seen or a + b in results:
             continue
         seen.add((a, b))
+        results.add(a + b)
         merges.append((a, b))
         symbols.append(a + b)
+    assert len({x + y for x, y in merges}) == len(merges)
     return merges
 
 
 def bpe_encode_word(word: str, rank: dict) -> list:
     """Encode one word against a ranked merge table: repeatedly find
     the lowest-ranked adjacent pair and apply it as ONE greedy
-    left-to-right pass.  For well-formed tables this is provably
-    identical to applying every merge in table order as a full pass
-    (no merge can create a pair of earlier rank: the new token only
-    appears in later-ranked rules), while touching only the merges
-    that actually occur — O(occurring merges), not O(table), per word.
-    That equivalence is what lets a 50k-entry table cost what a
-    6-entry one does on text where the tail never fires."""
+    left-to-right pass.  For well-formed tables with UNIQUE result
+    strings this is identical to applying every merge in table order
+    as a full pass (no merge can create a pair of earlier rank: the
+    new token only appears in later-ranked rules), while touching only
+    the merges that actually occur — O(occurring merges), not
+    O(table), per word.  That equivalence is what lets a 50k-entry
+    table cost what a 6-entry one does on text where the tail never
+    fires.  The uniqueness condition is not decorative: if two merges
+    produce the same surface string, a later-ranked rule CAN create an
+    earlier-ranked pair and the two encoders genuinely diverge
+    (round-4 review; negative pin in tests/test_textops.py) — trained
+    tables satisfy it by construction (every merge defines a new vocab
+    entry) and build_large_merge_table enforces it."""
     syms = list(word)
     while len(syms) > 1:
         best_rank = None
@@ -5691,9 +5709,9 @@ _DSIR_DUCK = f"""
     SELECT d.doc_id, d.lang,
            CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(COALESCE(p.sum_r // p.n_bigrams, 0) AS BIGINT) AS score_ppb,
-           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
              % {DSIR_SCALE} AS draw_ppb,
-           CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
                      % {DSIR_SCALE} < COALESCE(p.sum_r // p.n_bigrams, 0)
                 THEN 'keep' ELSE 'drop' END AS decision
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
@@ -5768,7 +5786,15 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.sum("r_ppb").alias("sum_r"))
     )
-    draw = _tok_hash_spark(F.col("doc_id").cast("string")) % DSIR_SCALE
+    # 60-bit draw (15 md5 hex chars), not the 32-bit token hash: 2^32 is
+    # not a multiple of 1e9, so a 32-bit draw mod 1e9 overweights the
+    # low 29.5% of the range by 25% relative (round-4 review) —
+    # acceptance probabilities would be systematically inflated below
+    # score_ppb ~ 3e8.  2^60 mod 1e9 leaves a relative bias < 1e-9.
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % DSIR_SCALE
+    )
     score = F.coalesce(
         F.expr("sum_r DIV n_bigrams"), F.lit(0).cast("bigint")
     )

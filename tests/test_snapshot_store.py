@@ -614,3 +614,89 @@ def test_stage_snapshot_heals_phantom_manifest(spark, tmp_path):
     # the phantom's data dir is unreferenced garbage for the sweep
     res = ss.expire_snapshots(tbl, keep_last=10)
     assert res["removed_data_dirs"] == ["data/v00000002-dead"]
+
+
+def test_hammered_concurrent_retrying_commits_stay_consistent(spark, tmp_path):
+    """Round-4 review regression: under the lock-free protocol a loser's
+    post-replace cleanup could os.remove the manifest slot a winning
+    racer's pointer had just started referencing, leaving a dangling
+    current pointer.  Now the metadata phase is serialized by
+    _commit_lock, so N threads of commit_snapshot_retrying must land N
+    contiguous versions with every manifest loadable and every
+    committed row present exactly once."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t")
+    base = _base(spark)
+    ss.commit_snapshot(spark, tbl, base.where(F.col("doc_id") == 0),
+                       op="overwrite")
+
+    n_threads, per_thread = 4, 2
+    errors = []
+
+    def writer(k):
+        try:
+            for j in range(per_thread):
+                doc = 1 + k * per_thread + j
+                ss.commit_snapshot_retrying(
+                    spark, tbl, base.where(F.col("doc_id") == doc),
+                    op="append", max_retries=50,
+                )
+        except Exception as ex:  # noqa: BLE001 — surfaced via the list
+            errors.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    n_commits = n_threads * per_thread
+    assert ss.current_version(tbl) == 1 + n_commits
+    log = ss.snapshot_log(tbl)
+    assert [m["version"] for m in log] == list(range(1, n_commits + 2))
+    # every manifest the pointer chain names is loadable (the reviewed
+    # bug deleted one), and the data is the union of all commits
+    for m in log:
+        ss._load_manifest(tbl, m["version"])
+    assert _ids(spark, tbl) == list(range(n_commits + 1))
+
+
+def test_stage_loses_to_concurrent_commit_loudly(spark, tmp_path):
+    """A plain commit publishing during a stage's data write moves the
+    pointer; the stage must raise SnapshotConflictError under the lock
+    instead of staging a manifest at a slot the winner's successor
+    commit is about to take (pre-lock behavior staged at the stale
+    slot silently)."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t")
+    base = _base(spark)
+    ss.commit_snapshot(spark, tbl, base.where(F.col("doc_id") % 3 == 0),
+                       op="overwrite")
+
+    real_write = ss._write_data
+
+    def write_then_racer_commits(table_dir, df, version_label):
+        rel = real_write(table_dir, df, version_label)
+        ss._write_data = real_write
+        ss.commit_snapshot(spark, table_dir,
+                           base.where(F.col("doc_id") % 3 == 2), op="append")
+        return rel
+
+    ss._write_data = write_then_racer_commits
+    try:
+        with pytest.raises(ss.SnapshotConflictError):
+            ss.stage_snapshot(spark, tbl,
+                              base.where(F.col("doc_id") % 3 == 1),
+                              op="append")
+    finally:
+        ss._write_data = real_write
+    # the winner's commit stands; no staged manifest was left behind
+    assert ss.current_version(tbl) == 2
+    assert all(not m.get("staged") for m in ss.snapshot_log(tbl))
+    # the loser's data dir is sweepable garbage
+    assert ss.expire_snapshots(tbl, keep_last=10)["removed_data_dirs"]

@@ -143,9 +143,12 @@ def test_bpe_rank_priority_equals_inorder_passes_on_wellformed_tables():
     """The kernel's rank-priority loop visits only occurring merges;
     its equivalence to the fold's in-order full passes holds for
     WELL-FORMED tables (each merge's parts are base symbols or earlier
-    results — no merge can create an earlier-ranked pair).  Property-
-    checked over random well-formed tables and random words, so the
-    equivalence claim doesn't rest on the 6-merge tier table alone."""
+    results — no merge can create an earlier-ranked pair) with UNIQUE
+    result strings (trained tables have both by construction; round-4
+    review showed the uniqueness half is load-bearing, see the negative
+    test below).  Property-checked over random such tables and random
+    words, so the equivalence claim doesn't rest on the 6-merge tier
+    table alone."""
     import numpy as np
 
     from ocr_gang_spark.textops import bpe_encode_word
@@ -156,12 +159,14 @@ def test_bpe_rank_priority_equals_inorder_passes_on_wellformed_tables():
         symbols = list(alphabet)
         merges = []
         seen = set()
+        results = set()
         for _ in range(int(rng.integers(1, 12))):
             a = symbols[int(rng.integers(len(symbols)))]
             b = symbols[int(rng.integers(len(symbols)))]
-            if (a, b) in seen:
+            if (a, b) in seen or a + b in results:
                 continue
             seen.add((a, b))
+            results.add(a + b)
             merges.append((a, b))
             symbols.append(a + b)
         rank = {p: i for i, p in enumerate(merges)}
@@ -172,6 +177,28 @@ def test_bpe_rank_priority_equals_inorder_passes_on_wellformed_tables():
         assert bpe_encode_word(word, rank) == _bpe_inorder_passes(
             word, merges
         ), (word, merges)
+
+
+def test_bpe_duplicate_result_strings_break_equivalence_and_are_rejected():
+    """Negative pin for the equivalence claim's boundary (round-4
+    review): a table whose parts are all base symbols or earlier
+    results but where two merges share a surface result — ('d','dd')
+    and ('dd','d') both make 'ddd' — makes the rank-priority encoder
+    and the in-order-pass reference genuinely diverge on 'ddcddda'.
+    build_large_merge_table therefore dedups RESULT strings, not just
+    pairs, and asserts the invariant."""
+    from ocr_gang_spark.textops import (
+        build_large_merge_table,
+        bpe_encode_word,
+    )
+
+    merges = [("d", "d"), ("d", "dd"), ("ddd", "a"), ("dd", "d")]
+    rank = {p: i for i, p in enumerate(merges)}
+    word = "ddcddda"
+    assert bpe_encode_word(word, rank) != _bpe_inorder_passes(word, merges)
+    # the shipped 50k table is result-unique by construction
+    table = build_large_merge_table()
+    assert len({a + b for a, b in table}) == len(table)
 
 
 def test_bpe_large_table_tail_fires_on_its_own_alphabet():
