@@ -74,6 +74,8 @@ def main() -> None:
                         "partitions up to this size into one file each "
                         "(the Iceberg OPTIMIZE analog)")
     args = p.parse_args()
+    if args.mode == "parquet" and not (args.input_docs and args.input_media):
+        p.error("--mode parquet requires --input-docs and --input-media")
 
     spark = build_session(args.cpus, exec_mode=args.exec_mode)
 

@@ -31,6 +31,7 @@ import os
 import time
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -190,13 +191,16 @@ def run_extraction(
         ).alias("n_chars"),
     )
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     # co-locate each part before the partitioned write: otherwise every
     # write task emits a file into every part_id dir (tasks x parts small
-    # files — a real cost on object stores and this box alike)
-    out.repartition("part_id").write.mode("overwrite").partitionBy("part_id").parquet(
-        output_dir
-    )
+    # files — a real cost on object stores and this box alike).
+    # partitionOverwriteMode rides the WRITER as an option (scoped to
+    # this write), never spark.conf.set — a session-level set leaked
+    # dynamic semantics into unrelated overwrite writes after the job
+    # returned (round-4 review)
+    out.repartition("part_id").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("part_id").parquet(output_dir)
 
     # lineage metrics from the *written* files (validates the write too);
     # column pruning means this scans only (part_id, n_spans, n_chars);
@@ -284,14 +288,19 @@ def compact_output(
     object-store-request cost of those files dominates reads, so
     compaction is a first-class maintenance operator, not a nicety.
 
-    Mechanics: pick partitions holding >1 file whose TOTAL bytes fit
-    the target (the small-file bin — partitions already larger than
-    target_bytes are left alone; their files are doing their job),
-    read exactly those partitions (partition-pruned scan), rewrite via
-    one hash repartition on part_id (each selected partition lands in
-    one task => exactly one output file), and swap with dynamic
-    partition overwrite — the same idempotent commit run_extraction
-    uses, so untouched partitions are never rewritten.  Rows are
+    Mechanics: pick every partition holding more files than its
+    target file count ceil(total_bytes / target_bytes) — a 300x1MB
+    partition compacts to 3 files at the 128MB default, a 4x10MB one
+    to a single file (the old rule skipped any partition whose total
+    exceeded target_bytes, which excluded exactly the resume-heavy
+    fragmented partitions the operator exists for, at every possible
+    target; round-4 review).  Read exactly those partitions
+    (partition-pruned scan), rewrite via one hash repartition on
+    (part_id, _ck) where _ck buckets doc_id into the partition's
+    target file count (<= that many output files per partition, one
+    for small ones), and swap with dynamic partition overwrite — the
+    same idempotent commit run_extraction uses, so untouched
+    partitions are never rewritten.  Rows are
     validated pre/post (count per partition must match; loud failure
     otherwise) and every compaction appends a JSON lineage entry
     (run_id, parts, files before/after, rows) to _compactions.json
@@ -301,28 +310,41 @@ def compact_output(
     replacements, which a re-run heals idempotently."""
     run_id = run_id or f"compact-{int(time.time() * 1000)}"
     stats = _part_file_stats(output_dir)
+    n_target = {
+        pid: max(1, -(-b // target_bytes)) for pid, (n, b) in stats.items()
+    }
     todo = {
         pid: (n, b)
         for pid, (n, b) in stats.items()
-        if n > 1 and b <= target_bytes
+        if n > n_target[pid]
     }
     if not todo:
         return CompactResult(run_id, 0, 0, 0, 0)
 
     pids = sorted(todo)
     src = spark.read.parquet(output_dir).where(F.col("part_id").isin(pids))
+    # _ck buckets each oversized partition's rows into its target file
+    # count; small partitions get k=1 (single file, the old behavior)
+    k = None
+    for pid in pids:
+        k = (F.when if k is None else k.when)(
+            F.col("part_id") == pid, F.lit(n_target[pid])
+        )
+    src = src.withColumn("_ck", F.pmod(F.xxhash64("doc_id"), k.otherwise(1)))
     # Spark (correctly) refuses to overwrite a path it is reading from;
     # localCheckpoint materializes the pruned partitions to executor
-    # storage and detaches the plan from the source files.  Memory bound
-    # = sum of the SELECTED partitions' bytes, each <= target_bytes by
-    # the todo filter — for a huge backlog, call repeatedly with a
-    # narrower target.  (Iceberg commits read+replace as one snapshot,
-    # no materialization needed — see module docstring.)
+    # storage (memory-and-disk) and detaches the plan from the source
+    # files.  Storage bound = sum of the fragmented partitions' bytes;
+    # for a huge backlog, compact a subset of partitions per call by
+    # pre-splitting the table, or run on a session with executor disk
+    # to spare.  (Iceberg commits read+replace as one snapshot, no
+    # materialization needed — see module docstring.)
     src = src.localCheckpoint(eager=True)
     n_before = src.count()
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    src.repartition("part_id").write.mode("overwrite").partitionBy(
+    src.repartition("part_id", "_ck").drop("_ck").write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
         "part_id"
     ).parquet(output_dir)
 
@@ -408,4 +430,12 @@ def load_output(spark: SparkSession, output_dir: str) -> DataFrame:
 def checkpoint_table(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     if not os.path.exists(checkpoint_dir):
         return spark.createDataFrame([], CHECKPOINT_SCHEMA)
-    return spark.read.parquet(checkpoint_dir)
+    try:
+        return spark.read.parquet(checkpoint_dir)
+    except AnalysisException:
+        # dir exists but holds only the underscore-prefixed run
+        # manifest (a first run crashed between manifest write and the
+        # first metrics append): same empty-progress answer
+        # completed_parts already gives for this state, instead of
+        # 'Unable to infer schema' (round-4 review)
+        return spark.createDataFrame([], CHECKPOINT_SCHEMA)

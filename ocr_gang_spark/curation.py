@@ -204,12 +204,11 @@ def run_curation(
             n_bins, int((time.time() - t0) * 1000),
         )
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     remaining.withColumn(
         "n_tokens", F.size(F.split("text", " ")).cast("bigint")
-    ).repartition("part_id").write.mode("overwrite").partitionBy("part_id").parquet(
-        output_dir
-    )
+    ).repartition("part_id").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("part_id").parquet(output_dir)
 
     written = spark.read.parquet(output_dir)
     if done_ids:

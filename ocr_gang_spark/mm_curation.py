@@ -93,6 +93,10 @@ def mm_decisions(extracted: DataFrame) -> DataFrame:
         (text_cost + F.lit(MM_IMG_TOKENS) * n_media).alias("seq_cost"),
         F.col("doc_min_margin_ppm").alias("min_margin_ppm"),
     )
+    # NULL margin now means GENUINELY media-free (extraction gives
+    # quarantined error spans margin 0, so an all-images-failed doc
+    # lands below the threshold and routes to review instead of
+    # auto-accepting as text-only — round-4 review)
     accept = F.col("min_margin_ppm").isNull() | (
         F.col("min_margin_ppm") >= OCR_REVIEW_PPM
     )
@@ -232,10 +236,9 @@ def run_mm_curation(
             int((time.time() - t0) * 1000),
         )
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    remaining.repartition("part_id").write.mode("overwrite").partitionBy(
-        "part_id"
-    ).parquet(os.path.join(workdir, "shards"))
+    remaining.repartition("part_id").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("part_id").parquet(os.path.join(workdir, "shards"))
 
     written = spark.read.parquet(os.path.join(workdir, "shards"))
     if done_ids:

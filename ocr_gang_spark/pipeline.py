@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .kernels.bmp import decode_media_blob
-from .kernels.html_strip import strip_html
+from .kernels.html_strip import strip_html_batch
 from .kernels.nn import OcrWeights, load_weights
 from .kernels.ocr import ocr_pages_to_text
 
@@ -63,8 +63,15 @@ def broadcast_weights(spark: SparkSession, weights: OcrWeights | None = None):
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
-    """documents -> one row per span (doc_id, kind, text, media_ref, offset)."""
-    return docs.select("doc_id", F.explode("spans").alias("s")).select(
+    """documents -> one row per span (doc_id, kind, text, media_ref, offset).
+
+    explode_OUTER, not explode: a document whose spans array is empty
+    or NULL emits one all-NULL-fields row instead of vanishing (round-4
+    review — plain explode silently dropped such docs from the output
+    AND from lineage doc counts).  The NULL-kind row rides the
+    reassembly shuffle as a placeholder and is filtered out of the
+    final spans array, so the doc survives with spans=[]."""
+    return docs.select("doc_id", F.explode_outer("spans").alias("s")).select(
         "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
     )
 
@@ -74,7 +81,7 @@ def extract_text_spans(spans: DataFrame) -> DataFrame:
 
     @F.pandas_udf("string")
     def strip_udf(texts: pd.Series) -> pd.Series:
-        return pd.Series([strip_html(t) for t in texts], dtype=object)
+        return pd.Series(strip_html_batch(list(texts)), dtype=object)
 
     return (
         spans.where(F.col("kind") == "text")
@@ -216,6 +223,21 @@ def extract_media_spans(
             idx, pages, errs = [], [], {}
             for i, b in enumerate(blobs):
                 if b is None:
+                    # blob-join miss: the media table has no bytes for
+                    # this ref.  Loud in both modes (round-4 review —
+                    # previously skipped silently, leaving a NULL-text
+                    # media span that vanished from rendered training
+                    # text): 'fail' kills the task naming the ref,
+                    # 'quarantine' emits a visible kind='error' span.
+                    ref = str(pdf["media_ref"].iloc[i])
+                    if not quarantine:
+                        raise ValueError(
+                            f"missing media blob for {ref}: media_ref "
+                            "not present in the media table (resolve "
+                            "pending blobs first — see "
+                            "media_resolution_report)"
+                        )
+                    errs[i] = f"MissingBlob: {ref} has no bytes in the media table"
                     continue
                 try:
                     page = decode_media_blob(bytes(b))
@@ -257,6 +279,13 @@ def extract_media_spans(
             for i, msg in errs.items():
                 out[i] = msg
                 kind[i] = "error"
+                # an error span has ZERO confidence, not no-opinion:
+                # under NULL the doc-level F.min skipped it, so a doc
+                # whose every image failed got a NULL margin and the
+                # mm gate auto-accepted a total OCR failure as if it
+                # were media-free (round-4 review).  0 ppm routes it
+                # to review, where a failed decode belongs.
+                margins[i] = 0
             cols = {
                 "doc_id": pdf["doc_id"],
                 "kind": pd.Series(kind, dtype=object),
@@ -321,8 +350,11 @@ def reassemble(extracted: DataFrame, extra_aggs=None) -> DataFrame:
             s.offset.alias("offset"),
         ),
     )
+    # drop the explode_outer placeholder an empty/NULL-spans doc rides
+    # in on — the doc keeps its row, its spans become []
+    present = F.filter(reordered, lambda s: s.kind.isNotNull())
     return extracted.groupBy("doc_id").agg(
-        reordered.alias("spans"), *(extra_aggs or [])
+        present.alias("spans"), *(extra_aggs or [])
     )
 
 
@@ -345,8 +377,10 @@ def extract_documents(
     into kind='error' spans instead of failed tasks (see
     extract_media_spans).  ``with_margins=True`` adds a per-document
     ``doc_min_margin_ppm`` column (min page confidence margin over the
-    doc's media spans, NULL for media-free docs) aggregated in the SAME
-    groupBy as the span reassembly — the single-pass confidence gate
+    doc's media spans; NULL only for genuinely media-free docs —
+    quarantined kind='error' spans carry margin 0, so a doc whose
+    every image failed routes to review, never auto-accept) aggregated
+    in the SAME groupBy as the span reassembly — the single-pass confidence gate
     the multimodal curation job reads; ``degrade_slice`` is its
     inject-then-detect demo input (see extract_media_spans)."""
     if weights_bc is None:
@@ -358,13 +392,25 @@ def extract_documents(
                                     on_error=on_error,
                                     with_margins=with_margins,
                                     degrade_slice=degrade_slice)
+    # empty/NULL-spans docs ride through as their explode_outer
+    # placeholder row (kind NULL) so they keep an output row with
+    # spans=[] — the text/media branches filter on kind and would
+    # otherwise drop them (round-4 review)
+    empty_out = spans.where(F.col("kind").isNull()).select(
+        "doc_id", "kind", "text", "media_ref", "offset"
+    )
     if not with_margins:
-        return reassemble(text_out.unionByName(media_out))
+        return reassemble(
+            text_out.unionByName(media_out).unionByName(empty_out)
+        )
     text_m = text_out.withColumn(
         "min_margin_ppm", F.lit(None).cast("long")
     )
+    empty_m = empty_out.withColumn(
+        "min_margin_ppm", F.lit(None).cast("long")
+    )
     return reassemble(
-        text_m.unionByName(media_out),
+        text_m.unionByName(media_out).unionByName(empty_m),
         extra_aggs=[F.min("min_margin_ppm").alias("doc_min_margin_ppm")],
     )
 

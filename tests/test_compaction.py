@@ -68,13 +68,32 @@ def test_second_pass_is_noop(spark, fragmented):
     assert len(log) == 1  # no-op passes do not append lineage
 
 
-def test_large_partitions_left_alone(spark, fragmented):
+def test_oversized_fragmented_partition_compacts_to_file_budget(spark, fragmented):
+    """Round-4 review: the old rule skipped any partition whose total
+    bytes exceeded target_bytes — at EVERY possible target — which
+    excluded exactly the resume-heavy fragmented partitions the
+    operator exists for.  Now such a partition compacts down to its
+    file budget ceil(total_bytes / target_bytes); partitions already
+    at or under budget are untouched."""
+    import math
+
     stats = _part_file_stats(fragmented)
-    # a target below every partition's size => nothing qualifies
+    before_rows = rows_of(spark, fragmented)
     smallest = min(b for _, b in stats.values())
-    res = compact_output(spark, fragmented, target_bytes=smallest - 1)
-    assert res.n_parts_compacted == 0
-    assert _part_file_stats(fragmented) == stats
+    target = max(1, smallest // 2)  # every partition exceeds the target
+    res = compact_output(spark, fragmented, target_bytes=target)
+    after = _part_file_stats(fragmented)
+    budgets = {
+        pid: max(1, math.ceil(b / target)) for pid, (n, b) in stats.items()
+    }
+    over = [pid for pid, (n, _b) in stats.items() if n > budgets[pid]]
+    assert res.n_parts_compacted == len(over)
+    for pid, (n, _b) in stats.items():
+        if pid in over:
+            assert 1 <= after[pid][0] <= budgets[pid]
+        else:
+            assert after[pid] == stats[pid]
+    assert rows_of(spark, fragmented) == before_rows
 
 
 def test_clean_orphans_removes_stale_partitions_only(spark, fragmented):

@@ -64,13 +64,61 @@ def test_skewed_docs_present(extracted):
     assert any(len(s) >= 50 for s in extracted.values())
 
 
-def test_missing_media_ref_yields_null_text(spark):
+def test_missing_media_ref_is_loud_in_both_modes(spark):
+    """Round-4 review: a blob-join miss used to be skipped silently in
+    EVERY mode — a kind='media' span with NULL text that then vanished
+    from rendered training text.  Now 'fail' kills the task naming the
+    ref and 'quarantine' emits a visible kind='error' span."""
     docs = synth_documents(spark, 5, seed=3, skew_frac=0.0, media_prob=1.0)
     empty_media = spark.createDataFrame([], "media_ref string, bytes binary")
-    rows = extract_documents(docs, empty_media).collect()
+    with pytest.raises(Exception, match="missing media blob"):
+        extract_documents(docs, empty_media).collect()
+    rows = extract_documents(docs, empty_media, on_error="quarantine").collect()
+    assert rows
+    media_spans = [
+        s for r in rows for s in r.spans if s.media_ref is not None
+    ]
+    assert media_spans
+    assert all(
+        s.kind == "error" and s.text.startswith("MissingBlob") for s in media_spans
+    )
+
+
+def test_all_media_failed_doc_gets_margin_zero_not_null(spark):
+    """Round-4 review: a doc whose EVERY image failed used to aggregate
+    a NULL doc_min_margin_ppm (F.min skips NULLs), indistinguishable
+    from a media-free doc — the mm gate auto-accepted a total OCR
+    failure.  Error spans now carry margin 0."""
+    docs = synth_documents(spark, 4, seed=5, skew_frac=0.0, media_prob=1.0)
+    empty_media = spark.createDataFrame([], "media_ref string, bytes binary")
+    rows = extract_documents(
+        docs, empty_media, on_error="quarantine", with_margins=True
+    ).collect()
     assert rows
     for r in rows:
-        assert all(s.text is None for s in r.spans if s.kind == "media")
+        has_error = any(s.kind == "error" for s in r.spans)
+        if has_error:
+            assert r.doc_min_margin_ppm == 0, r.doc_id
+
+
+def test_empty_spans_doc_survives_extraction(spark):
+    """Round-4 review: a doc with spans=[] was dropped by the plain
+    explode — absent from output AND from lineage doc counts.  It must
+    come out the other end with spans=[]."""
+    from pyspark.sql import functions as F
+
+    docs = synth_documents(spark, 4, seed=9, skew_frac=0.0)
+    schema = docs.schema
+    empty_doc = spark.createDataFrame(
+        [("doc-empty", [])], schema=schema
+    )
+    media = synth_media(spark, docs)
+    out = extract_documents(docs.unionByName(empty_doc), media).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 5
+    assert by_id["doc-empty"].spans == []
+    # the normal docs are unaffected
+    assert all(len(by_id[f"doc-{i:08d}"].spans) > 0 for i in range(4))
 
 
 def test_corrupt_blob_quarantine_vs_fail(spark):
