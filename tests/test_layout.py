@@ -80,3 +80,33 @@ def test_max_depth_bounds_recursion():
     bw = _bw("iji iji\niji iji", "xy4")  # dotted glyphs invite deep cuts
     for b in xy_cut_blocks(bw):
         assert b[1] <= 4
+
+
+def test_property_blocks_partition_ink_on_random_pages():
+    """Hypothesis-style property over random binary pages (seeded numpy
+    draws — deterministic): leaves are disjoint, tight, cover every ink
+    pixel, and indices are contiguous reading order, at every gap
+    parameterization tried."""
+    rng = np.random.default_rng(404)
+    for trial in range(40):
+        h = int(rng.integers(1, 60))
+        w = int(rng.integers(1, 60))
+        density = rng.uniform(0.02, 0.6)
+        bw = np.where(rng.random((h, w)) < density, 0, 255).astype(np.uint8)
+        min_gy = int(rng.integers(1, 4))
+        min_gx = int(rng.integers(1, 6))
+        blocks = xy_cut_blocks(bw, min_gap_y=min_gy, min_gap_x=min_gx)
+        ink = bw == 0
+        if not ink.any():
+            assert blocks == []
+            continue
+        covered = np.zeros_like(ink)
+        assert [b[0] for b in blocks] == list(range(len(blocks)))
+        for _bi, _d, y0, x0, y1, x1 in blocks:
+            assert 0 <= y0 < y1 <= h and 0 <= x0 < x1 <= w
+            sub = ink[y0:y1, x0:x1]
+            assert sub[0].any() and sub[-1].any()
+            assert sub[:, 0].any() and sub[:, -1].any()
+            assert not covered[y0:y1, x0:x1].any()
+            covered[y0:y1, x0:x1] = True
+        assert not (ink & ~covered).any()
