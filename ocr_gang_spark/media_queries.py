@@ -12,12 +12,36 @@ derives the same ref set relationally from the documents view.
 from __future__ import annotations
 
 import os
+import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .queries import register
 from .synth import spans_from_testdata, synth_media
+
+# ONE definition each for the corpus's relational media_ref
+# reconstruction (used by six oracles) and the python-side ref parser
+# (used by three kernels) — round-4 review: the CTE was six verbatim
+# copies and the regex three, so a span-rule change needed nine
+# synchronized edits.  Lockstep with synth.media_ref_for /
+# spans_from_testdata (1 + doc_id % 2 media spans per doc, seed 42).
+_REF_RE = re.compile(r"doc-(\d+)-(\d+)$")
+
+
+def _ref_key(ref: str) -> tuple:
+    m = _REF_RE.search(ref)
+    return int(m.group(1)), int(m.group(2))
+
+
+def _refs_cte(cols: str = "") -> str:
+    return (
+        "refs AS (\n"
+        f"      SELECT printf('m42-doc-%08d-%d', doc_id, i) AS media_ref{cols}\n"
+        "      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS i)\n"
+        "      WHERE i <= doc_id % 2 + 1)"
+    )
+
 
 _FIXTURES = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
@@ -34,10 +58,7 @@ RESIZE_W, RESIZE_H = 64, 48  # fixed thumbnail dims (media_resize_stats)
     # (1 + doc_id % 2 media spans per doc, spans_from_testdata) and
     # joins it against the committed per-ref metadata
     f"""
-    WITH refs AS (
-      SELECT printf('m42-doc-%08d-%d', doc_id, i) AS media_ref
-      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS i)
-      WHERE i <= doc_id % 2 + 1)
+    WITH {_refs_cte()}
     SELECT f.media_ref, f.fmt, f.width, f.height, f.n_bytes
     FROM read_parquet('{_FIXTURES}/expected_media_meta.parquet') f
     JOIN refs USING (media_ref)
@@ -74,10 +95,7 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crosschecked against the textbook double loop on every 10th doc;
     # fixtures/expected_crosscheck.json "resize")
     f"""
-    WITH refs AS (
-      SELECT printf('m42-doc-%08d-%d', doc_id, i) AS media_ref
-      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS i)
-      WHERE i <= doc_id % 2 + 1)
+    WITH {_refs_cte()}
     SELECT f.media_ref, f.src_w, f.src_h, f.ink_src, f.ink_thumb
     FROM read_parquet('{_FIXTURES}/expected_resize.parquet') f
     JOIN refs USING (media_ref)
@@ -253,10 +271,7 @@ def pdf_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DUPLICATE GROUPING itself is pure SQL over that table, so the
     # oracle pins both the kernel values and the group/keeper logic
     f"""
-    WITH refs AS (
-      SELECT printf('m42-doc-%08d-%d', doc_id, i) AS media_ref
-      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS i)
-      WHERE i <= doc_id % 2 + 1),
+    WITH {_refs_cte()},
     g AS (
       SELECT f.phash, f.verify, CAST(COUNT(*) AS BIGINT) AS n_imgs,
              CAST(MIN(CAST(regexp_extract(f.media_ref, 'doc-([0-9]+)-([0-9]+)$', 1)
@@ -301,13 +316,11 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper travels through the aggregate as a packed BIGINT key
     (min(string) ref would silently degrade the pivot to SortAggregate
     — plan-pinned) and is re-rendered after."""
-    import re
 
     from .kernels.bmp import decode_media_blob
     from .kernels.image_ops import binarize, phash64, phash_verify
     from .synth import blob_for_dedup_ref
 
-    _REF_RE = re.compile(r"doc-(\d+)-(\d+)$")
     docs = spans_from_testdata(spark, sf_dir)
     media = synth_media(spark, docs, blob_fn=blob_for_dedup_ref)
 
@@ -322,10 +335,9 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # hyphen (code-review fix; decode_quarantine_stats already
                 # parses this way).  min over the packed BIGINT == min
                 # (doc_id, span_idx), the deterministic keeper rule.
-                m = _REF_RE.search(ref)
+                d, i = _ref_key(ref)
                 rows.append(
-                    (ref, phash64(bw), phash_verify(bw),
-                     int(m.group(1)) * 10 + int(m.group(2)))
+                    (ref, phash64(bw), phash_verify(bw), d * 10 + i)
                 )
             yield pd.DataFrame(
                 rows, columns=["media_ref", "phash", "verify", "ref_key"]
@@ -372,10 +384,7 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-derivation; expected_crosscheck.json "cdc"); the duplicate
     # grouping itself is pure SQL over that table
     f"""
-    WITH refs AS (
-      SELECT printf('m42-doc-%08d-%d', doc_id, i) AS media_ref
-      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS i)
-      WHERE i <= doc_id % 2 + 1),
+    WITH {_refs_cte()},
     g AS (
       SELECT f.chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
              CAST(MIN(f.length) AS BIGINT) AS chunk_bytes,
@@ -413,12 +422,10 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     transfer dedup — is actually computed: chunk fingerprint tables,
     never pairwise byte compares).  The keeper travels as a packed
     BIGINT (min(string) would degrade the agg to SortAggregate)."""
-    import re
 
     from .kernels.cdc import cdc_chunks
     from .synth import blob_for_cdc_ref
 
-    _REF_RE = re.compile(r"doc-(\d+)-(\d+)$")
     docs = spans_from_testdata(spark, sf_dir)
     media = synth_media(spark, docs, blob_fn=blob_for_cdc_ref)
 
@@ -426,8 +433,8 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for ref, blob in zip(pdf["media_ref"], pdf["bytes"]):
-                m = _REF_RE.search(ref)
-                key = int(m.group(1)) * 10 + int(m.group(2))
+                d, i = _ref_key(ref)
+                key = d * 10 + i
                 for _idx, _off, length, md5hex in cdc_chunks(bytes(blob)):
                     rows.append((ref, length, md5hex, key))
             yield pd.DataFrame(
@@ -476,11 +483,7 @@ _QUAR_TRUNC = 16
 @register(
     "decode_quarantine_stats",
     f"""
-    WITH refs AS (
-      SELECT printf('m42-doc-%08d-%d', doc_id, i) AS media_ref,
-             doc_id, i
-      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS i)
-      WHERE i <= doc_id % 2 + 1)
+    WITH {_refs_cte(', doc_id, i')}
     SELECT media_ref,
            CASE WHEN (doc_id + i) % 7 = 0 THEN 'quarantined' ELSE 'ok' END
              AS status
@@ -497,7 +500,6 @@ def decode_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline; the quarantine rows are the dead-letter table a resumable
     run writes next to its checkpoint ledger instead of retrying
     poisoned partitions forever."""
-    import re as _re
 
     from .kernels.bmp import decode_media_blob
 
@@ -505,12 +507,10 @@ def decode_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, docs)
 
     def classify(batches):
-        pat = _re.compile(r"doc-(\d+)-(\d+)$")
         for pdf in batches:
             rows = []
             for ref, blob in zip(pdf["media_ref"], pdf["bytes"]):
-                m = pat.search(ref)
-                doc_id, i = int(m.group(1)), int(m.group(2))
+                doc_id, i = _ref_key(ref)
                 data = bytes(blob)
                 if (doc_id + i) % 7 == 0:  # the injected corruption
                     data = data[:_QUAR_TRUNC]
@@ -533,10 +533,7 @@ def decode_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recursion on every CROSSCHECK_EVERY-th doc;
     # fixtures/expected_crosscheck.json "layout")
     f"""
-    WITH refs AS (
-      SELECT printf('m42-doc-%08d-%d', doc_id, i) AS media_ref
-      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS i)
-      WHERE i <= doc_id % 2 + 1)
+    WITH {_refs_cte()}
     SELECT f.media_ref, f.block_idx, f.depth, f.y0, f.x0, f.y1, f.x1
     FROM read_parquet('{_FIXTURES}/expected_layout.parquet') f
     JOIN refs USING (media_ref)

@@ -24,7 +24,6 @@ from pyspark.sql import Window as W
 
 from .queries import load, register
 from .textops import (
-    EMB_DIM,
     _kmeans_assign,
     _kmeans_c1,
     _kmeans_duck_ctes,

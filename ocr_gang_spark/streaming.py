@@ -208,6 +208,30 @@ def sessionize_stream(
     )
 
 
+def _stream_work_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(tag, sf_dir, pid) work dir, wiped and rebuilt
+    on each call — the snapshot-ingest rule generalized to every
+    streaming driver entry (round-4 review: seven entries still leaked
+    a fresh mkdtemp of corpus-sized slices/checkpoints per invocation).
+    Deterministic per process, disjoint across processes, so repeated
+    bench/correctness runs reuse ONE path and concurrent gates on the
+    same sf never race each other's files.  Within one process,
+    consume the returned frame before calling the same entry again
+    (the rebuild deletes the files the lazy plan points at)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    work = _os.path.join(
+        tempfile.gettempdir(),
+        f"ocrgang_{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_p{_os.getpid()}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    _os.makedirs(work, exist_ok=True)
+    return work
+
+
 def _slice_pred(lo_e: int, step: int, k: int):
     return (
         (F.unix_timestamp("ts") >= lo_e + k * step)
@@ -223,11 +247,19 @@ def _write_time_sliced(spark: SparkSession, sf_dir: str, out_dir: str,
     ``extra_rows(k, events, lo_e, step)`` may return a DataFrame to
     union into slice ``k`` (e.g. injected duplicates)."""
     import os
-    import time as _time
+    from datetime import timezone
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
-    lo_e, hi_e = int(lo.timestamp()), int(hi.timestamp()) + 1
+    # events.ts is TIMESTAMP_NTZ, so .first() hands back NAIVE UTC
+    # wall-clock datetimes; naive .timestamp() would interpret them in
+    # the HOST timezone while _slice_pred's unix_timestamp uses the
+    # session tz (pinned UTC) — on any non-UTC host the slices would
+    # shift by the UTC offset and silently drop the first hours of the
+    # corpus (round-4 review; latent here because this box runs UTC).
+    # Pin the epoch conversion to UTC explicitly.
+    lo_e = int(lo.replace(tzinfo=timezone.utc).timestamp())
+    hi_e = int(hi.replace(tzinfo=timezone.utc).timestamp()) + 1
     step = max(1, (hi_e - lo_e + n_files - 1) // n_files)
     os.makedirs(out_dir, exist_ok=True)
     for k in range(n_files):
@@ -240,8 +272,10 @@ def _write_time_sliced(spark: SparkSession, sf_dir: str, out_dir: str,
         part.coalesce(1).write.mode("overwrite").parquet(path)
         for root, _dirs, files in os.walk(path):
             for fn in files:
+                # the explicit stamps ARE the ordering the file-stream
+                # source reads (oldest mtime first) — no wall-clock
+                # dependence
                 os.utime(os.path.join(root, fn), (1e9 + k, 1e9 + k))
-        _time.sleep(0.01)
     return out_dir
 
 
@@ -401,7 +435,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"t_stream_wc_{next(_qid)}"
     return windowed_event_counts_stream(
-        spark, sf_dir, checkpoint=tempfile.mkdtemp(prefix="ocrgang_stream_"),
+        spark, sf_dir, checkpoint=_stream_work_dir("swc", sf_dir) + "/cp",
         out_table=name,
     )
 
@@ -427,7 +461,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     name = f"t_stream_dedup_{next(_qid)}"
-    work = tempfile.mkdtemp(prefix="ocrgang_sdedup_")
+    work = _stream_work_dir("sdedup", sf_dir)
     events_dir = write_events_with_dups(spark, sf_dir, f"{work}/ev")
     return dedup_events_stream(
         spark, events_dir, checkpoint=f"{work}/cp", out_table=name,
@@ -594,7 +628,7 @@ def stream_extraction_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spans_from_testdata(spark, sf_dir)
     media = synth_media(spark, docs)
-    work = tempfile.mkdtemp(prefix="ocrgang_stream_ext_")
+    work = _stream_work_dir("sext", sf_dir)
     out = extraction_stream(spark, docs, media, work)
     return (
         out.select("doc_id", F.posexplode("spans").alias("pos", "s"))
@@ -641,7 +675,7 @@ def stream_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spans_from_testdata(spark, sf_dir)
     media = synth_media(spark, docs)
     weights_bc = broadcast_weights(spark)
-    work = tempfile.mkdtemp(prefix="ocrgang_sconf_")
+    work = _stream_work_dir("sconf", sf_dir)
     in_dir = _os.path.join(work, "in")
     out_dir = _os.path.join(work, "out")
     cp_dir = _os.path.join(work, "cp")
@@ -703,8 +737,10 @@ def stream_quality_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .textops import quality_decisions_from
 
-    (docs,) = _load_docs(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="ocrgang_squal_")
+    from .queries import load
+
+    (docs,) = load(spark, sf_dir, "documents")
+    work = _stream_work_dir("squal", sf_dir)
     in_dir = _os.path.join(work, "in")
     out_dir = _os.path.join(work, "out")
     cp_dir = _os.path.join(work, "cp")
@@ -732,11 +768,6 @@ def stream_quality_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return read_batches(spark, out_dir)
 
-
-def _load_docs(spark: SparkSession, sf_dir: str):
-    from .queries import load
-
-    return load(spark, sf_dir, "documents")
 
 
 # ---------------------------------------------------------------------------
@@ -825,7 +856,7 @@ def stream_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     name = f"t_stream_attr_{next(_qid)}"
-    work = tempfile.mkdtemp(prefix="ocrgang_sattr_")
+    work = _stream_work_dir("sattr", sf_dir)
     events_dir = write_time_split_events(spark, sf_dir, f"{work}/ev")
     return attribution_join_stream(
         spark, events_dir, checkpoint=f"{work}/cp", out_table=name,
@@ -938,7 +969,7 @@ def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log = base.unionAll(upd).unionAll(dele)
 
-    work = tempfile.mkdtemp(prefix="ocrgang_cdc_")
+    work = _stream_work_dir("scdc", sf_dir)
     in_dir = _os.path.join(work, "in")
     tbl_dir = _os.path.join(work, "tbl")
     cp_dir = _os.path.join(work, "cp")
@@ -1002,7 +1033,7 @@ def stream_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import load
 
     (docs,) = load(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="ocrgang_scap_")
+    work = _stream_work_dir("scap", sf_dir)
     in_dir = _os.path.join(work, "in")
     out_dir = _os.path.join(work, "out")
     cp_dir = _os.path.join(work, "cp")
@@ -1052,7 +1083,7 @@ def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import load
 
     (docs,) = load(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="ocrgang_swarc_")
+    work = _stream_work_dir("swarc", sf_dir)
     in_dir = _os.path.join(work, "in")
     out_dir = _os.path.join(work, "out")
     cp_dir = _os.path.join(work, "cp")
