@@ -92,7 +92,7 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_resize_stats",
     # same relational ref-set reconstruction as media_metadata, joined
     # to the committed per-ref resize fixture (generation-time
-    # crosschecked against the textbook double loop on every 10th doc;
+    # crosschecked against the textbook double loop on every doc;
     # fixtures/expected_crosscheck.json "resize")
     f"""
     WITH {_refs_cte()}

@@ -150,10 +150,14 @@ def hough_deskew(spark: SparkSession, sf_dir: str) -> DataFrame:
     Detection accuracy is a function of page size (measured on this
     corpus, pinned by tests/test_preproc.py): 99% of pages in the top
     ink quartile detect within one 0.25-degree grid step, ~90% overall
-    — the misses are single-short-line pages where the applied rotation
-    moves the line ends by under a pixel, which no estimator can
-    resolve.  ``n_ink`` is included so the accuracy-vs-size relation is
-    directly queryable."""
+    — the misses are pages whose estimator INPUT carries no multi-line
+    signal: single-short-line pages where the rotation moves the line
+    ends by under a pixel, and (found at 100%-density cross-derivation,
+    round 4) pages whose rotation displaces rows by more than the line
+    gap so the runs merge into one — both documented limitation classes
+    of projection/Hough-profile deskew, exempted by the generation-time
+    preconditions in scripts/make_expected.py.  ``n_ink`` is included
+    so the accuracy-vs-size relation is directly queryable."""
     return _preproc_df(spark, sf_dir).select(
         "media_ref", "applied_deg", "detected_deg",
         F.col("ink_fixed").alias("n_ink"),

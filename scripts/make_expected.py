@@ -90,11 +90,11 @@ def corpus_key_of(sf_dir: str) -> str:
 # recorded in fixtures/expected_crosscheck.json; see FIXTURES.md.
 # ---------------------------------------------------------------------------
 
-# every 4th doc's refs re-derived independently (raised from 10 in
+# EVERY doc's refs re-derived independently (raised from 10 in
 # round 4, VERDICT r3 #9 — the brute-force derivations fail loudly on
 # disagreement, so a higher sample rate is pure extra assurance at
 # fixture-generation cost only)
-CROSSCHECK_EVERY = 4
+CROSSCHECK_EVERY = 1
 
 
 def _brute_otsu(gray: np.ndarray) -> int:
@@ -186,19 +186,29 @@ def crosscheck_preproc_row(ref: str, row: tuple) -> None:
     assert (max(areas) if areas else 0) == max_area, f"{ref}: max_area mismatch"
     # independent truth for the deskew row is the INJECTED angle: the
     # estimate must recover it to grid resolution WHEN the estimator's
-    # design assumptions hold.  Surveyed across the corpus, every miss
-    # is a single-text-line page — the sum-of-squares row-profile
-    # criterion needs the periodic structure of multiple lines (single
-    # lines: errors up to 1.25 deg; multi-line pages: all within one
-    # 0.25 deg grid step).  Tiny pages are additionally exempt because
-    # the rotation moves edge pixels by under a pixel (26x27 at
-    # 1.75 deg: 0.4 px).  Preconditions: >= 2 text lines AND >= 2 px
-    # edge displacement; under them the strict grid-step tolerance.
+    # design assumptions hold.  The preconditions are evaluated on the
+    # ROTATED page — the estimator's actual input — not the straight
+    # source (round-4: density-2 sampling caught a 3-line page whose
+    # 5.75 deg rotation displaces rows by 16.6 px against 1-2 px line
+    # gaps, merging every line into ONE ink run; a projection/Hough
+    # profile method has no multi-line signal left to lock onto, the
+    # documented limitation class).  Surveyed across the corpus, every
+    # miss is a page whose estimator input has < 2 separated line runs
+    # (single-line originals, tiny pages, or gap-merging rotations);
+    # multi-run inputs all land within one 0.25 deg grid step.  Tiny
+    # pages are additionally exempt because the rotation moves edge
+    # pixels by under a pixel (26x27 at 1.75 deg: 0.4 px).
+    # Preconditions: >= 2 text-line runs IN THE ROTATED INPUT and
+    # >= 2 px edge displacement; under them the strict tolerance.
     import math
 
+    from ocr_gang_spark.kernels.preproc import rotate_nn
+
     h, w = gray.shape
-    bw_ink = gray < 180
-    row_has_ink = bw_ink.any(axis=1)
+    rot = rotate_nn(
+        np.where(gray < 180, np.uint8(0), np.uint8(255)), applied, fill=255
+    )
+    row_has_ink = (rot == 0).any(axis=1)
     n_lines = int(np.sum(np.diff(np.r_[0, row_has_ink.astype(np.int8), 0]) == 1))
     displacement = max(h, w) / 2.0 * math.sin(math.radians(abs(applied)))
     if n_lines >= 2 and displacement >= 2.0:
@@ -322,9 +332,29 @@ def expected_confidence_rows_for(sf_dir: str, weights):
                         if m is not None]
                 assert len(mats) == n, f"{ref}: glyph count mismatch"
                 if mats:
+                    from ocr_gang_spark.kernels.nn import classify_margin_ppm
+
                     brute = [_brute_margin_ppm(m, weights) for m in mats]
-                    assert min(brute) == mn, f"{ref}: brute min margin mismatch"
-                    assert sum(brute) == sm, f"{ref}: brute sum margin mismatch"
+                    kern = [
+                        int(v)
+                        for v in classify_margin_ppm(np.stack(mats), weights)[1]
+                    ]
+                    # +-1 ppm per glyph: the brute path (dense conv,
+                    # math.exp, left-to-right sums) and the kernel
+                    # (LUT conv — bit-identical flat — np.exp, numpy
+                    # sums) are INDEPENDENT float64 chains, and a glyph
+                    # whose softmax gap sits exactly on a ppm floor
+                    # boundary can land one integer apart (found at
+                    # every-doc density: one near-certain glyph floored
+                    # to 1000000 vs 999999).  The fixture value is the
+                    # kernel's; the brute bound is the independence
+                    # gate, and 1 ppm is the discretization ulp.
+                    assert all(
+                        abs(a - b) <= 1 for a, b in zip(kern, brute)
+                    ), f"{ref}: brute glyph margins diverge beyond 1 ppm"
+                    assert min(kern) == mn and sum(kern) == sm, (
+                        f"{ref}: page stats disagree with per-glyph kernel"
+                    )
                 crosschecked.append(ref)
     return rows, crosschecked
 
