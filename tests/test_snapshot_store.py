@@ -700,3 +700,30 @@ def test_stage_loses_to_concurrent_commit_loudly(spark, tmp_path):
     assert all(not m.get("staged") for m in ss.snapshot_log(tbl))
     # the loser's data dir is sweepable garbage
     assert ss.expire_snapshots(tbl, keep_last=10)["removed_data_dirs"]
+
+
+def test_commit_lock_excludes_across_processes(tmp_path):
+    """_commit_lock is fcntl.flock, so exclusion must hold between
+    PROCESSES, not just threads (the hammer test above shares one
+    interpreter).  Two workers increment a non-atomic counter file 200
+    times each under the lock; any interleaving loses increments."""
+    import multiprocessing as mp
+
+    tbl = str(tmp_path / "t")
+    counter = tmp_path / "counter.txt"
+    counter.write_text("0")
+
+    def worker(n):
+        for _ in range(n):
+            with ss._commit_lock(tbl):
+                v = int(counter.read_text())
+                counter.write_text(str(v + 1))
+
+    ctx = mp.get_context("fork")
+    ps = [ctx.Process(target=worker, args=(200,)) for _ in range(2)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+        assert p.exitcode == 0
+    assert counter.read_text() == "400"
