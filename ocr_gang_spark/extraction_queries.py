@@ -396,11 +396,9 @@ def html_strip_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans_from_testdata HTML template, then strips it — putting the
     boilerplate-removal branches (not just the identity property) under
     the driver's value hash (VERDICT r1 'what's wrong' item 4)."""
+    from .synth import BOILERPLATE_TPL as tpl
+
     (docs,) = load(spark, sf_dir, "documents")
-    tpl = (
-        "<head><title>t</title></head><div>%s</div>"
-        "<script>var x=1;</script><p>tail &amp; done</p>"
-    )
 
     @F.pandas_udf("string")
     def wrap_strip_udf(texts: pd.Series) -> pd.Series:
@@ -795,13 +793,7 @@ def interleaved_text_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, docs)
     out = extract_documents(docs, media, broadcast_weights(spark))
     rendered = rendered_interleaved_expr("spans")
-    n_media = F.aggregate(
-        F.transform(
-            "spans", lambda s: F.when(s.kind == "media", 1).otherwise(0)
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    n_media = F.size(F.filter("spans", lambda s: s.kind == F.lit("media")))
     return out.select(
         "doc_id",
         F.size("spans").cast("bigint").alias("n_spans"),
@@ -924,18 +916,29 @@ WARC_ORACLE_SQL = f"""
     """
 
 
-def _warc_record_for_doc(did: int, text: str, lang: str) -> bytes:
+def _warc_record_for_doc(
+    did: int,
+    text: str,
+    lang: str | None = None,
+    body: bytes | None = None,
+) -> bytes:
     """One encoded WARC response record for a document row — the ONE
-    source of the synthetic archive format (batch + stream builders)."""
+    source of the synthetic archive format (batch + stream builders AND
+    warc_extract_main_content, which passes its own HTML ``body``;
+    round-4 review folded its verbatim copy of the status rule / URI /
+    record headers back in here).  ``body`` defaults to the raw text;
+    ``lang`` adds the X-Content-Lang header when given."""
     from .kernels.warc import encode_http_response, encode_warc_record
 
     nf = did % 17 == 0
+    http_headers = [("Content-Type", "text/html; charset=utf-8")]
+    if lang is not None:
+        http_headers.append(("X-Content-Lang", lang))
     http = encode_http_response(
         404 if nf else 200,
         "Not Found" if nf else "OK",
-        [("Content-Type", "text/html; charset=utf-8"),
-         ("X-Content-Lang", lang)],
-        text.encode("utf-8"),
+        http_headers,
+        text.encode("utf-8") if body is None else body,
     )
     return encode_warc_record(
         "response",
@@ -1073,10 +1076,8 @@ def warc_extract_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_warc_responses,
     )
 
-    tpl = (
-        "<head><title>t</title></head><div>%s</div>"
-        "<script>var x=1;</script><p>tail &amp; done</p>"
-    )
+    from .synth import BOILERPLATE_TPL as tpl
+
     (docs,) = load(spark, sf_dir, "documents")
     d = docs.select(
         (F.col("doc_id") / _WARC_DOCS_PER_FILE).cast("bigint").alias("file_id"),
@@ -1098,22 +1099,9 @@ def warc_extract_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
                         b"<html>gone</html>" if nf
                         else (tpl % r["text"]).encode("utf-8")
                     )
-                    http = encode_http_response(
-                        404 if nf else 200,
-                        "Not Found" if nf else "OK",
-                        [("Content-Type", "text/html; charset=utf-8")],
-                        body,
+                    encoded.append(
+                        _warc_record_for_doc(did, r["text"], body=body)
                     )
-                    encoded.append(encode_warc_record(
-                        "response",
-                        [("WARC-Record-ID", f"<urn:synth:doc-{did}>"),
-                         ("WARC-Target-URI",
-                          f"https://host{did % 7}.example.com/doc/{did}"),
-                         ("WARC-Date", "2026-01-01T00:00:00Z"),
-                         ("Content-Type",
-                          "application/http;msgtype=response")],
-                        http,
-                    ))
                 blobs.append((int(fid), encode_warc_file(encoded, str(fid))))
             yield pd.DataFrame(blobs, columns=["file_id", "blob"])
 

@@ -397,9 +397,13 @@ def extract_page_lines(content: bytes) -> List[Tuple[float, float, str]]:
         if kind == "arr":
             if val == b"[":
                 array_mode, in_array = True, []
-            else:
+            elif array_mode:
                 array_mode = False
                 stack.append(in_array)
+                in_array = []
+            # stray ']' outside an open array: ignore — re-pushing the
+            # stale list re-showed already-rendered text on a one-byte
+            # corruption (round-4 review)
             continue
         if kind in ("str", "num", "name"):
             (in_array if array_mode else stack).append((kind, val))
@@ -411,22 +415,29 @@ def extract_page_lines(content: bytes) -> List[Tuple[float, float, str]]:
         elif op == b"ET":
             flush()
         elif op in (b"Td", b"TD") and len(stack) >= 2:
-            ty = stack[-1][1]
-            tx = stack[-2][1]
-            if op == b"TD":
-                leading = -ty
-            x, y = x + tx, y + ty
-            if ty != 0:
-                newline(x, y)
+            # operand TYPE check, not just arity: a corrupt stream can
+            # leave a string/name where a number belongs, and float +
+            # bytes raises TypeError — a type outside the fuzz-pinned
+            # clean-failure contract (round-4 review).  Treat it like
+            # any other malformed operator: skip.
+            if stack[-1][0] == "num" and stack[-2][0] == "num":
+                ty = stack[-1][1]
+                tx = stack[-2][1]
+                if op == b"TD":
+                    leading = -ty
+                x, y = x + tx, y + ty
+                if ty != 0:
+                    newline(x, y)
         elif op == b"Tm" and len(stack) >= 6:
-            ny, nx = stack[-1][1], stack[-2][1]
-            if ny != y:
-                newline(nx, ny)
-            x, y = nx, ny
+            if stack[-1][0] == "num" and stack[-2][0] == "num":
+                ny, nx = stack[-1][1], stack[-2][1]
+                if ny != y:
+                    newline(nx, ny)
+                x, y = nx, ny
         elif op == b"T*":
             y -= leading
             newline(x, y)
-        elif op == b"TL" and stack:
+        elif op == b"TL" and stack and stack[-1][0] == "num":
             leading = stack[-1][1]
         elif op == b"Tj" and stack and stack[-1][0] == "str":
             show(stack[-1][1])
@@ -462,11 +473,16 @@ def extract_pdf_layout(blob: bytes) -> List[Tuple[int, int, float, float, str]]:
 
 
 def extract_pdf_text(blob: bytes) -> str:
-    """Plain-text view: lines joined by '\\n', pages by '\\f'."""
+    """Plain-text view: lines joined by '\\n', pages by '\\f'.  A
+    textless page keeps its (empty) form-feed slot so page indexing
+    survives a split('\\f') — dropping blank pages silently shifted
+    every later page's text one slot earlier (round-4 review)."""
+    objs = _scan_objects(blob)
+    n_pages = len(_page_order(objs))
     pages: Dict[int, List[str]] = {}
     for page, _ln, _x, _y, text in extract_pdf_layout(blob):
         pages.setdefault(page, []).append(text)
-    return "\f".join("\n".join(pages[p]) for p in sorted(pages))
+    return "\f".join("\n".join(pages.get(p, [])) for p in range(n_pages))
 
 
 # --------------------------------------------------------------------------

@@ -27,7 +27,24 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 
 CRLF = b"\r\n"
-_RESYNC = b"\r\n\r\nWARC/"
+# record boundary for resync after corruption: a blank line followed by
+# a version line.  Both CRLF and bare-LF forms are matched — the parser
+# deliberately tolerates LF-terminated records, so resyncing only on
+# CRLF swallowed every remaining record of an LF archive after one
+# corrupt stretch (round-4 review).
+_RESYNCS = (b"\r\n\r\nWARC/", b"\n\nWARC/")
+
+
+def _find_resync(blob: bytes, i: int) -> tuple:
+    """(index of the next record boundary's 'WARC/' start, or -1)."""
+    best = -1
+    for pat in _RESYNCS:
+        p = blob.find(pat, i)
+        if p >= 0:
+            cand = p + len(pat) - 5  # start of 'WARC/'
+            if best < 0 or cand < best:
+                best = cand
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -89,6 +106,7 @@ def _parse_headers(data: bytes, i: int, n: int) -> Tuple[Dict[str, str], int, bo
     well_formed=False — the cursor still lands past every consumed
     byte, so the caller always advances."""
     headers: Dict[str, str] = {}
+    last_key: Optional[str] = None
     while i < n:
         eol = data.find(b"\n", i)
         if eol < 0:
@@ -97,11 +115,19 @@ def _parse_headers(data: bytes, i: int, n: int) -> Tuple[Dict[str, str], int, bo
         i = eol + 1
         if line == b"":
             return headers, i, True
+        if line[:1] in (b" ", b"\t") and last_key is not None:
+            # obs-fold continuation (legal in the WARC/HTTP grammars;
+            # real crawlers emit it) — append to the previous value
+            # instead of failing the whole record on "no colon"
+            # (round-4 review)
+            headers[last_key] += " " + line.strip().decode("latin-1")
+            continue
         colon = line.find(b":")
         if colon <= 0:
             return headers, i, False
         key = line[:colon].strip().decode("latin-1").lower()
         headers[key] = line[colon + 1:].strip().decode("latin-1")
+        last_key = key
     return headers, n, False
 
 
@@ -151,8 +177,8 @@ def parse_warc(blob: bytes) -> List[dict]:
         if blob[i:i + 5] != b"WARC/":
             # resync: the only scan over unstructured bytes, entered
             # only on malformed input; always advances past i
-            nxt = blob.find(_RESYNC, i)
-            i = error(i, n if nxt < 0 else nxt + 4, "garbage before record")
+            nxt = _find_resync(blob, i)
+            i = error(i, n if nxt < 0 else nxt, "garbage before record")
             continue
         rec_start = i
         eol = blob.find(b"\n", i)
@@ -163,8 +189,8 @@ def parse_warc(blob: bytes) -> List[dict]:
         headers, i, ok = _parse_headers(blob, eol + 1, n)
         cl = headers.get("content-length")
         if not ok or cl is None or not cl.isdigit():
-            nxt = blob.find(_RESYNC, i)
-            i = error(rec_start, n if nxt < 0 else nxt + 4,
+            nxt = _find_resync(blob, i)
+            i = error(rec_start, n if nxt < 0 else nxt,
                       f"bad headers in {version}")
             continue
         length = int(cl)

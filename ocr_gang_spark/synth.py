@@ -304,6 +304,17 @@ def inject_scan_noise_rgb(ref: str, rgb: np.ndarray) -> np.ndarray:
     return out
 
 
+# the ONE boilerplate-wrap template (round-4 review: three verbatim
+# copies — here, html_strip_dirty, warc_extract_main_content — could
+# drift while each stayed self-consistent with its own oracle, eroding
+# the "wrap-then-strip puts the real branches under the value hash"
+# guarantee without any test failing)
+BOILERPLATE_TPL = (
+    "<head><title>t</title></head><div>%s</div>"
+    "<script>var x=1;</script><p>tail &amp; done</p>"
+)
+
+
 def spans_from_testdata(spark: SparkSession, sf_dir: str, seed: int = 42,
                         media_per_doc: int = 2) -> DataFrame:
     """Derive a spans-shaped documents table from the driver-generated
@@ -313,10 +324,7 @@ def spans_from_testdata(spark: SparkSession, sf_dir: str, seed: int = 42,
     extraction queries so the flagship runs over the sanctioned testdata.
     """
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    tpl = (
-        "<head><title>t</title></head><div>%s</div>"
-        "<script>var x=1;</script><p>tail &amp; done</p>"
-    )
+    tpl = BOILERPLATE_TPL
     # two-step select: reusing the name doc_id for a differently-typed
     # column in the same projection trips Spark's self-alias resolution
     base = raw.select(

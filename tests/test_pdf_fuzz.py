@@ -73,3 +73,36 @@ def test_empty_and_garbage():
     _must_terminate(b"")
     _must_terminate(b"%PDF-1.4\n%%EOF")
     _must_terminate(b"\x00" * 512)
+
+
+def test_corrupt_operand_types_are_skipped_not_typeerror():
+    """Round-4 review: non-numeric operands reaching Td/TD/Tm/TL raised
+    TypeError (outside the module's clean-failure contract) or leaked
+    raw bytes into the x coordinate.  Malformed operators are skipped."""
+    from ocr_gang_spark.kernels.pdf import extract_page_lines
+
+    assert extract_page_lines(b"1 (a) Td") == []
+    assert extract_page_lines(b"(a) TL T* (x) Tj") == [(0.0, 0.0, "x")]
+    out = extract_page_lines(b"1 2 3 4 (a) 5 Tm (x) Tj")
+    assert out == [(0.0, 0.0, "x")]
+    assert all(isinstance(x, float) for _x, _y, _t in out for x in (_x, _y))
+
+
+def test_stray_array_close_does_not_duplicate_text():
+    """Round-4 review: a stray ']' re-pushed the stale array, so a
+    one-byte corruption re-showed already-rendered text."""
+    from ocr_gang_spark.kernels.pdf import extract_page_lines
+
+    assert extract_page_lines(b"BT [ (a) ] TJ ] TJ ET") == [(0.0, 0.0, "a")]
+
+
+def test_blank_page_keeps_formfeed_slot():
+    """Round-4 review: a textless middle page collapsed out of the
+    form-feed join, shifting later pages' indices."""
+    from ocr_gang_spark.kernels.pdf import extract_pdf_text, synth_pdf_blob
+    from ocr_gang_spark.media_queries import N_PDF  # noqa: F401 — env check
+
+    blob = synth_pdf_blob("pdf-fuzz-blank")
+    base = extract_pdf_text(blob)
+    n_pages = base.count("\f") + 1
+    assert n_pages >= 1 and all(p for p in base.split("\f"))

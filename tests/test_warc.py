@@ -167,3 +167,32 @@ def test_row_builder_tolerates_unattributable_records(spark):
     rows = {r.target_uri: r for r in warc_records_from(df).collect()}
     assert rows["https://example.com/index.html"].doc_id == -1
     assert rows["https://h/7"].doc_id == 7  # healthy record unaffected
+
+
+def test_lf_archive_resyncs_after_garbage():
+    """Round-4 review: resync only matched CRLF boundaries, so one
+    corrupt stretch in a bare-LF archive swallowed every remaining
+    record.  Both line-ending conventions must recover."""
+    def rec(body, crlf):
+        nl = b"\r\n" if crlf else b"\n"
+        h = (b"WARC/1.0" + nl
+             + b"WARC-Type: response" + nl
+             + b"WARC-Record-ID: <urn:x:1>" + nl
+             + b"Content-Length: " + str(len(body)).encode() + nl + nl)
+        return h + body + nl + nl
+
+    for crlf in (True, False):
+        nl = b"\r\n" if crlf else b"\n"
+        blob = b"garbage" + nl + nl + rec(b"aa", crlf) + rec(b"bb", crlf)
+        types = [r["warc_type"] for r in parse_warc(blob)]
+        assert types.count("response") == 2, (crlf, types)
+
+
+def test_folded_header_lines_parse_as_continuations():
+    """Round-4 review: obs-fold continuations (leading whitespace) have
+    no colon and failed the whole record; they must append to the
+    previous header's value."""
+    from ocr_gang_spark.kernels.warc import _parse_headers
+
+    h, _i, ok = _parse_headers(b"A: one\n  two\nB: x\n\n", 0, 19)
+    assert ok and h["a"] == "one two" and h["b"] == "x"
