@@ -41,33 +41,26 @@ def _cls_cache(weights: OcrWeights) -> OrderedDict:
     return cache
 
 
-def extract_text(rgb: np.ndarray, weights: OcrWeights) -> str:
-    """OCR one page image ((h, w, 3) uint8 RGB) into its text string."""
-    return ocr_pages_to_text([rgb], weights)[0]
+def _dedup_layouts(pages, cache, binarize_input: bool = True):
+    """The ONE segment/dedup walk every OCR entry point shares
+    (round-4 review: three hand-synchronized copies guaranteed the
+    batch/margin paths' identity only by eyeballing): binarize ->
+    segment (content-addressed matrix memo) -> per-glyph classification
+    cache probe -> novel-matrix dedup.
 
-
-def extract_text_from_bmp(data: bytes, weights: OcrWeights) -> str:
-    return ocr_pages_to_text([decode_bmp(data)], weights)[0]
-
-
-def ocr_pages_to_text(pages: Iterable[np.ndarray], weights: OcrWeights) -> List[str]:
-    """Batched OCR: segmentation per page; classification deduplicated by
-    matrix content and batched across every novel glyph of the batch
-    (one chunked conv + two matmuls total).
-
-    Per-page segmentation is cheap vectorized NumPy; dedup + batching
-    keeps the Python-side and NN work per glyph ~zero for repeats.
-    """
-    cache = _cls_cache(weights)
-    layouts = []  # per page: list of lines, each list of (char|None|int key-slot)
+    Returns (layouts, novel, novel_keys).  Layout slots per line:
+    ``None`` (space) | a cached value (whatever the caller stores —
+    str for the text path, (char, ppm) for the fused path; never int)
+    | an int index into ``novel``.  Callers classify ``novel`` once,
+    update ``cache`` keyed by ``novel_keys``, and resolve int slots."""
+    layouts: List[list] = []
     novel: List[np.ndarray] = []
     novel_keys: List[bytes] = []
-    pending: dict[bytes, int] = {}
-
+    pending: dict = {}
     while len(_MAT_CACHE) > _MAT_CACHE_MAX:
         _MAT_CACHE.popitem(last=False)
-    for rgb in pages:
-        bw = binarize(rgb)
+    for page in pages:
+        bw = binarize(page) if binarize_input else page
         layout = []
         for line in segment_page(bw, matrix_cache=_MAT_CACHE):
             slots = []
@@ -90,6 +83,28 @@ def ocr_pages_to_text(pages: Iterable[np.ndarray], weights: OcrWeights) -> List[
                 slots.append(idx)
             layout.append(slots)
         layouts.append(layout)
+    return layouts, novel, novel_keys
+
+
+def extract_text(rgb: np.ndarray, weights: OcrWeights) -> str:
+    """OCR one page image ((h, w, 3) uint8 RGB) into its text string."""
+    return ocr_pages_to_text([rgb], weights)[0]
+
+
+def extract_text_from_bmp(data: bytes, weights: OcrWeights) -> str:
+    return ocr_pages_to_text([decode_bmp(data)], weights)[0]
+
+
+def ocr_pages_to_text(pages: Iterable[np.ndarray], weights: OcrWeights) -> List[str]:
+    """Batched OCR: segmentation per page; classification deduplicated by
+    matrix content and batched across every novel glyph of the batch
+    (one chunked conv + two matmuls total).
+
+    Per-page segmentation is cheap vectorized NumPy; dedup + batching
+    keeps the Python-side and NN work per glyph ~zero for repeats.
+    """
+    cache = _cls_cache(weights)
+    layouts, novel, novel_keys = _dedup_layouts(pages, cache)
 
     if novel:
         # uint8 {0,1} stack: the binary conv LUT needs no float64 input,
@@ -126,23 +141,16 @@ def page_margin_stats(bw_pages: Iterable[np.ndarray], weights: OcrWeights):
     in the batch — same dedup-and-batch shape as ocr_pages_to_text,
     kept separate so the exact-match text path stays untouched.  Pages
     with zero glyphs return (0, None, 0)."""
-    layouts: List[List[int]] = []  # per page: matrix-slot indices
-    novel: List[np.ndarray] = []
-    pending: dict[bytes, int] = {}
-    for bw in bw_pages:
-        slots = []
-        for line in segment_page(bw):
-            for mat in line:
-                if mat is None:
-                    continue
-                key = mat.tobytes()
-                idx = pending.get(key)
-                if idx is None:
-                    idx = len(novel)
-                    pending[key] = idx
-                    novel.append(mat)
-                slots.append(idx)
-        layouts.append(slots)
+    # same shared walk, with a throwaway cache (this path memoizes
+    # nothing across calls by design) and pre-binarized input; spaces
+    # (None slots) are dropped and lines flattened per page
+    nested, novel, _keys = _dedup_layouts(
+        bw_pages, OrderedDict(), binarize_input=False
+    )
+    layouts = [
+        [s for line in layout for s in line if s is not None]
+        for layout in nested
+    ]
     if novel:
         _, ppm = classify_margin_ppm(np.stack(novel), weights)
     else:
@@ -177,37 +185,7 @@ def ocr_pages_to_text_margins(pages, weights: OcrWeights):
     forward for free.  Separate memo cache (values are (char, ppm)
     pairs) so the exact-match text path's cache shape is untouched."""
     cache = _cls_margin_cache(weights)
-    layouts = []  # per page: list of lines of (str|None|int, ppm|None)
-    novel: List[np.ndarray] = []
-    novel_keys: List[bytes] = []
-    pending: dict[bytes, int] = {}
-
-    while len(_MAT_CACHE) > _MAT_CACHE_MAX:
-        _MAT_CACHE.popitem(last=False)
-    for rgb in pages:
-        bw = binarize(rgb)
-        layout = []
-        for line in segment_page(bw, matrix_cache=_MAT_CACHE):
-            slots = []
-            for mat in line:
-                if mat is None:
-                    slots.append(None)
-                    continue
-                key = mat.tobytes()
-                hit = cache.get(key)
-                if hit is not None:
-                    cache.move_to_end(key)
-                    slots.append(hit)
-                    continue
-                idx = pending.get(key)
-                if idx is None:
-                    idx = len(novel)
-                    pending[key] = idx
-                    novel.append(mat)
-                    novel_keys.append(key)
-                slots.append(idx)
-            layout.append(slots)
-        layouts.append(layout)
+    layouts, novel, novel_keys = _dedup_layouts(pages, cache)
 
     if novel:
         chars, ppms = classify_margin_ppm(np.stack(novel), weights)
