@@ -32,7 +32,12 @@ os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 os.environ.setdefault("MKL_NUM_THREADS", "1")
 
 from ocr_gang_spark.contract import queries as contract_queries  # noqa: E402
-from ocr_gang_spark.hostprobe import QUIET_PROBE_SEC, ProbeSampler  # noqa: E402
+from ocr_gang_spark.hostprobe import (  # noqa: E402
+    HEADLINE_PROBE_SEC,
+    QUIET_PROBE_SEC,
+    ProbeSampler,
+    steal_probe,
+)
 from ocr_gang_spark.pipeline import broadcast_weights, extract_documents  # noqa: E402
 from ocr_gang_spark.session import get_spark  # noqa: E402
 from ocr_gang_spark.synth import synth_documents, synth_media  # noqa: E402
@@ -162,47 +167,63 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=cpus)
     spark.range(1000).count()  # JVM warm-up
+    steal_probe()  # probe warm-up: first call pays numpy first-touch (~1s)
 
     qs = contract_queries()
     timings: dict[str, float] = {}
+    windows: dict[str, tuple[float, float]] = {}
 
-    for name in HEADLINE:
-        t0 = time.time()
-        materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    # ONE sampler spans the whole bench so every query's entry in the
+    # committed artifact carries the probe samples taken DURING it
+    # (VERDICT r4 #1: per-query probe attribution — without it the 0.8
+    # validity floor admitted both a 923 docs/s and an 1157 docs/s
+    # window and the round's headline was unadjudicable)
+    with ProbeSampler(interval=5.0) as ps:
+        for name in HEADLINE:
+            t0 = time.time()
+            materialize(qs[name](spark, sf_dir))
+            t1 = time.time()
+            timings[name] = round(t1 - t0, 3)
+            windows[name] = (t0, t1)
 
-    # flagship extraction input: synthesize + persist at full parallelism
-    # (excluded from timings), then re-read for the timed runs
-    tmp = f"/tmp/ocr_gang_bench_{os.getpid()}"
-    docs = synth_documents(spark, n_synth, seed=42, skew_frac=0.01)
-    media = synth_media(spark, docs)
-    docs.write.mode("overwrite").parquet(f"{tmp}/docs")
-    media.write.mode("overwrite").parquet(f"{tmp}/media")
+        # flagship extraction input: synthesize + persist at full
+        # parallelism (excluded from timings), then re-read
+        tmp = f"/tmp/ocr_gang_bench_{os.getpid()}"
+        docs = synth_documents(spark, n_synth, seed=42, skew_frac=0.01)
+        media = synth_media(spark, docs)
+        docs.write.mode("overwrite").parquet(f"{tmp}/docs")
+        media.write.mode("overwrite").parquet(f"{tmp}/media")
 
-    if extract_cpus != cpus:
-        spark.stop()
-        spark = get_spark("bench-extract", cpus=extract_cpus)
+        if extract_cpus != cpus:
+            spark.stop()
+            spark = get_spark("bench-extract", cpus=extract_cpus)
 
-    for name in HEADLINE_EXTRACT:
-        t0 = time.time()
-        materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        for name in HEADLINE_EXTRACT:
+            t0 = time.time()
+            materialize(qs[name](spark, sf_dir))
+            t1 = time.time()
+            timings[name] = round(t1 - t0, 3)
+            windows[name] = (t0, t1)
 
-    # flagship synthetic-corpus extraction (docs/sec — the BASELINE
-    # metric), with the steal probe sampled DURING the timed run so a
-    # contended measurement window is visible in the JSON itself
-    # (VERDICT r2 #3: BENCH_r02's 153.5 docs/s vs the quiet-window 707.9
-    # baseline was uninterpretable without a probe trace)
-    bc = broadcast_weights(spark)
-    docs_p = spark.read.parquet(f"{tmp}/docs")
-    media_p = spark.read.parquet(f"{tmp}/media")
-    materialize(extract_documents(docs_p.limit(64), media_p, bc))  # worker warm-up
-    with ProbeSampler() as ps:
+        # flagship synthetic-corpus extraction (docs/sec — the BASELINE
+        # metric) with in-window probe evidence (VERDICT r2 #3)
+        bc = broadcast_weights(spark)
+        docs_p = spark.read.parquet(f"{tmp}/docs")
+        media_p = spark.read.parquet(f"{tmp}/media")
+        materialize(extract_documents(docs_p.limit(64), media_p, bc))  # warm-up
         t0 = time.time()
         materialize(extract_documents(docs_p, media_p, bc))
-        dt = time.time() - t0
+        t1 = time.time()
+        dt = t1 - t0
     timings["extract_synth"] = round(dt, 3)
+    windows["extract_synth"] = (t0, t1)
     docs_per_sec = round(n_synth / dt, 2)
+
+    query_probe = {
+        name: ps.samples_between(w0, w1) for name, (w0, w1) in windows.items()
+    }
+    hl = query_probe["extract_synth"]
+    hl_mean = round(sum(hl) / len(hl), 3) if hl else None
 
     total = round(sum(timings.values()), 3)
     conditions = {
@@ -215,15 +236,20 @@ def main() -> None:
         "extract_warmup_excluded": True,
         "synth_docs": n_synth,
         "extract_docs_per_sec": docs_per_sec,
-        # host-contention evidence for the docs/sec number: mean/
-        # max of the single-core steal probe sampled during the
-        # timed run; quiet=false means the window was contended
-        # and the number underestimates the engine (compare
-        # BENCH/BASELINE.md's quiet-window figures)
-        "probe_mean": ps.mean,
-        "probe_max": ps.max,
-        "quiet": ps.quiet,
+        # host-contention evidence: probe_mean/max cover the flagship
+        # extract_synth window (backward-compatible meaning); quiet
+        # (<=0.8) is the VALIDITY floor — below it the number reflects
+        # the engine at all; headline_quiet (<=0.25) is the gate a
+        # COMMITTED headline docs/sec claim must pass (VERDICT r4 #1)
+        "probe_mean": hl_mean,
+        "probe_max": round(max(hl), 3) if hl else None,
+        "quiet": None if hl_mean is None else hl_mean <= QUIET_PROBE_SEC,
         "quiet_probe_threshold_sec": QUIET_PROBE_SEC,
+        "headline_quiet": None if hl_mean is None else hl_mean <= HEADLINE_PROBE_SEC,
+        "headline_probe_threshold_sec": HEADLINE_PROBE_SEC,
+        # whole-bench probe trace summary
+        "bench_probe_mean": ps.mean,
+        "bench_probe_max": ps.max,
     }
 
     # full per-query map -> committed artifact (never on stdout, where
@@ -235,7 +261,7 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(
             {"metric": "headline_suite_seconds", "value": total, "unit": "sec",
-             "queries": timings, **conditions},
+             "queries": timings, "query_probe": query_probe, **conditions},
             f, indent=1, sort_keys=True,
         )
         f.write("\n")

@@ -17,6 +17,13 @@ import time
 # measurement (same threshold as scripts/scaling_bench.py --quiet-probe)
 QUIET_PROBE_SEC = 0.8
 
+# the stricter gate a COMMITTED HEADLINE docs/sec claim must meet
+# (VERDICT r4 #1: the 0.8 validity floor admitted both a 923 docs/s
+# window at probe 0.367 and an 1157 docs/s window at probe 0.206 — a
+# gate that passes ±26% throughput swings cannot certify a headline;
+# 0.25 is ~1.2x this box's unloaded probe of ~0.2)
+HEADLINE_PROBE_SEC = 0.25
+
 
 def steal_probe() -> float:
     """Seconds for a fixed single-core NumPy loop — a host-contention
@@ -44,13 +51,26 @@ class ProbeSampler:
     def __init__(self, interval: float = 10.0):
         self.interval = interval
         self.samples: list[float] = []
+        # (wall-clock time at sample END, duration) — lets a caller that
+        # times multiple queries under ONE sampler attribute each sample
+        # to the query whose window it fell in (VERDICT r4 #1: per-query
+        # probe attribution in the committed bench artifact)
+        self.stamped: list[tuple[float, float]] = []
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
     def _run(self) -> None:
         while not self._stop.is_set():
-            self.samples.append(steal_probe())
+            s = steal_probe()
+            self.samples.append(s)
+            self.stamped.append((time.time(), s))
             self._stop.wait(self.interval)
+
+    def samples_between(self, t0: float, t1: float) -> list[float]:
+        """Probe samples whose measurement window overlapped [t0, t1]
+        (a sample stamped at its END overlaps if end >= t0 and
+        end - duration <= t1)."""
+        return [s for (te, s) in self.stamped if te >= t0 and te - s <= t1]
 
     def __enter__(self) -> "ProbeSampler":
         self._thread.start()
