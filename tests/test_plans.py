@@ -638,6 +638,83 @@ def test_pq_adc_shortlist_rerank_recall(spark):
     assert rows[0]["vec_id"] == 0 and rows[0]["exact_dist"] == 0
 
 
+def test_ivfpq_broadcast_only_joins_two_takeordered(spark):
+    """Composed IVF-PQ (faiss IndexIVFPQ+Refine): the coarse centroids
+    are a driver-side index artifact (probed cell ids re-enter as
+    literals), the PQ codebook / distance table / shortlist / recall
+    set all ride broadcasts — so the data-sized side must never cross a
+    SortMergeJoin or ShuffledHashJoin, both top-k stages must be
+    TakeOrderedAndProject, and the per-(vector, subspace) argmin must
+    be the map-side-combined min(struct) (partial_min), never a
+    row_number window over all K candidates."""
+    from ocr_gang_spark.textops import ann_ivfpq_topk
+
+    plan = plan_of(ann_ivfpq_topk(spark, SF), mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_ivfpq_rerank_recall_and_cell_prune(spark):
+    """The composition must keep the halves' quality contracts: exact
+    re-rank recovers the exact top-10 (recall 1.0 on this corpus —
+    carried in-row), results are ordered by exact distance with the
+    query as its own nearest neighbor, and every hit comes from one of
+    the nprobe=2 probed cells (cells <= 2 distinct values)."""
+    from ocr_gang_spark.textops import IVFPQ_NPROBE, ann_ivfpq_topk
+
+    rows = ann_ivfpq_topk(spark, SF).collect()
+    assert len(rows) == 10
+    ds = [r["exact_dist"] for r in rows]
+    assert ds == sorted(ds)
+    assert rows[0]["vec_id"] == 0 and rows[0]["exact_dist"] == 0
+    assert len({r["cluster"] for r in rows}) <= IVFPQ_NPROBE
+    assert all(r["recall_at_k"] == rows[0]["recall_at_k"] for r in rows)
+
+
+def test_quality_classifier_trained_same_plan_as_formula(spark):
+    """The trained-weights twin must keep the formula model's exact
+    plan shape (the docstring's 'same plan' promise, VERDICT r4 next
+    #6): zero Exchange, zero Python eval, and the same physical node
+    sequence — the 2048-weight array is a folded constant, not a join
+    side or a UDF closure."""
+    import re
+
+    from ocr_gang_spark.textops import (
+        quality_classifier_scores,
+        quality_classifier_trained,
+    )
+
+    p_formula = plan_of(quality_classifier_scores(spark, SF), mode="simple")
+    p_trained = plan_of(quality_classifier_trained(spark, SF), mode="simple")
+    for plan in (p_formula, p_trained):
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+        assert "Join" not in plan
+    # same physical node sequence (expression detail differs, shape not)
+    assert re.findall(r"\b(FileScan|Project|ColumnarToRow)\b", p_formula) == \
+        re.findall(r"\b(FileScan|Project|ColumnarToRow)\b", p_trained)
+
+
+def test_wer_union_two_branch_no_shuffle(spark):
+    """ocr_error_rates' two-branch plan (VERDICT r4 next #4): a union
+    of the ASCII-encoded JVM path and the big-vocab Arrow DP branch —
+    no Exchange beyond _spread's input repartition in either branch, no
+    Join, exactly one MapInPandas (the DP branch), and the ASCII branch
+    still reaches levenshtein in-row (no Python on the common case)."""
+    from ocr_gang_spark.textops import ocr_error_rates
+
+    plan = plan_of(ocr_error_rates(spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert "Union" in plan
+    # _spread repartitions each union branch's input scan: allow those
+    # round-robin exchanges but no hash/shuffle exchange anywhere
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_bpe_large_vocab_map_only_no_join(spark):
     """The 50k-merge encoder is ONE Arrow map pass: the ranked table
     rides a SparkContext broadcast (never a join side), so the plan

@@ -109,6 +109,85 @@ def test_ocr_error_rates_wer_encoding(spark):
                if r["corruption_class"] == 3)
 
 
+def test_wer_big_vocab_returns_value_not_error(spark):
+    """> 94-token joint vocab: r4 failed the job loudly (assert_true);
+    round 5 computes the exact token-level DP instead (VERDICT r4 next
+    #4).  A 150-token-vocab doc and a small doc ride the SAME frame —
+    the small one through the untouched ASCII branch, the big one
+    through the kernels/editdist.py branch — and both must equal the
+    independent textbook DP over the raw token sequences."""
+    from ocr_gang_spark.textops import _error_rate_frame
+
+    # doc_id % 4 == 3 -> clean class (hyp == truth) keeps hand-checking
+    # easy; doc_id % 4 == 1 -> 'a'-deletion class exercises real edits
+    big_truth = " ".join(f"w{i:03d}" for i in range(150))  # 150-tok vocab
+    small_truth = "the a table of a data"
+    docs = spark.createDataFrame(
+        [(3, big_truth), (401, big_truth), (5, small_truth)],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in _error_rate_frame(docs).collect()}
+    assert set(out) == {3, 401, 5}
+
+    import re as _re
+
+    for doc_id, truth in [(3, big_truth), (401, big_truth), (5, small_truth)]:
+        hyp = (_re.sub(r" ?\ba\b ?", " ", truth)
+               if doc_id % 4 == 1 else truth)
+        tt, ht = truth.split(" "), hyp.split(" ")
+        row = out[doc_id]
+        assert row["word_edits"] == _py_lev(tt, ht), doc_id
+        assert row["char_edits"] == _py_lev(truth, hyp), doc_id
+        assert row["wer_ppm"] == row["word_edits"] * 1_000_000 // len(tt)
+        assert row["cer_ppm"] == row["char_edits"] * 1_000_000 // len(truth)
+    # the big clean doc is exactly zero edits; vocab genuinely > 94
+    assert out[3]["word_edits"] == 0
+    assert len(set(big_truth.split(" "))) == 150 > 94
+
+
+def test_token_levenshtein_kernel_matches_textbook():
+    """Property pin for kernels/editdist.py: the vectorized prefix-min
+    DP equals the textbook double loop on random token sequences,
+    including empties and repeated symbols."""
+    import random
+
+    from ocr_gang_spark.kernels.editdist import token_levenshtein
+
+    rng = random.Random(11)
+    for _ in range(300):
+        vocab = [f"t{k}" for k in range(rng.randint(1, 8))]
+        a = [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
+        b = [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
+        assert token_levenshtein(a, b) == _py_lev(a, b), (a, b)
+    assert token_levenshtein([], []) == 0
+    assert token_levenshtein(["x"], []) == 1
+    assert token_levenshtein([], ["x", "y"]) == 2
+
+
+def test_bpe_memo_hit_rate_measured():
+    """Memo economics of bpe_encode_large_vocab, measured not assumed
+    (VERDICT r4 next #7): the kernel's throughput rests on Zipf making
+    the per-word Python encode rare.  Drive the factored batch encoder
+    over the sf0.001 documents and pin that (a) the hit-rate is high,
+    (b) misses == distinct words (each word encoded exactly once per
+    task) — the invariant the executor-log line reports in production."""
+    import pyarrow.parquet as pq
+
+    from ocr_gang_spark.textops import _bpe_encode_pdf, build_large_merge_table
+
+    pdf = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    rank = {p: i for i, p in enumerate(build_large_merge_table())}
+    memo, stats = {}, {"lookups": 0, "hits": 0}
+    out = _bpe_encode_pdf(pdf, rank, memo, stats)
+    assert len(out) == len(pdf)
+    assert stats["lookups"] > 0
+    rate = stats["hits"] / stats["lookups"]
+    assert rate > 0.95, rate  # 31-word vocabulary over ~30k instances
+    assert len(memo) == stats["lookups"] - stats["hits"]
+
+
 def _bpe_inorder_passes(word, merges):
     """Reference semantics of the fold encoder: every merge of the
     table, in order, as one full greedy left-to-right pass."""
@@ -256,29 +335,30 @@ def test_hll_small_range_correction_regimes(spark):
     assert fired > 0 and big > 0
 
 
-def test_ocr_error_rates_vocab_ceiling_fails_loudly(spark, tmp_path):
-    """A document whose joint vocabulary exceeds the 94-token ASCII
-    rank alphabet must FAIL the job with a diagnostic naming the doc —
-    never return a silently-wrong WER (the DuckDB byte-levenshtein
-    oracle diverges from Spark codepoints outside single-byte ASCII).
-    VERDICT r3 #6."""
+def test_ocr_error_rates_vocab_ceiling_via_registered_query(spark, tmp_path):
+    """Lifecycle of the 94-token ASCII ceiling: r3 shipped it as a
+    silent hazard, r4 as a loud assert_true failure, round 5 COMPLETES
+    it — a document whose joint vocabulary exceeds 94 tokens now routes
+    through the exact token-level DP branch of the REGISTERED query and
+    returns a correct value instead of erroring (VERDICT r4 next #4;
+    the constructed-frame variant is test_wer_big_vocab_returns_value_
+    not_error, this one drives the registry entry end to end on a
+    written parquet tier)."""
     import pandas as pd
-    import pytest
 
     from ocr_gang_spark.textops import ocr_error_rates
 
     big = " ".join(f"tok{i:03d}" for i in range(120))  # 120 distinct
-    pd.DataFrame(
-        {"doc_id": [7], "text": [big], "lang": ["en"],
-         "source": ["synthetic"], "n_chars": [len(big)]}
-    ).to_parquet(tmp_path / "documents.parquet")
-    with pytest.raises(Exception, match="caps at 94"):
-        ocr_error_rates(spark, str(tmp_path)).collect()
-    # and a <=94-vocab doc through the same path still computes
     ok = "alpha beta gamma alpha"
     pd.DataFrame(
-        {"doc_id": [8], "text": [ok], "lang": ["en"],
-         "source": ["synthetic"], "n_chars": [len(ok)]}
+        {"doc_id": [7, 8], "text": [big, ok], "lang": ["en", "en"],
+         "source": ["synthetic"] * 2, "n_chars": [len(big), len(ok)]}
     ).to_parquet(tmp_path / "documents.parquet")
-    rows = ocr_error_rates(spark, str(tmp_path)).collect()
-    assert len(rows) == 1 and rows[0]["word_edits"] == 0
+    rows = {r["doc_id"]: r for r in ocr_error_rates(spark, str(tmp_path)).collect()}
+    assert set(rows) == {7, 8}
+    # doc 7: class 3 (clean) -> zero edits, computed by the DP branch
+    assert rows[7]["word_edits"] == 0 and rows[7]["char_edits"] == 0
+    assert rows[7]["n_truth_tokens"] == 120
+    # doc 8: class 0 (typo swap; no 'table' present -> also zero) via
+    # the untouched ASCII branch
+    assert rows[8]["word_edits"] == 0
