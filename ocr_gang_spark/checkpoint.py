@@ -324,13 +324,22 @@ def compact_output(
     pids = sorted(todo)
     src = spark.read.parquet(output_dir).where(F.col("part_id").isin(pids))
     # _ck buckets each oversized partition's rows into its target file
-    # count; small partitions get k=1 (single file, the old behavior)
-    k = None
-    for pid in pids:
-        k = (F.when if k is None else k.when)(
-            F.col("part_id") == pid, F.lit(n_target[pid])
-        )
-    src = src.withColumn("_ck", F.pmod(F.xxhash64("doc_id"), k.otherwise(1)))
+    # count, via a broadcast join against the tiny (part_id, n_target)
+    # table.  The first version built this as a nested CASE WHEN chain
+    # (one F.when per fragmented partition), whose expression tree —
+    # and therefore codegen — grew linearly in partition count and
+    # would hit Catalyst codegen limits with thousands of fragmented
+    # partitions (ADVICE r4); the broadcast join keeps the plan size
+    # constant no matter how many partitions compact.
+    tgt = spark.createDataFrame(
+        [(pid, int(n_target[pid])) for pid in pids],
+        "part_id int, _ck_n int",
+    )
+    src = (
+        src.join(F.broadcast(tgt), "part_id")
+        .withColumn("_ck", F.pmod(F.xxhash64("doc_id"), F.col("_ck_n")))
+        .drop("_ck_n")
+    )
     # Spark (correctly) refuses to overwrite a path it is reading from;
     # localCheckpoint materializes the pruned partitions to executor
     # storage (memory-and-disk) and detaches the plan from the source

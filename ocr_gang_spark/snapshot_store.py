@@ -49,9 +49,14 @@ single-host analog of the catalog compare-and-swap a lakehouse
 provides — so no interleaving of two metadata commits is possible at
 all; the kernel releases the lock on process death, so a crash while
 holding it cannot wedge the table.  Data writes never run under the
-lock.  A real deployment swaps the lock + pointer rename for a catalog
-CAS; the conflict semantics (SnapshotConflictError, retry against the
-new parent) are identical.
+lock.  The lock serializes METADATA commits only: expire_snapshots
+computes its referenced-set under the lock but sweeps data dirs after
+releasing it, so a concurrent writer whose _write_data starts in that
+window could lose its fresh (not-yet-referenced) dir — expiry remains
+single-writer-only (no writers in flight), as its own docstring
+states.  A real deployment swaps the lock + pointer rename for a
+catalog CAS; the conflict semantics (SnapshotConflictError, retry
+against the new parent) are identical.
 
 Scale notes: manifests list data DIRECTORIES (one per commit), not
 individual files, so manifest size is O(commits since last overwrite),

@@ -96,13 +96,68 @@ def test_stray_array_close_does_not_duplicate_text():
     assert extract_page_lines(b"BT [ (a) ] TJ ] TJ ET") == [(0.0, 0.0, "a")]
 
 
+def _pdf_from_page_streams(streams: list) -> bytes:
+    """Minimal well-formed PDF with one page per raw content stream —
+    the synth_pdf_blob assembly (xref/trailer layout) with caller-
+    chosen streams, so a test can plant a genuinely EMPTY page."""
+    objs = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    contents = [
+        add(b"<< /Length " + str(len(s)).encode() + b" >>\n"
+            b"stream\n" + s + b"\nendstream")
+        for s in streams
+    ]
+    pages_id = len(objs) + len(streams) + 1
+    page_nums = [
+        add(b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+            % (pages_id, font, c))
+        for c in contents
+    ]
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    pages = add(b"<< /Type /Pages /Kids [ " + kids + b" ] /Count %d >>"
+                % len(streams))
+    assert pages == pages_id
+    catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages)
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, catalog, xref_at))
+    return bytes(out)
+
+
 def test_blank_page_keeps_formfeed_slot():
     """Round-4 review: a textless middle page collapsed out of the
-    form-feed join, shifting later pages' indices."""
+    form-feed join, shifting later pages' indices.  ADVICE r4: the
+    original regression test never exercised a blank page (every synth
+    corpus page has text), so the fix is now pinned on a hand-built
+    3-page PDF whose middle /Contents stream is EMPTY — the slot must
+    survive as '' between the neighbors, not collapse."""
     from ocr_gang_spark.kernels.pdf import extract_pdf_text, synth_pdf_blob
     from ocr_gang_spark.media_queries import N_PDF  # noqa: F401 — env check
 
-    blob = synth_pdf_blob("pdf-fuzz-blank")
-    base = extract_pdf_text(blob)
+    blob = _pdf_from_page_streams([
+        b"BT /F1 12 Tf 72 720 Td (first) Tj ET",
+        b"",
+        b"BT /F1 12 Tf 72 720 Td (last) Tj ET",
+    ])
+    assert extract_pdf_text(blob).split("\f") == ["first", "", "last"]
+
+    # and the synth corpus path still keeps one slot per page
+    base = extract_pdf_text(synth_pdf_blob("pdf-fuzz-blank"))
     n_pages = base.count("\f") + 1
     assert n_pages >= 1 and all(p for p in base.split("\f"))
