@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Full-registry correctness sweep -> committed artifact.
+
+The driver's CORRECTNESS gate samples ~50 queries per round; across
+rounds 1-4 only 69 of the 123 registered queries were ever sampled, so
+more than a third of the registry's green status rested on session-local
+sweeps that left no artifact (VERDICT r4, "What's missing" #1).  This
+script runs EVERY registered query through the identical
+Spark-vs-DuckDB compare (tests/oracle_compare.py — row count, column
+names, order-insensitive exact values) at sf0.01 and writes the
+per-query verdict map to CORRECTNESS_SWEEP_<round>.json at the repo
+root, in the driver's CORRECTNESS_r*.json row format (rows_match /
+schema_match / hash_match / spark_rows / oracle_rows / err) so the two
+artifacts diff cleanly.  Queries without an oracle_sql entry (none
+today) would be recorded with "mode": "rows_only".
+
+Usage:
+    SPARK_GRAFT_SWEEP_SF=/root/testdata/sf0.01 \
+    SPARK_GRAFT_SWEEP_ROUND=r5 python scripts/sweep.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
+from ocr_gang_spark.contract import oracle_sql, queries  # noqa: E402
+from ocr_gang_spark.session import get_spark  # noqa: E402
+from tests.oracle_compare import duck_connection, rows_to_multiset  # noqa: E402
+
+
+def sweep_one(spark, con, fn, sql, sf_dir):
+    """One query's driver-format verdict row (plus elapsed seconds)."""
+    t0 = time.time()
+    row = {
+        "rows_match": False, "schema_match": False, "hash_match": False,
+        "spark_rows": None, "oracle_rows": None, "err": None,
+    }
+    try:
+        df = fn(spark, sf_dir)
+        s_rows = [tuple(r) for r in df.collect()]
+        s_cols = df.columns
+        row["spark_rows"] = len(s_rows)
+        if sql is None:
+            row["mode"] = "rows_only"
+            row["rows_match"] = row["schema_match"] = row["hash_match"] = None
+        else:
+            d = con.execute(sql)
+            d_cols = [c[0] for c in d.description]
+            d_rows = d.fetchall()
+            row["oracle_rows"] = len(d_rows)
+            row["schema_match"] = sorted(s_cols) == sorted(d_cols)
+            row["rows_match"] = len(s_rows) == len(d_rows)
+            if row["schema_match"]:
+                s_ms, _ = rows_to_multiset(s_rows, s_cols)
+                d_ms, _ = rows_to_multiset(d_rows, d_cols)
+                row["hash_match"] = s_ms == d_ms
+    except Exception:
+        row["err"] = traceback.format_exc(limit=3)
+    row["sec"] = round(time.time() - t0, 2)
+    return row
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SWEEP_SF", "/root/testdata/sf0.01")
+    round_tag = os.environ.get("SPARK_GRAFT_SWEEP_ROUND", "r5")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    spark = get_spark("sweep", cpus=cpus)
+    con = duck_connection(sf_dir)
+    qs, oracles = queries(), oracle_sql()
+
+    results: dict[str, dict] = {}
+    n_pass = 0
+    for name in sorted(qs):
+        row = sweep_one(spark, con, qs[name], oracles.get(name), sf_dir)
+        if row["err"] is not None:
+            green = False
+        elif row.get("mode") == "rows_only":
+            green = True  # weaker check, recorded as such
+        else:
+            green = bool(
+                row["rows_match"] and row["schema_match"] and row["hash_match"]
+            )
+        n_pass += green
+        results[name] = row
+        print(f"{'PASS' if green else 'FAIL'} {name} ({row['sec']}s)", flush=True)
+
+    out = {
+        "_sweep": {
+            "sf_dir": sf_dir,
+            "round": round_tag,
+            "n_queries": len(qs),
+            "n_with_oracle": sum(1 for n in qs if n in oracles),
+            "n_pass": n_pass,
+            "compare": "tests/oracle_compare.py (driver-identical: rows, "
+                       "schema, order-insensitive exact values)",
+        },
+        **results,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"CORRECTNESS_SWEEP_{round_tag}.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(f"{n_pass}/{len(qs)} green -> {path}")
+    spark.stop()
+    sys.exit(0 if n_pass == len(qs) else 1)
+
+
+if __name__ == "__main__":
+    main()
