@@ -177,8 +177,14 @@ def main() -> None:
     # committed artifact carries the probe samples taken DURING it
     # (VERDICT r4 #1: per-query probe attribution — without it the 0.8
     # validity floor admitted both a 923 docs/s and an 1157 docs/s
-    # window and the round's headline was unadjudicable)
-    with ProbeSampler(interval=5.0) as ps:
+    # window and the round's headline was unadjudicable).  interval=10
+    # matches the r4 sampler cadence so per-query timings stay
+    # round-comparable; the sampler's own cost is one core at <=50%
+    # duty (<=1.6% of this box), and samples taken during the local[32]
+    # queries necessarily include the bench's OWN load — the gates
+    # below are evaluated on the extract_synth window (local[8], 16/32
+    # cores busy), where the probe reads genuine external contention.
+    with ProbeSampler(interval=10.0) as ps:
         for name in HEADLINE:
             t0 = time.time()
             materialize(qs[name](spark, sf_dir))
@@ -223,7 +229,15 @@ def main() -> None:
         name: ps.samples_between(w0, w1) for name, (w0, w1) in windows.items()
     }
     hl = query_probe["extract_synth"]
-    hl_mean = round(sum(hl) / len(hl), 3) if hl else None
+    probe_post_hoc = False
+    if not hl:
+        # a short window (small SPARK_GRAFT_BENCH_DOCS) can fall inside
+        # the gap between two samples; never commit null gates — take
+        # one adjacent sample now and mark it (review fix)
+        hl = [steal_probe()]
+        query_probe["extract_synth"] = hl
+        probe_post_hoc = True
+    hl_mean = round(sum(hl) / len(hl), 3)
 
     total = round(sum(timings.values()), 3)
     conditions = {
@@ -242,10 +256,11 @@ def main() -> None:
         # the engine at all; headline_quiet (<=0.25) is the gate a
         # COMMITTED headline docs/sec claim must pass (VERDICT r4 #1)
         "probe_mean": hl_mean,
-        "probe_max": round(max(hl), 3) if hl else None,
-        "quiet": None if hl_mean is None else hl_mean <= QUIET_PROBE_SEC,
+        "probe_max": round(max(hl), 3),
+        "probe_post_hoc": probe_post_hoc,
+        "quiet": hl_mean <= QUIET_PROBE_SEC,
         "quiet_probe_threshold_sec": QUIET_PROBE_SEC,
-        "headline_quiet": None if hl_mean is None else hl_mean <= HEADLINE_PROBE_SEC,
+        "headline_quiet": hl_mean <= HEADLINE_PROBE_SEC,
         "headline_probe_threshold_sec": HEADLINE_PROBE_SEC,
         # whole-bench probe trace summary
         "bench_probe_mean": ps.mean,

@@ -5863,8 +5863,14 @@ def _err_duck() -> str:
           FROM p),
     v AS (SELECT *, list_sort(list_distinct(tt || ht)) AS vocab FROM t),
     e AS (SELECT doc_id, truth, hyp, tt, ht,
-                 array_to_string(list_transform(tt,
-                     x -> chr(33 + list_position(vocab, x))), '') AS et,
+                 CASE WHEN len(vocab) > 94 THEN error(
+                     'ocr_error_rates oracle: joint vocab of doc ' || doc_id
+                     || ' exceeds 94 tokens; the byte-levenshtein mirror '
+                     || 'only covers the ASCII branch -- the engine''s DP '
+                     || 'branch is value-pinned by tests/test_textops.py, '
+                     || 'not by this SQL')
+                 ELSE array_to_string(list_transform(tt,
+                     x -> chr(33 + list_position(vocab, x))), '') END AS et,
                  array_to_string(list_transform(ht,
                      x -> chr(33 + list_position(vocab, x))), '') AS eh
           FROM v)

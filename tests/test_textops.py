@@ -145,6 +145,31 @@ def test_wer_big_vocab_returns_value_not_error(spark):
     assert len(set(big_truth.split(" "))) == 150 > 94
 
 
+def test_wer_oracle_guard_fires_on_big_vocab(tmp_path):
+    """The DuckDB oracle mirrors only the ASCII branch; on a > 94-token
+    joint vocab it must ERROR with a diagnostic naming the doc (review
+    fix) — not silently return byte-inflated word_edits that would show
+    up as an unexplained hash mismatch against the engine's correct DP
+    branch."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from ocr_gang_spark.contract import oracle_sql
+
+    big = " ".join(f"tok{i:03d}" for i in range(120))
+    pd.DataFrame(
+        {"doc_id": [7], "text": [big], "lang": ["en"],
+         "source": ["s"], "n_chars": [len(big)]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    with pytest.raises(Exception, match="exceeds 94 tokens"):
+        con.execute(oracle_sql()["ocr_error_rates"]).fetchall()
+
+
 def test_token_levenshtein_kernel_matches_textbook():
     """Property pin for kernels/editdist.py: the vectorized prefix-min
     DP equals the textbook double loop on random token sequences,
