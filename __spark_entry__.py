@@ -53,7 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL for EVERY registered query (123/123):
+    """DuckDB-runnable oracle SQL for EVERY registered query (125/125):
     relational queries against the parquet views, image/media-kernel
     queries against committed expected-output parquets selected by
     corpus content key (FIXTURES.md §6b)."""

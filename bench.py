@@ -217,6 +217,23 @@ def main() -> None:
         docs_p = spark.read.parquet(f"{tmp}/docs")
         media_p = spark.read.parquet(f"{tmp}/media")
         materialize(extract_documents(docs_p.limit(64), media_p, bc))  # warm-up
+        # optional pre-flight gate for committed-artifact runs (the
+        # scaling collector's discipline: gate on the independent
+        # probe, never on the throughput being measured, so the gate
+        # cannot select the answer — only the window).  Off by default
+        # (SPARK_GRAFT_BENCH_GATE unset/0): the driver's per-round run
+        # is unchanged; a builder chasing a headline_quiet artifact on
+        # a bursty box sets it to HEADLINE_PROBE_SEC and the flagship
+        # start waits (bounded) for a quiet stretch.
+        pre_gate = float(os.environ.get("SPARK_GRAFT_BENCH_GATE", "0"))
+        pre_gate_probe = None
+        if pre_gate > 0:
+            deadline = time.time() + 600
+            while time.time() < deadline:
+                pre_gate_probe = steal_probe()
+                if pre_gate_probe <= pre_gate:
+                    break
+                time.sleep(20)
         t0 = time.time()
         materialize(extract_documents(docs_p, media_p, bc))
         t1 = time.time()
@@ -262,6 +279,8 @@ def main() -> None:
         "quiet_probe_threshold_sec": QUIET_PROBE_SEC,
         "headline_quiet": hl_mean <= HEADLINE_PROBE_SEC,
         "headline_probe_threshold_sec": HEADLINE_PROBE_SEC,
+        "preflight_gate": pre_gate if pre_gate > 0 else None,
+        "preflight_gate_probe": pre_gate_probe,
         # whole-bench probe trace summary
         "bench_probe_mean": ps.mean,
         "bench_probe_max": ps.max,
