@@ -3909,6 +3909,217 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_res_duck_sql() -> str:
+    """Residual-encoding IVF-PQ oracle: same unrolled lineage as
+    _ivfpq_duck_sql with the encode input swapped from raw codes to
+    (code - assigned centroid) residuals — faiss by_residual=True."""
+    rng = f"range(1, {EMB_DIM} + 1)"
+    return f"""
+    WITH {_QZ_DUCK_CTE},
+    {_kmeans_duck_ctes()},
+    asg AS (SELECT vec_id, q8, cluster FROM r2 WHERE rn = 1),
+    qq AS (SELECT q8 AS qv FROM qz WHERE vec_id = 0),
+    cscore AS (SELECT c.cluster,
+                      CAST({_sqdist_chain_duck('c.cent', 'qv')} AS BIGINT) AS cs
+               FROM c1 c, qq),
+    probes AS (SELECT cluster FROM cscore
+               ORDER BY cs, cluster LIMIT {IVFPQ_NPROBE}),
+    mem AS (SELECT a.vec_id, a.cluster,
+                   list_transform({rng}, i -> a.q8[i] - c.cent[i]) AS r8
+            FROM asg a JOIN probes p ON a.cluster = p.cluster
+                       JOIN c1 c ON a.cluster = c.cluster),
+    cb AS (SELECT a.vec_id AS c,
+                  list_transform({rng}, i -> a.q8[i] - c1.cent[i]) AS rb
+           FROM asg a JOIN c1 ON a.cluster = c1.cluster
+           WHERE a.vec_id < {PQ_K}),
+    ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    pcent AS (SELECT ms.m, cb.c,
+                     list_slice(cb.rb, ms.m * {PQ_SUB} + 1,
+                                ms.m * {PQ_SUB} + {PQ_SUB}) AS cent8
+              FROM cb CROSS JOIN ms),
+    qres AS (SELECT p.cluster,
+                    list_transform({rng}, i -> qv[i] - c1.cent[i]) AS qr
+             FROM probes p JOIN c1 ON p.cluster = c1.cluster, qq),
+    pcentq AS (SELECT q.cluster, pc.m, pc.c, pc.cent8,
+                      CAST({_pq_sqdist8_duck('q.qr', 'pc.m * ' + str(PQ_SUB),
+                                             'pc.cent8')}
+                           AS BIGINT) AS qdist
+               FROM pcent pc CROSS JOIN qres q),
+    enc AS (SELECT mem.vec_id, mem.cluster, cq.m, cq.c, cq.qdist,
+                   CAST({_pq_sqdist8_duck('mem.r8', 'cq.m * ' + str(PQ_SUB),
+                                          'cq.cent8')}
+                        AS BIGINT) AS dist
+            FROM mem JOIN pcentq cq ON mem.cluster = cq.cluster),
+    r3 AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                        ORDER BY dist, c) AS rn
+           FROM enc),
+    pagg AS (SELECT vec_id, cluster,
+                    CAST(SUM(c * (1::BIGINT << (4 * m))) AS BIGINT) AS pq_code,
+                    CAST(SUM(qdist) AS BIGINT) AS adc_dist
+             FROM r3 WHERE rn = 1 GROUP BY vec_id, cluster),
+    pshort AS (SELECT * FROM pagg
+               ORDER BY adc_dist, vec_id LIMIT {IVFPQ_SHORTLIST}),
+    exre AS (SELECT s.vec_id, s.cluster, s.pq_code, s.adc_dist,
+                    CAST({_sqdist_chain_duck('z.q8', 'qv')} AS BIGINT)
+                        AS exact_dist
+             FROM pshort s JOIN qz z ON s.vec_id = z.vec_id, qq),
+    final AS (SELECT * FROM exre
+              ORDER BY exact_dist, vec_id LIMIT {IVFPQ_TOPK}),
+    exall AS (SELECT vec_id FROM (
+                SELECT z.vec_id,
+                       CAST({_sqdist_chain_duck('z.q8', 'qv')} AS BIGINT) AS qd
+                FROM qz z, qq ORDER BY qd, z.vec_id LIMIT {IVFPQ_TOPK})),
+    rec AS (SELECT CAST(COUNT(*) AS DOUBLE) / {IVFPQ_TOPK} AS recall_at_k
+            FROM final f JOIN exall e ON f.vec_id = e.vec_id)
+    SELECT f.vec_id, f.cluster, f.pq_code, f.adc_dist, f.exact_dist,
+           r.recall_at_k
+    FROM final f, rec r
+    ORDER BY f.exact_dist, f.vec_id
+    """
+
+
+@register("ann_ivfpq_residual_topk", _ivfpq_res_duck_sql())
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — faiss's by_residual=True default
+    (Jegou TPAMI'11 §V.B): each member is PQ-encoded as (code - its
+    cell's centroid), the codebooks are the residuals of the first PQ_K
+    vectors w.r.t. their assigned centroids, and the query builds one
+    ADC distance table PER PROBED CELL from its own residual (qv -
+    cent).  Residuals concentrate near zero, so a fixed codebook covers
+    them better than the raw domain — the reason faiss defaults to
+    this — and ann_ivfpq_topk's docstring claim is now demonstrated,
+    not asserted: the residual swap changes ONLY the encode inputs
+    (one zip_with subtract on each side plus nprobe distance tables
+    instead of one); the plan shape — broadcast-only joins, min-struct
+    argmin, two TakeOrderedAndProject stages — is pinned identical to
+    the non-residual lineage in tests/test_plans.py.
+
+    100 TB deltas vs ann_ivfpq_topk: the member residual is computed
+    in-row after a broadcast join against the K-row centroid table
+    (no extra shuffle); the distance-table broadcast grows nprobe x
+    (still KB); everything else — scan volumes, shuffle keys, top-k
+    stages — is byte-for-byte the same plan."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    qz = quantized_codes(_spread(emb)).select("vec_id", "q8").persist()
+    c1 = _kmeans_c1(qz)
+    cents = {int(r["cluster"]): list(r["cent"]) for r in c1.collect()}
+    qv = list(qz.where(F.col("vec_id") == 0).head()["q8"])
+    ranked = sorted(
+        (sum((c - q) ** 2 for c, q in zip(cent, qv)), k)
+        for k, cent in cents.items()
+    )
+    probe_ids = [k for _, k in ranked[:IVFPQ_NPROBE]]
+    cents_df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(cents.items())],
+        "cluster bigint, cent array<bigint>",
+    )
+    res = F.expr("zip_with(q8, cent, (x, y) -> x - y)")
+    mem = (
+        _kmeans_assign(qz, cents_df, ["cluster", "q8"])
+        .where(F.col("cluster").isin(*probe_ids))
+        .join(F.broadcast(cents_df), "cluster")
+        .select("vec_id", "cluster", res.alias("r8"))
+    )
+    # residual codebooks: PQ_K narrow rows — an INDEX ARTIFACT like the
+    # centroids, so derive them driver-side (same bounded-collect rule)
+    # rather than running the data-sized assignment pass a second time
+    # for 16 rows (the first version joined the full assignment twice
+    # and doubled the argmin shuffle — caught by the plan-parity pin)
+    def _assign_of(code):
+        return min(
+            (sum((x - c) ** 2 for x, c in zip(code, cent)), k)
+            for k, cent in cents.items()
+        )[1]
+
+    cb = spark.createDataFrame(
+        [
+            (
+                int(r["vec_id"]),
+                [int(x - c)
+                 for x, c in zip(r["q8"], cents[_assign_of(list(r["q8"]))])],
+            )
+            for r in qz.where(F.col("vec_id") < PQ_K).collect()
+        ],
+        "c bigint, rb array<bigint>",
+    )
+    ms = (
+        qz.sparkSession.range(PQ_M)
+        .select(F.col("id").cast("int").alias("m"))
+    )
+    pcent = cb.crossJoin(F.broadcast(ms)).select(
+        "m", "c",
+        F.expr(f"slice(rb, m * {PQ_SUB} + 1, {PQ_SUB})").alias("cent8"),
+    )
+    # per-probed-cell query residual: an index artifact (nprobe rows),
+    # built driver-side from the collected centroids like the probe ids
+    qres = spark.createDataFrame(
+        [(k, [int(q - c) for q, c in zip(qv, cents[k])]) for k in probe_ids],
+        "cluster bigint, qr array<bigint>",
+    )
+    pcentq = pcent.crossJoin(F.broadcast(qres)).select(
+        "cluster", "m", "c", "cent8",
+        F.expr(
+            f"CAST({_pq_sqdist8_spark('qr', 'm * ' + str(PQ_SUB), 'cent8')}"
+            " AS BIGINT)"
+        ).alias("qdist"),
+    )
+    enc = mem.join(F.broadcast(pcentq), "cluster").select(
+        "vec_id", "cluster", "m", "c", "qdist",
+        F.expr(
+            f"CAST({_pq_sqdist8_spark('r8', 'm * ' + str(PQ_SUB), 'cent8')}"
+            " AS BIGINT)"
+        ).alias("dist"),
+    )
+    codes = (
+        enc.groupBy("vec_id", "cluster", "m")
+        .agg(F.min(F.struct("dist", "c", "qdist")).alias("mm"))
+        .select(
+            "vec_id", "cluster", "m",
+            F.col("mm.c").alias("c"), F.col("mm.qdist").alias("qdist"),
+        )
+    )
+    pagg = codes.groupBy("vec_id", "cluster").agg(
+        F.sum(
+            F.expr("CAST(c AS BIGINT) * CAST(shiftleft(1L, 4 * m) AS BIGINT)")
+        ).cast("bigint").alias("pq_code"),
+        F.sum("qdist").cast("bigint").alias("adc_dist"),
+    )
+    short = pagg.orderBy("adc_dist", "vec_id").limit(IVFPQ_SHORTLIST)
+    q = qz.where(F.col("vec_id") == 0).select(F.col("q8").alias("qq"))
+    exre = (
+        qz.join(F.broadcast(short), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "cluster", "pq_code", "adc_dist",
+            _sqdist_chain_spark(F.col("q8"), F.col("qq"))
+            .cast("bigint").alias("exact_dist"),
+        )
+    )
+    final = exre.orderBy("exact_dist", "vec_id").limit(IVFPQ_TOPK).persist()
+    exall = (
+        qz.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            _sqdist_chain_spark(F.col("q8"), F.col("qq"))
+            .cast("bigint").alias("qd"),
+        )
+        .orderBy("qd", "vec_id")
+        .limit(IVFPQ_TOPK)
+        .select("vec_id", F.lit(1).alias("hit"))
+    )
+    rec = (
+        final.join(F.broadcast(exall), "vec_id", "left")
+        .agg(
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+             / float(IVFPQ_TOPK)).alias("recall_at_k")
+        )
+    )
+    return final.crossJoin(F.broadcast(rec)).select(
+        "vec_id", "cluster", "pq_code", "adc_dist", "exact_dist",
+        "recall_at_k",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Web-graph curation: PageRank over the domain link graph (the crawl-
 # frontier prioritization / domain-trust signal).
