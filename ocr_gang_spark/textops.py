@@ -3813,19 +3813,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     half alone, is the production shape."""
     (emb,) = load(spark, sf_dir, "embeddings")
     qz = quantized_codes(_spread(emb)).select("vec_id", "q8").persist()
-    # ---- stage 1: train + probe the coarse index (index artifact) ----
-    c1 = _kmeans_c1(qz)
-    cents = {int(r["cluster"]): list(r["cent"]) for r in c1.collect()}
-    qv = list(qz.where(F.col("vec_id") == 0).head()["q8"])
-    ranked = sorted(
-        (sum((c - q) ** 2 for c, q in zip(cent, qv)), k)
-        for k, cent in cents.items()
-    )
-    probe_ids = [k for _, k in ranked[:IVFPQ_NPROBE]]
-    cents_df = spark.createDataFrame(
-        [(k, v) for k, v in sorted(cents.items())],
-        "cluster bigint, cent array<bigint>",
-    )
+    cents, qv, probe_ids, cents_df = _ivfpq_probe(qz)
     mem = (
         _kmeans_assign(qz, cents_df, ["cluster", "q8"])
         .where(F.col("cluster").isin(*probe_ids))
@@ -3859,6 +3847,34 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("dist"),
     )
+    return _ivfpq_rerank(qz, _ivfpq_encode_agg(enc))
+
+
+def _ivfpq_probe(qz: DataFrame):
+    """Stage 1 shared by both IVF-PQ variants: train the coarse index,
+    collect it (K-row index artifact), rank cells by integer squared
+    distance to the query exactly as the oracle's (cs, cluster) order.
+    Returns (cents dict, query code, probed cell ids, centroid DF)."""
+    cents = {
+        int(r["cluster"]): list(r["cent"]) for r in _kmeans_c1(qz).collect()
+    }
+    qv = list(qz.where(F.col("vec_id") == 0).head()["q8"])
+    ranked = sorted(
+        (sum((c - q) ** 2 for c, q in zip(cent, qv)), k)
+        for k, cent in cents.items()
+    )
+    probe_ids = [k for _, k in ranked[:IVFPQ_NPROBE]]
+    cents_df = qz.sparkSession.createDataFrame(
+        [(k, v) for k, v in sorted(cents.items())],
+        "cluster bigint, cent array<bigint>",
+    )
+    return cents, qv, probe_ids, cents_df
+
+
+def _ivfpq_encode_agg(enc: DataFrame) -> DataFrame:
+    """Stage-2 tail shared by both IVF-PQ variants: per-(vector,
+    subspace) min-struct argmin (map-side combinable), nibble-pack +
+    ADC sum, ADC shortlist via TakeOrderedAndProject."""
     codes = (
         enc.groupBy("vec_id", "cluster", "m")
         .agg(F.min(F.struct("dist", "c", "qdist")).alias("mm"))
@@ -3873,8 +3889,16 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("pq_code"),
         F.sum("qdist").cast("bigint").alias("adc_dist"),
     )
-    short = pagg.orderBy("adc_dist", "vec_id").limit(IVFPQ_SHORTLIST)
-    # ---- stage 3: exact re-rank of the shortlist + recall ----
+    return pagg.orderBy("adc_dist", "vec_id").limit(IVFPQ_SHORTLIST)
+
+
+def _ivfpq_rerank(qz: DataFrame, short: DataFrame) -> DataFrame:
+    """Stage 3 shared by both IVF-PQ variants: exact integer re-rank of
+    the broadcast ADC shortlist, top-k, recall@k vs the exhaustive
+    exact top-k carried in every row.  One definition so a contract
+    change (tie-break, recall base) can never silently diverge between
+    the residual and non-residual lineages (review fix)."""
+    q = qz.where(F.col("vec_id") == 0).select(F.col("q8").alias("qq"))
     exre = (
         qz.join(F.broadcast(short), "vec_id")
         .crossJoin(F.broadcast(q))
@@ -4001,18 +4025,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages — is byte-for-byte the same plan."""
     (emb,) = load(spark, sf_dir, "embeddings")
     qz = quantized_codes(_spread(emb)).select("vec_id", "q8").persist()
-    c1 = _kmeans_c1(qz)
-    cents = {int(r["cluster"]): list(r["cent"]) for r in c1.collect()}
-    qv = list(qz.where(F.col("vec_id") == 0).head()["q8"])
-    ranked = sorted(
-        (sum((c - q) ** 2 for c, q in zip(cent, qv)), k)
-        for k, cent in cents.items()
-    )
-    probe_ids = [k for _, k in ranked[:IVFPQ_NPROBE]]
-    cents_df = spark.createDataFrame(
-        [(k, v) for k, v in sorted(cents.items())],
-        "cluster bigint, cent array<bigint>",
-    )
+    cents, qv, probe_ids, cents_df = _ivfpq_probe(qz)
     res = F.expr("zip_with(q8, cent, (x, y) -> x - y)")
     mem = (
         _kmeans_assign(qz, cents_df, ["cluster", "q8"])
@@ -4070,54 +4083,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("dist"),
     )
-    codes = (
-        enc.groupBy("vec_id", "cluster", "m")
-        .agg(F.min(F.struct("dist", "c", "qdist")).alias("mm"))
-        .select(
-            "vec_id", "cluster", "m",
-            F.col("mm.c").alias("c"), F.col("mm.qdist").alias("qdist"),
-        )
-    )
-    pagg = codes.groupBy("vec_id", "cluster").agg(
-        F.sum(
-            F.expr("CAST(c AS BIGINT) * CAST(shiftleft(1L, 4 * m) AS BIGINT)")
-        ).cast("bigint").alias("pq_code"),
-        F.sum("qdist").cast("bigint").alias("adc_dist"),
-    )
-    short = pagg.orderBy("adc_dist", "vec_id").limit(IVFPQ_SHORTLIST)
-    q = qz.where(F.col("vec_id") == 0).select(F.col("q8").alias("qq"))
-    exre = (
-        qz.join(F.broadcast(short), "vec_id")
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id", "cluster", "pq_code", "adc_dist",
-            _sqdist_chain_spark(F.col("q8"), F.col("qq"))
-            .cast("bigint").alias("exact_dist"),
-        )
-    )
-    final = exre.orderBy("exact_dist", "vec_id").limit(IVFPQ_TOPK).persist()
-    exall = (
-        qz.crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            _sqdist_chain_spark(F.col("q8"), F.col("qq"))
-            .cast("bigint").alias("qd"),
-        )
-        .orderBy("qd", "vec_id")
-        .limit(IVFPQ_TOPK)
-        .select("vec_id", F.lit(1).alias("hit"))
-    )
-    rec = (
-        final.join(F.broadcast(exall), "vec_id", "left")
-        .agg(
-            (F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
-             / float(IVFPQ_TOPK)).alias("recall_at_k")
-        )
-    )
-    return final.crossJoin(F.broadcast(rec)).select(
-        "vec_id", "cluster", "pq_code", "adc_dist", "exact_dist",
-        "recall_at_k",
-    )
+    return _ivfpq_rerank(qz, _ivfpq_encode_agg(enc))
 
 
 # ---------------------------------------------------------------------------

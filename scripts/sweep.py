@@ -3,7 +3,7 @@
 
 The driver's CORRECTNESS gate samples ~50 queries per round; across
 rounds 1-4 only 69 of the then-123 registered queries were ever
-sampled (125 registered as of the round-5 tip), so more than a third
+sampled (126 registered as of the round-5 tip), so more than a third
 of the registry's green status rested on session-local sweeps that
 left no artifact (VERDICT r4, "What's missing" #1).  This script runs
 EVERY registered query through the identical

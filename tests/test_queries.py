@@ -22,6 +22,13 @@ def duck():
     con.close()
 
 
+def test_every_query_has_an_oracle():
+    """The driver-contract docstrings state every registered query
+    carries DuckDB oracle SQL; this pin carries that claim so the
+    prose never has to hold a (staleness-prone) count."""
+    assert sorted(ALL) == sorted(ORACLES)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_duckdb(spark, duck, name):
     df = ALL[name](spark, SF_DIR)
