@@ -113,6 +113,10 @@ HEADLINE = [
     "interval_overlap_join",
     "sliding_event_window",
     "ocr_error_rates",
+    "ocr_spell_correction",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "quality_classifier_trained",
     "snapshot_time_travel",
     "salted_hot_key_join",
     "stream_snapshot_ingest",

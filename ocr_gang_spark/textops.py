@@ -6190,6 +6190,203 @@ def ocr_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OCR post-correction: SymSpell deletion-variant spell correction
+# (Garbe's symmetric-delete algorithm) — the classic stage AFTER an OCR
+# engine: the reference argmaxes each glyph and ships the result
+# (ocr.c:158); production extraction runs a dictionary correction pass
+# over the recognized tokens before the text enters a corpus.
+#
+# Candidate rule (the operator's spec, identical in both engines): two
+# tokens are candidates iff they share a <=1-deletion variant — this
+# covers every substitution/insertion/deletion at distance 1 AND the
+# adjacent transposition ('tbale' -> 'table', Levenshtein 2 but one
+# shared deletion variant), the dominant OCR/typing error classes.
+# Ranking among candidates: (levenshtein ASC, dictionary freq DESC,
+# word ASC) — deterministic, no floats.  Tokens with no candidate stay
+# unchanged (never guess past the rule).
+#
+# Inject-then-detect over the ocr_error_rates corruption classes: the
+# class-0 typo docs ('table' -> 'tbale') must come back RESTORED
+# (corrected text == truth, pinned by an in-output boolean the oracle
+# recomputes); class-1 deletions produce in-vocabulary text the
+# corrector must NOT touch (restored=false for docs that lost an 'a');
+# class-2's prepended 'noise' token has no distance-1 vocab neighbor
+# and must survive uncorrected; class 3 is clean.
+#
+# Scale shape: the dictionary is a corpus aggregate (vocab-sized, not
+# corpus-sized) whose <=1-deletion variant table rides ONE broadcast;
+# the token stream fans out to ~len+1 variants IN-ROW, broadcast-joins
+# the variant table (the big side never shuffles for candidates), and
+# the two aggregations — per-token argmin, per-doc reassembly — are
+# map-side-combinable hash aggs on (doc_id, pos) then doc_id.  At a
+# real 10^7-word dictionary the variant table is ~10^8 narrow rows:
+# still a broadcast at 64 bits/row packed, or a bucketed shuffle join
+# on the variant hash if not — either way no per-pair scan.
+# ---------------------------------------------------------------------------
+
+
+def _del1_variants_spark(col: str) -> str:
+    """token + its <=1-deletion variants, deduped, in-row (1-based
+    substring; empty-token guard because Spark sequence(1, 0) counts
+    DOWN instead of returning empty)."""
+    return (
+        f"CASE WHEN length({col}) = 0 THEN array({col}) "
+        f"ELSE array_union(array({col}), transform(sequence(1, length({col})),"
+        f" i -> concat(substring({col}, 1, i - 1),"
+        f" substring({col}, i + 1, length({col}))))) END"
+    )
+
+
+def _del1_variants_duck(col: str) -> str:
+    return (
+        f"list_distinct(list_prepend({col},"
+        f" list_transform(range(1, len({col}) + 1),"
+        f" i -> substr({col}, 1, i - 1) || substr({col}, i + 1))))"
+    )
+
+
+def _spell_duck() -> str:
+    return rf"""
+    WITH p AS (
+      SELECT doc_id, text AS truth,
+             CASE doc_id % 4
+               WHEN 0 THEN replace(text, 'table', 'tbale')
+               WHEN 1 THEN regexp_replace(text, ' ?\ba\b ?', ' ', 'g')
+               WHEN 2 THEN 'noise ' || text
+               ELSE text END AS hyp
+      FROM documents),
+    dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              GROUP BY w),
+    dv0 AS (SELECT w, freq, unnest({_del1_variants_duck('w')}) AS v
+            FROM dfreq),
+    dvar AS (SELECT DISTINCT w, freq, v FROM dv0),
+    t0 AS (SELECT doc_id, truth, string_split(hyp, ' ') AS l FROM p),
+    t1 AS (SELECT doc_id, truth, l,
+                  unnest(range(1, len(l) + 1)) AS pos
+           FROM t0),
+    toks AS (SELECT doc_id, truth, CAST(pos AS BIGINT) AS pos,
+                    l[pos] AS tok
+             FROM t1),
+    qv0 AS (SELECT doc_id, pos, tok,
+                   unnest({_del1_variants_duck('tok')}) AS v
+            FROM toks),
+    qvar AS (SELECT DISTINCT doc_id, pos, tok, v FROM qv0),
+    cand AS (SELECT t.doc_id, t.pos, t.tok, d.w, d.freq,
+                    CAST(levenshtein(t.tok, d.w) AS BIGINT) AS dist
+             FROM qvar t JOIN dvar d USING (v)),
+    best AS (SELECT doc_id, pos, tok, w AS corr, dist
+             FROM (SELECT *, row_number() OVER (
+                       PARTITION BY doc_id, pos
+                       ORDER BY dist, freq DESC, w) AS rn
+                   FROM cand)
+             WHERE rn = 1),
+    corrected AS (SELECT t.doc_id, t.pos, t.tok,
+                         COALESCE(b.corr, t.tok) AS corr,
+                         b.dist AS dist
+                  FROM toks t LEFT JOIN best b
+                       ON t.doc_id = b.doc_id AND t.pos = b.pos)
+    SELECT c.doc_id,
+           CAST(c.doc_id % 4 AS BIGINT) AS corruption_class,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE c.dist IS NULL OR c.dist > 0)
+                AS BIGINT) AS n_oov,
+           CAST(COUNT(*) FILTER (WHERE c.corr != c.tok) AS BIGINT)
+               AS n_corrected,
+           string_agg(c.corr, ' ' ORDER BY c.pos) = ANY_VALUE(p.truth)
+               AS restored
+    FROM corrected c JOIN p ON c.doc_id = p.doc_id
+    GROUP BY c.doc_id
+    """
+
+
+@register("ocr_spell_correction", _spell_duck())
+def ocr_spell_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell OCR post-correction over the corrupted-hypothesis
+    stream (see section comment): correct each token to its best
+    shared-deletion-variant dictionary candidate, reassemble in span
+    order, and report per-document token/OOV/correction counts plus
+    the RESTORED flag (corrected text == truth) that the oracle
+    recomputes relationally — the typo class must come back true, the
+    deletion/insertion classes false, pinned under the value hash."""
+    (docs,) = load(spark, sf_dir, "documents")
+    docs = _spread(docs)
+    did = F.col("doc_id")
+    hyp = (
+        F.when(did % 4 == 0, F.expr("replace(text, 'table', 'tbale')"))
+        .when(did % 4 == 1, F.regexp_replace("text", r" ?\ba\b ?", " "))
+        .when(did % 4 == 2, F.concat(F.lit("noise "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    dfreq = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    dvar = dfreq.select(
+        "w", "freq", F.explode(F.expr(_del1_variants_spark("w"))).alias("v")
+    ).distinct()
+    # token stream stays NARROW: (doc_id, pos, tok) only — the truth
+    # text joins back ONCE per doc at the end, never riding the
+    # per-token / per-variant fan-out (the first draft carried the full
+    # doc text on every token row and re-joined corrections at token
+    # granularity; caught by the plan pin)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(hyp, " ")).alias("pos", "tok")
+    )
+    qvar = toks.select(
+        "doc_id", "pos", "tok",
+        F.explode(F.expr(_del1_variants_spark("tok"))).alias("v"),
+    )
+    cand = qvar.join(F.broadcast(dvar), "v").select(
+        "doc_id", "pos", "tok",
+        F.levenshtein("tok", "w").cast("bigint").alias("dist"),
+        (-F.col("freq")).alias("nfreq"), "w",
+    )
+    # sentinel self-candidate per token (dist 3 > any real candidate's
+    # <= 2): tokens without a dictionary candidate keep themselves via
+    # the same argmin — no join-back of the correction stream
+    fallback = toks.select(
+        "doc_id", "pos", "tok",
+        F.lit(3).cast("bigint").alias("dist"),
+        F.lit(0).cast("bigint").alias("nfreq"),
+        F.col("tok").alias("w"),
+    )
+    # per-token argmin: map-side-combinable min(struct) (house rule —
+    # a row_number window would shuffle every candidate row)
+    best = (
+        cand.unionByName(fallback)
+        .groupBy("doc_id", "pos", "tok")
+        .agg(F.min(F.struct("dist", "nfreq", "w")).alias("b"))
+        .select(
+            "doc_id", "pos", "tok",
+            F.col("b.w").alias("corr"), F.col("b.dist").alias("dist"),
+        )
+    )
+    perdoc = best.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("dist") > 0, 1).otherwise(0))
+        .cast("bigint").alias("n_oov"),
+        F.sum(F.when(F.col("corr") != F.col("tok"), 1).otherwise(0))
+        .cast("bigint").alias("n_corrected"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "corr"))),
+                lambda s: s["corr"],
+            ),
+            " ",
+        ).alias("rebuilt"),
+    )
+    return perdoc.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        (did % 4).cast("bigint").alias("corruption_class"),
+        "n_tokens", "n_oov", "n_corrected",
+        (F.col("rebuilt") == F.col("text")).alias("restored"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR: Data Selection via Importance Resampling (Xie et al., NeurIPS 2023).
 # ---------------------------------------------------------------------------
 

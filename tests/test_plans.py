@@ -716,6 +716,52 @@ def test_ivfpq_residual_recall_and_ordering(spark):
     assert rows[0]["recall_at_k"] >= raw[0]["recall_at_k"]
 
 
+def test_spell_correction_broadcast_dict_minstruct(spark):
+    """SymSpell correction: the deletion-variant dictionary must ride a
+    broadcast (the token stream never shuffles to meet it), the
+    per-token argmin must be the map-side-combined min(struct)
+    (partial_min), and no Window/cartesian anywhere — the shuffles are
+    the dictionary aggregate and the (doc_id, pos)/doc_id hash aggs."""
+    from ocr_gang_spark.textops import ocr_spell_correction
+
+    plan = plan_of(ocr_spell_correction(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    # the ONLY non-broadcast join is the final doc-granularity truth
+    # join (text rides once per doc, never through the variant fan-out)
+    assert (plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")) <= 1
+
+
+def test_spell_correction_restores_typos_not_noise(spark):
+    """The correction rule end to end on a constructed frame: the
+    transposition typo class comes back restored ('tbale' shares a
+    deletion variant with 'table'), the out-of-vocabulary insertion
+    ('noise') survives uncorrected, and in-vocabulary text is never
+    touched."""
+    import pandas as pd
+
+    from ocr_gang_spark.textops import ocr_spell_correction
+
+    texts = {
+        0: "the table of data sort table",   # class 0: typo -> restored
+        2: "the sort of data",               # class 2: noise prepended
+        3: "the data table",                 # class 3: clean
+    }
+    with __import__("tempfile").TemporaryDirectory() as d:
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values()),
+             "lang": ["en"] * 3, "source": ["s"] * 3,
+             "n_chars": [len(t) for t in texts.values()]}
+        ).to_parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in ocr_spell_correction(spark, d).collect()}
+    assert out[0]["restored"] and out[0]["n_corrected"] == 2  # both typos
+    assert not out[2]["restored"] and out[2]["n_corrected"] == 0
+    assert out[2]["n_oov"] == 1  # 'noise' flagged but left alone
+    assert out[3]["restored"] and out[3]["n_corrected"] == 0
+
+
 def test_quality_classifier_trained_same_plan_as_formula(spark):
     """The trained-weights twin must keep the formula model's exact
     plan shape (the docstring's 'same plan' promise, VERDICT r4 next
