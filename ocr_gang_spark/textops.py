@@ -6023,16 +6023,34 @@ def epoch_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ERR_PPM = 1_000_000
 
-
-def _err_duck() -> str:
-    return rf"""
-    WITH p AS (
-      SELECT doc_id, text AS truth,
-             CASE doc_id % 4
+# ONE definition per engine of the corruption-injection rule shared by
+# ocr_error_rates and ocr_spell_correction (review fix: the CASE block
+# existed in four copies, and the spell query's inject-then-detect
+# premise silently breaks if any copy drifts).
+_CORRUPT_HYP_DUCK = r"""CASE doc_id % 4
                WHEN 0 THEN replace(text, 'table', 'tbale')
                WHEN 1 THEN regexp_replace(text, ' ?\ba\b ?', ' ', 'g')
                WHEN 2 THEN 'noise ' || text
-               ELSE text END AS hyp
+               ELSE text END"""
+
+
+def _corrupt_hyp():
+    """Spark twin of _CORRUPT_HYP_DUCK: the doc_id%4 corruption classes
+    (typo swap / 'a'-deletion / 'noise' insertion / clean)."""
+    did = F.col("doc_id")
+    return (
+        F.when(did % 4 == 0, F.expr("replace(text, 'table', 'tbale')"))
+        .when(did % 4 == 1, F.regexp_replace("text", r" ?\ba\b ?", " "))
+        .when(did % 4 == 2, F.concat(F.lit("noise "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+
+
+def _err_duck() -> str:
+    return f"""
+    WITH p AS (
+      SELECT doc_id, text AS truth,
+             {_CORRUPT_HYP_DUCK} AS hyp
       FROM documents),
     t AS (SELECT doc_id, truth, hyp,
                  string_split(truth, ' ') AS tt,
@@ -6098,15 +6116,8 @@ def _error_rate_frame(docs: DataFrame) -> DataFrame:
     on a corpus where most docs fit the ASCII path the second scan
     streams and discards, no shuffle in either branch."""
     did = F.col("doc_id")
-    hyp = (
-        F.when(did % 4 == 0, F.expr("replace(text, 'table', 'tbale')"))
-        .when(did % 4 == 1,
-              F.regexp_replace("text", r" ?\ba\b ?", " "))
-        .when(did % 4 == 2, F.concat(F.lit("noise "), F.col("text")))
-        .otherwise(F.col("text"))
-    )
     pairs = docs.select(
-        "doc_id", F.col("text").alias("truth"), hyp.alias("hyp")
+        "doc_id", F.col("text").alias("truth"), _corrupt_hyp().alias("hyp")
     ).select(
         "doc_id", "truth", "hyp",
         F.split("truth", " ").alias("tt"),
@@ -6246,22 +6257,17 @@ def _del1_variants_duck(col: str) -> str:
 
 
 def _spell_duck() -> str:
-    return rf"""
+    return f"""
     WITH p AS (
       SELECT doc_id, text AS truth,
-             CASE doc_id % 4
-               WHEN 0 THEN replace(text, 'table', 'tbale')
-               WHEN 1 THEN regexp_replace(text, ' ?\ba\b ?', ' ', 'g')
-               WHEN 2 THEN 'noise ' || text
-               ELSE text END AS hyp
+             {_CORRUPT_HYP_DUCK} AS hyp
       FROM documents),
     dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
               FROM (SELECT unnest(string_split(text, ' ')) AS w
                     FROM documents)
               GROUP BY w),
-    dv0 AS (SELECT w, freq, unnest({_del1_variants_duck('w')}) AS v
-            FROM dfreq),
-    dvar AS (SELECT DISTINCT w, freq, v FROM dv0),
+    dvar AS (SELECT w, freq, unnest({_del1_variants_duck('w')}) AS v
+             FROM dfreq),
     t0 AS (SELECT doc_id, truth, string_split(hyp, ' ') AS l FROM p),
     t1 AS (SELECT doc_id, truth, l,
                   unnest(range(1, len(l) + 1)) AS pos
@@ -6269,10 +6275,9 @@ def _spell_duck() -> str:
     toks AS (SELECT doc_id, truth, CAST(pos AS BIGINT) AS pos,
                     l[pos] AS tok
              FROM t1),
-    qv0 AS (SELECT doc_id, pos, tok,
-                   unnest({_del1_variants_duck('tok')}) AS v
-            FROM toks),
-    qvar AS (SELECT DISTINCT doc_id, pos, tok, v FROM qv0),
+    qvar AS (SELECT doc_id, pos, tok,
+                    unnest({_del1_variants_duck('tok')}) AS v
+             FROM toks WHERE len(tok) > 0),
     cand AS (SELECT t.doc_id, t.pos, t.tok, d.w, d.freq,
                     CAST(levenshtein(t.tok, d.w) AS BIGINT) AS dist
              FROM qvar t JOIN dvar d USING (v)),
@@ -6313,29 +6318,35 @@ def ocr_spell_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     docs = _spread(docs)
     did = F.col("doc_id")
-    hyp = (
-        F.when(did % 4 == 0, F.expr("replace(text, 'table', 'tbale')"))
-        .when(did % 4 == 1, F.regexp_replace("text", r" ?\ba\b ?", " "))
-        .when(did % 4 == 2, F.concat(F.lit("noise "), F.col("text")))
-        .otherwise(F.col("text"))
-    )
     dfreq = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
+    # no .distinct(): w is unique post-groupBy and the in-row
+    # array_union dedups variants, so (w, freq, v) rows are already
+    # globally unique — a distinct here was a pure extra exchange over
+    # the dictionary path (review fix)
     dvar = dfreq.select(
         "w", "freq", F.explode(F.expr(_del1_variants_spark("w"))).alias("v")
-    ).distinct()
+    )
     # token stream stays NARROW: (doc_id, pos, tok) only — the truth
     # text joins back ONCE per doc at the end, never riding the
     # per-token / per-variant fan-out (the first draft carried the full
     # doc text on every token row and re-joined corrections at token
     # granularity; caught by the plan pin)
     toks = docs.select(
-        "doc_id", F.posexplode(F.split(hyp, " ")).alias("pos", "tok")
+        "doc_id",
+        F.posexplode(F.split(_corrupt_hyp(), " ")).alias("pos", "tok"),
     )
-    qvar = toks.select(
+    # empty tokens (split artifacts of an edge-position deletion, e.g.
+    # a leading "a " removed) generate NO candidates: their only
+    # deletion variant is '', which joins every 1-char dictionary word
+    # and RESURRECTED the deleted token — the corrector hallucinating
+    # text into an empty slot (review fix; class-1 edge-'a' docs now
+    # genuinely come back restored=false).  They still count in
+    # n_tokens/n_oov via the sentinel and survive as '' in the rebuild.
+    qvar = toks.where(F.length("tok") > 0).select(
         "doc_id", "pos", "tok",
         F.explode(F.expr(_del1_variants_spark("tok"))).alias("v"),
     )

@@ -748,11 +748,12 @@ def test_spell_correction_restores_typos_not_noise(spark):
         0: "the table of data sort table",   # class 0: typo -> restored
         2: "the sort of data",               # class 2: noise prepended
         3: "the data table",                 # class 3: clean
+        5: "a table of data",                # class 1: LEADING 'a' deleted
     }
     with __import__("tempfile").TemporaryDirectory() as d:
         pd.DataFrame(
             {"doc_id": list(texts), "text": list(texts.values()),
-             "lang": ["en"] * 3, "source": ["s"] * 3,
+             "lang": ["en"] * 4, "source": ["s"] * 4,
              "n_chars": [len(t) for t in texts.values()]}
         ).to_parquet(f"{d}/documents.parquet")
         out = {r["doc_id"]: r for r in ocr_spell_correction(spark, d).collect()}
@@ -760,6 +761,11 @@ def test_spell_correction_restores_typos_not_noise(spark):
     assert not out[2]["restored"] and out[2]["n_corrected"] == 0
     assert out[2]["n_oov"] == 1  # 'noise' flagged but left alone
     assert out[3]["restored"] and out[3]["n_corrected"] == 0
+    # edge-position deletion leaves an empty split token; the corrector
+    # must NOT hallucinate the deleted 'a' back into it (review fix:
+    # '' shares its only deletion variant with every 1-char dict word)
+    assert not out[5]["restored"] and out[5]["n_corrected"] == 0
+    assert out[5]["n_tokens"] == 4  # incl. the preserved empty slot
 
 
 def test_quality_classifier_trained_same_plan_as_formula(spark):
