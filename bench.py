@@ -141,6 +141,7 @@ HEADLINE_EXTRACT = [
     "media_resize_stats",
     "decode_quarantine_stats",
     "image_phash_dedup",
+    "phash_hamming_pairs",
     "cdc_chunk_dedup",
     "augmentation_counts",
     "pdf_layout_spans",

