@@ -3,10 +3,10 @@
 
 The driver's CORRECTNESS gate samples ~50 queries per round; across
 rounds 1-4 only 69 of the then-123 registered queries were ever
-sampled (126 registered as of the round-5 tip), so more than a third
-of the registry's green status rested on session-local sweeps that
-left no artifact (VERDICT r4, "What's missing" #1).  This script runs
-EVERY registered query through the identical
+sampled, so more than a third of the registry's green status rested on
+session-local sweeps that left no artifact (VERDICT r4, "What's
+missing" #1).  This script runs EVERY registered query (the artifact's
+_sweep header records the count at run time) through the identical
 Spark-vs-DuckDB compare (tests/oracle_compare.py — row count, column
 names, order-insensitive exact values) at sf0.01 and writes the
 per-query verdict map to CORRECTNESS_SWEEP_<round>.json at the repo
