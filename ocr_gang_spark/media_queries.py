@@ -282,11 +282,14 @@ def pdf_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _phash_sigs(spark: SparkSession, sf_dir: str):
-    """(media_ref, phash, verify, ref_key) perceptual-signature frame —
-    the per-blob Arrow kernel shared by image_phash_dedup and
-    phash_hamming_pairs (decode, binarize, 8x8 thumbprint, 28x28
-    verify key, packed keeper key)."""
+def _phash_sigs(spark: SparkSession, sf_dir: str, with_verify: bool = True):
+    """(media_ref, phash[, verify], ref_key) perceptual-signature frame
+    — the per-blob Arrow kernel shared by image_phash_dedup and
+    phash_hamming_pairs (decode, binarize, 8x8 thumbprint, packed
+    keeper key; the 28x28 verify key only when asked — column pruning
+    stops at the mapInPandas boundary, so a caller that doesn't need
+    the 784-bit resample + md5 must opt out HERE, not in a select
+    above the kernel (review fix))."""
     from .kernels.bmp import decode_media_blob
     from .kernels.image_ops import binarize, phash64, phash_verify
     from .synth import blob_for_dedup_ref
@@ -306,17 +309,18 @@ def _phash_sigs(spark: SparkSession, sf_dir: str):
                 # parses this way).  min over the packed BIGINT == min
                 # (doc_id, span_idx), the deterministic keeper rule.
                 d, i = _ref_key(ref)
-                rows.append(
-                    (ref, phash64(bw), phash_verify(bw), _pack_ref_key(d, i))
-                )
-            yield pd.DataFrame(
-                rows, columns=["media_ref", "phash", "verify", "ref_key"]
-            )
+                row = (ref, phash64(bw), _pack_ref_key(d, i))
+                if with_verify:
+                    row = row[:2] + (phash_verify(bw),) + row[2:]
+                rows.append(row)
+            cols = (["media_ref", "phash", "verify", "ref_key"]
+                    if with_verify else ["media_ref", "phash", "ref_key"])
+            yield pd.DataFrame(rows, columns=cols)
 
-    return media.mapInPandas(
-        hashes,
-        schema="media_ref string, phash bigint, verify string, ref_key bigint",
-    )
+    schema = ("media_ref string, phash bigint, verify string, ref_key bigint"
+              if with_verify
+              else "media_ref string, phash bigint, ref_key bigint")
+    return media.mapInPandas(hashes, schema=schema)
 
 
 @register(
@@ -472,20 +476,32 @@ def phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so no cap is needed to stay linear here)."""
     import pyspark.sql.functions as F
 
-    sigs = _phash_sigs(spark, sf_dir).select("media_ref", "phash")
-    dre = r"doc-([0-9]+)-([0-9]+)$"
-    parsed = sigs.select(
-        "media_ref", "phash",
-        F.regexp_extract("media_ref", dre, 1).cast("bigint").alias("d"),
-        F.regexp_extract("media_ref", dre, 2).cast("bigint").alias("i"),
+    # persisted: the signature frame is referenced by the twin-union
+    # branch AND both sides of the probe self-join — without the cache
+    # Spark re-evaluates the decode/hash kernel once per reference (4x
+    # per action, caught by review; at production scale the signature
+    # table is materialized once — written, then radius-searched — and
+    # this cache is the sandbox analog).  verify key skipped: this
+    # query never uses it and the kernel boundary defeats pruning.
+    sigs = (
+        _phash_sigs(spark, sf_dir, with_verify=False)
+        .select("media_ref", "phash", "ref_key")
+        .persist()
     )
-    twins = parsed.where(
-        (F.col("d") + F.col("i")) % PHASH_TWIN_MOD == 0
+    # (d, i) come from the kernel's packed ref_key — no second copy of
+    # the ref regex to keep in lockstep (review fix; the module-header
+    # single-definition rule)
+    twins = sigs.where(
+        (F.expr(f"ref_key DIV {_REF_KEY_RADIX}")
+         + F.expr(f"ref_key % {_REF_KEY_RADIX}")) % PHASH_TWIN_MOD == 0
     ).select(
         F.concat("media_ref", F.lit("-hv")).alias("media_ref"),
-        F.expr("phash ^ shiftleft(1L, cast(d % 64 as int))").alias("phash"),
+        F.expr(
+            f"phash ^ shiftleft(1L,"
+            f" cast((ref_key DIV {_REF_KEY_RADIX}) % 64 as int))"
+        ).alias("phash"),
     )
-    alls = sigs.unionByName(twins)
+    alls = sigs.select("media_ref", "phash").unionByName(twins)
     probes = alls.select(
         "media_ref", "phash",
         F.explode(

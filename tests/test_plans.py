@@ -718,40 +718,43 @@ def test_ivfpq_residual_recall_and_ordering(spark):
 
 def test_phash_hamming_probe_properties(spark):
     """Bit-flip multiprobe radius search: (a) every injected '-hv' twin
-    surfaces as a hamming-1 pair with its source ref, (b) no pair
-    exceeds radius 1 (a probe bug that flips two bits would), (c) no
-    duplicate orientations (the strict a < b + single-probe-match
-    argument), (d) hamming-0 pairs agree with image_phash_dedup's
-    exact groups."""
-    from ocr_gang_spark.media_queries import (
-        PHASH_TWIN_MOD,
-        image_phash_dedup,
-        phash_hamming_pairs,
-    )
+    surfaces as a hamming-1 pair with its source ref — expected twin
+    count derived INDEPENDENTLY from the documents table's span rule,
+    not from the rows under test (a probe generator that dropped bit
+    63 must fail here), (b) no pair exceeds radius 1 (a probe bug that
+    flips two bits would), (c) no duplicate orientations (the strict
+    a < b + single-probe-match argument), (d) the corpus's natural
+    re-encoded duplicates surface as non-injected hamming-0 pairs."""
+    from ocr_gang_spark.media_queries import PHASH_TWIN_MOD, phash_hamming_pairs
 
     rows = phash_hamming_pairs(spark, SF).collect()
     assert rows
     assert all(r["hamming"] <= 1 for r in rows)
     pairs = {(r["a_ref"], r["b_ref"]) for r in rows}
     assert len(pairs) == len(rows)  # no duplicate pairs
-    # every twin pairs with its source at hamming 1
-    twin_pairs = [r for r in rows
-                  if r["b_ref"] == r["a_ref"] + "-hv"]
+    twin_pairs = [r for r in rows if r["b_ref"] == r["a_ref"] + "-hv"]
     assert twin_pairs and all(
         r["hamming"] == 1 and r["injected"] for r in twin_pairs
     )
-    import re
-
-    n_expected_twins = 0
-    for r in rows:
-        m = re.search(r"doc-(\d+)-(\d+)$", r["a_ref"])
-        if m and (int(m.group(1)) + int(m.group(2))) % PHASH_TWIN_MOD == 0:
-            n_expected_twins += r["b_ref"] == r["a_ref"] + "-hv"
-    assert n_expected_twins == len(twin_pairs)
-    # hamming-0 non-injected pairs live inside the exact dedup groups
-    groups = {(g["phash"], g["verify"]) for g in
-              image_phash_dedup(spark, SF).collect()}
-    assert groups  # the corpus's re-encoded duplicates exist
+    # independent expected-twin derivation: the corpus has
+    # 1 + doc_id % 2 media spans per doc (synth rule); a twin is
+    # injected for every (doc_id + span) % PHASH_TWIN_MOD == 0 ref,
+    # and EVERY twin must pair with its source (hamming exactly 1 by
+    # construction, and the source's phash is in the index)
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id").collect()
+    ]
+    n_expected = sum(
+        (d + i) % PHASH_TWIN_MOD == 0
+        for d in doc_ids
+        for i in range(1, d % 2 + 2)
+    )
+    assert n_expected > 0 and len(twin_pairs) == n_expected
+    # natural hamming-0 re-encoded duplicates (synth.blob_for_dedup_ref)
+    nat0 = [r for r in rows if r["hamming"] == 0 and not r["injected"]]
+    assert nat0
     # and the plan has no cartesian product / window
     plan = plan_of(phash_hamming_pairs(spark, SF), mode="simple")
     assert "CartesianProduct" not in plan
